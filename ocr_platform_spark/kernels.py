@@ -1,0 +1,322 @@
+"""Deterministic stand-in kernels for the reference's pruned DL models.
+
+The reference's model weights are pruned from its checkout
+(``/root/reference/.MISSING_LARGE_BLOBS`` lists ``models/craft_net/craft_mlt_25k.pth``;
+``libs/vietocr`` and ``libs/craft-text-detector`` are empty directories), and its
+own README calls the pipeline a stub swappable for CRAFT/VietOCR
+(``/root/reference/README.md:138``).  This module therefore implements the two
+model *interfaces* with deterministic pixel-domain kernels, while every
+surrounding semantic is ported byte-exactly (citations inline):
+
+* ``detect_text_boxes(img) -> [(x1, y1, x2, y2)]`` — the CRAFT slot
+  (``libs/ocr_core/ocr_core/pipeline/detect.py:85-119``).  A genuine
+  projection-profile document-layout detector: binarize -> vertically-bridged
+  row bands -> per-band column runs -> tightened AABBs, emitted as ``(N, 4, 2)``
+  polygons and reduced with the reference's exact vectorized min/max /
+  valid-filter / scale-back / int-cast code path.
+* ``predict(crop) -> (text, conf)`` — the VietOCR ``model.predict`` slot
+  (``libs/ocr_core/ocr_core/engines/vietocr_engine.py:103-127``).  A genuine
+  pixel reader: decodes the run-length glyph barcode from the crop's center
+  row.  The code is robust to the preprocess downscale (run widths are
+  classified against a scale estimated from the median inter-bit gap), so the
+  recognizer reads resized crops just like the real CRNN would.
+* Tall-crop strip splitting + batch driver — exact ports of
+  ``vietocr_engine.py:63-141`` (constants 56/32/4, banker's ``round`` strip
+  count, last-strip absorption, <8 px strip drop, whole-image fallback).
+
+Glyph code ("the synthetic glyph encoding"): 32-char alphabet, 5 bits per
+char, MSB first; bit 0 = black run of ``UNIT`` px, bit 1 = black run of
+``3*UNIT`` px; consecutive black runs are separated by a white gap of ``UNIT``
+px.  Every pixel row of a rendered line is identical, so any horizontal strip
+of the line decodes to the same text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- glyph codec -----------------------------------------------------------
+
+ALPHABET = "abcdefghijklmnopqrstuvwxyz .,-01"  # 32 symbols -> 5 bits
+_CHAR_TO_IDX = {c: i for i, c in enumerate(ALPHABET)}
+BITS_PER_CHAR = 5
+UNIT = 12  # px at render scale; survives the bounded preprocess downscale
+INK = 0
+WHITE = 255
+_BIN_THRESHOLD = 128
+
+# --- reference constants (vietocr_engine.py:14-16) --------------------------
+MAX_SINGLE_LINE_HEIGHT = 56
+LINE_STRIP_HEIGHT = 32
+LINE_STRIP_OVERLAP = 4
+
+# --- detector layout constants (kernel-internal, see corpus.py contract) ----
+VGAP_BRIDGE = 14  # row gaps <= this merge into one region (paragraph grouping)
+HGAP_BRIDGE = 2 * UNIT  # column gaps <= this stay one region (intra-text gaps)
+
+
+def text_bits(text: str) -> np.ndarray:
+    idx = np.array([_CHAR_TO_IDX[c] for c in text], dtype=np.int64)
+    shifts = np.arange(BITS_PER_CHAR - 1, -1, -1)
+    return ((idx[:, None] >> shifts[None, :]) & 1).reshape(-1)
+
+
+def glyph_row(text: str) -> np.ndarray:
+    """One pixel row of the rendered text: black runs (12/36 px) split by 12 px
+    white gaps.  Empty text renders to an empty row (no ink)."""
+    if not text:
+        return np.zeros(0, dtype=np.uint8)
+    bits = text_bits(text)
+    parts: list[np.ndarray] = []
+    black0 = np.full(UNIT, INK, dtype=np.uint8)
+    black1 = np.full(3 * UNIT, INK, dtype=np.uint8)
+    gap = np.full(UNIT, WHITE, dtype=np.uint8)
+    for i, b in enumerate(bits):
+        if i:
+            parts.append(gap)
+        parts.append(black1 if b else black0)
+    return np.concatenate(parts)
+
+
+def text_px_width(text: str) -> int:
+    if not text:
+        return 0
+    bits = text_bits(text)
+    return int(bits.sum() * 2 * UNIT + len(bits) * UNIT + (len(bits) - 1) * UNIT)
+
+
+def _runs(mask: np.ndarray) -> list[tuple[int, int, bool]]:
+    """Run-length encode a 1-D bool mask -> [(start, length, value)]."""
+    if mask.size == 0:
+        return []
+    change = np.flatnonzero(mask[1:] != mask[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [mask.size]])
+    return [(int(s), int(e - s), bool(mask[s])) for s, e in zip(starts, ends)]
+
+
+def decode_row(row: np.ndarray) -> tuple[str, bool]:
+    """Decode one pixel row -> (text, clean).
+
+    Scale-free: the decoder estimates the render scale from the median white
+    gap between bits, then classifies each black run as bit 0/1 against
+    ``2 * UNIT * scale``.  ``clean`` is False when the run structure is
+    inconsistent (bit count not a multiple of 5, or no ink)."""
+    ink = row < _BIN_THRESHOLD
+    if not ink.any():
+        return "", False
+    nz = np.flatnonzero(ink)
+    ink = ink[nz[0] : nz[-1] + 1]
+    runs = _runs(ink)
+    blacks = np.array([ln for _, ln, v in runs if v], dtype=np.float64)
+    gaps = np.array([ln for _, ln, v in runs if not v], dtype=np.float64)
+    if blacks.size == 0:
+        return "", False
+    scale = float(np.median(gaps)) / UNIT if gaps.size else blacks.min() / UNIT
+    if scale <= 0:
+        scale = 1.0
+    bits = (blacks > 2 * UNIT * scale).astype(np.int64)
+    nchars, rem = divmod(bits.size, BITS_PER_CHAR)
+    clean = rem == 0 and nchars > 0
+    if nchars == 0:
+        return "", False
+    bits = bits[: nchars * BITS_PER_CHAR].reshape(nchars, BITS_PER_CHAR)
+    vals = (bits << np.arange(BITS_PER_CHAR - 1, -1, -1)[None, :]).sum(axis=1)
+    return "".join(ALPHABET[v] for v in vals), clean
+
+
+# --- detection (CRAFT slot) --------------------------------------------------
+
+
+def _row_regions(any_mask: np.ndarray, bridge: int) -> list[tuple[int, int]]:
+    """Contiguous True regions of a 1-D mask, merging gaps <= ``bridge``."""
+    regions: list[tuple[int, int]] = []
+    for start, length, val in _runs(any_mask):
+        if not val:
+            continue
+        end = start + length
+        if regions and start - regions[-1][1] <= bridge:
+            regions[-1] = (regions[-1][0], end)
+        else:
+            regions.append((start, end))
+    return regions
+
+
+def _detect_polygons(img: np.ndarray) -> np.ndarray:
+    """Stand-in for ``craft.detect_text(np_img)["boxes"]`` (``detect.py:97-99``):
+    returns ``(N, 4, 2)`` float32 corner polygons in detector emission order
+    (top-to-bottom region, then left-to-right)."""
+    ink = img < _BIN_THRESHOLD
+    row_any = ink.any(axis=1)
+    polys: list[list[list[float]]] = []
+    for r0, r1 in _row_regions(row_any, VGAP_BRIDGE):
+        band = ink[r0:r1]
+        col_any = band.any(axis=0)
+        for c0, c1 in _row_regions(col_any, HGAP_BRIDGE):
+            sub = band[:, c0:c1]
+            rows = np.flatnonzero(sub.any(axis=1))
+            cols = np.flatnonzero(sub.any(axis=0))
+            y1, y2 = r0 + int(rows[0]), r0 + int(rows[-1]) + 1
+            x1, x2 = c0 + int(cols[0]), c0 + int(cols[-1]) + 1
+            polys.append([[x1, y1], [x2, y1], [x2, y2], [x1, y2]])
+    if not polys:
+        return np.zeros((0, 4, 2), dtype=np.float32)
+    return np.asarray(polys, dtype=np.float32)
+
+
+def _resize_by_max_side(img: np.ndarray, max_side: int) -> np.ndarray:
+    """Exact ratio math of ``detect.py:16-23`` (cv2 INTER_AREA slot)."""
+    from .raster import area_resize  # local import to avoid module cycle
+
+    h, w = img.shape[:2]
+    scale = max(h, w) / max_side
+    if scale <= 1:
+        return img
+    new_w, new_h = int(w / scale), int(h / scale)
+    return area_resize(img, new_w, new_h)
+
+
+def detect_text_boxes(img: np.ndarray, max_side: int = 0) -> list[tuple[int, int, int, int]]:
+    """Detect text regions -> list of int ``(x1, y1, x2, y2)`` corners.
+
+    Byte-exact port of the reference's reduction pipeline
+    (``detect.py:85-119``): optional max_side downscale (default **off**, as in
+    ``infra/system_config.yml:26`` where ``craft_net.max_side`` is commented
+    out), polygon min/max reduction per axis, degenerate-box valid filter
+    ``(x_max > x_min) & (y_max > y_min)``, scale-back multiply when downscaled,
+    ``astype(int)`` cast, corner-tuple zip.
+    """
+    np_img = img
+    h0, w0 = np_img.shape[:2]
+    scale = 1.0
+    if max_side > 0:
+        scale = max(h0, w0) / max_side
+        if scale > 1:
+            np_img = _resize_by_max_side(np_img, max_side)
+    raw = _detect_polygons(np_img)
+    if raw is None:
+        return []
+    arr = np.asarray(raw, dtype=np.float32)
+    if arr.size == 0:
+        return []
+    xs = arr[..., 0]
+    ys = arr[..., 1]
+    x_min = xs.min(axis=1)
+    x_max = xs.max(axis=1)
+    y_min = ys.min(axis=1)
+    y_max = ys.max(axis=1)
+    valid = (x_max > x_min) & (y_max > y_min)
+    x1 = x_min[valid]
+    y1 = y_min[valid]
+    x2 = x_max[valid]
+    y2 = y_max[valid]
+    if scale > 1:
+        x1, x2 = x1 * scale, x2 * scale
+        y1, y2 = y1 * scale, y2 * scale
+    return list(
+        zip(
+            x1.astype(int).tolist(),
+            y1.astype(int).tolist(),
+            x2.astype(int).tolist(),
+            y2.astype(int).tolist(),
+        )
+    )
+
+
+# --- recognition (VietOCR slot) ----------------------------------------------
+
+
+def predict(crop: np.ndarray) -> tuple[str, float]:
+    """``model.predict(im, return_prob=True)`` stand-in
+    (``vietocr_engine.py:111``): decode the crop's center pixel row.
+
+    conf is a deterministic function of decode quality (the reference's prob
+    tensor -> float cast lives at ``vietocr_engine.py:56-60``)."""
+    if crop.size == 0:
+        return "", 0.4
+    row = crop[crop.shape[0] // 2]
+    text, clean = decode_row(row)
+    if not text:
+        return "", 0.4
+    return text, (0.98 if clean else 0.75)
+
+
+def split_tall_crop_into_strips(
+    img: np.ndarray, original_height_px: int | None = None
+) -> list[np.ndarray]:
+    """Exact port of ``_split_tall_crop_into_strips``
+    (``vietocr_engine.py:63-100``), numpy row-slices instead of PIL crops.
+
+    Semantics preserved: original-height strip count uses Python banker's
+    ``round`` (``:75``), step = 32 - 4 (``:76``), last strip absorbs the
+    remainder (``:80-83``), orig->crop y mapping with ``int()`` floor
+    (``:84-85``), strips shorter than 8 px dropped (``:86, :97``), fallback to
+    the whole image (``:88, :100``)."""
+    h, w = img.shape[:2]
+    use_original = (
+        original_height_px is not None and original_height_px > MAX_SINGLE_LINE_HEIGHT
+    )
+    if use_original:
+        num_strips = max(1, round(original_height_px / LINE_STRIP_HEIGHT))
+        step_orig = max(1, LINE_STRIP_HEIGHT - LINE_STRIP_OVERLAP)
+        strips: list[np.ndarray] = []
+        for i in range(num_strips):
+            y_orig = i * step_orig
+            if i == num_strips - 1:
+                y2_orig = original_height_px
+            else:
+                y2_orig = min(y_orig + LINE_STRIP_HEIGHT, original_height_px)
+            y1_crop = int(y_orig * h / original_height_px)
+            y2_crop = int(y2_orig * h / original_height_px)
+            if y2_crop > y1_crop and (y2_crop - y1_crop) >= 8:
+                strips.append(img[y1_crop:y2_crop])
+        return strips if strips else [img]
+    if h <= MAX_SINGLE_LINE_HEIGHT:
+        return [img]
+    step = max(1, LINE_STRIP_HEIGHT - LINE_STRIP_OVERLAP)
+    strips = []
+    y = 0
+    while y < h:
+        y2 = min(y + LINE_STRIP_HEIGHT, h)
+        strip = img[y:y2]
+        if strip.shape[0] >= 8:
+            strips.append(strip)
+        y += step
+    return strips if strips else [img]
+
+
+def predict_one_crop_maybe_multiline(
+    im: np.ndarray, original_height_px: int | None = None
+) -> tuple[str, float]:
+    """Exact port of ``_predict_one_crop_maybe_multiline``
+    (``vietocr_engine.py:103-127``): single strip -> predict the *whole* crop
+    (``:110-111``); multi-strip -> per-strip predict, ``"\\n".join`` of texts
+    (``:125``), conf = ``min`` of strip probs (``:126-127``)."""
+    strips = split_tall_crop_into_strips(im, original_height_px)
+    if len(strips) == 1:
+        return predict(im)
+    texts: list[str] = []
+    probs: list[float] = []
+    for strip in strips:
+        t, p = predict(strip)
+        texts.append(t)
+        probs.append(p)
+    joined = "\n".join(texts)
+    conf = min(probs) if probs else 1.0
+    return joined, conf
+
+
+def predict_batch(
+    crops: list[np.ndarray], original_heights: list[int] | None = None
+) -> list[tuple[str, float]]:
+    """Exact port of ``vietocr_predict_batch`` (``vietocr_engine.py:130-141``),
+    including the None-safe positional pairing with ``original_heights``."""
+    out: list[tuple[str, float]] = []
+    for i, im in enumerate(crops):
+        oh = (
+            original_heights[i]
+            if original_heights and i < len(original_heights)
+            else None
+        )
+        out.append(predict_one_crop_maybe_multiline(im, oh))
+    return out
