@@ -123,3 +123,32 @@ def _dumps(pages: list[PageDesc]) -> bytes:
         for p in pages
     ]
     return json.dumps(doc, separators=(",", ":"), sort_keys=True).encode("utf-8")
+
+
+def dumps_page(page: PageDesc) -> str:
+    """Single-page descriptor JSON (the decode-stage shuffle payload — compact;
+    rasters never cross a shuffle, see operators/extract.py)."""
+    return json.dumps(
+        {
+            "w": page.width,
+            "h": page.height,
+            "bs": [
+                {"x": b.x, "y": b.y, "ls": b.lines, "lh": b.line_h, "g": b.gap}
+                for b in page.bands
+            ],
+        },
+        separators=(",", ":"),
+        sort_keys=True,
+    )
+
+
+def loads_page(s: str) -> PageDesc:
+    p = json.loads(s)
+    return PageDesc(
+        width=p["w"],
+        height=p["h"],
+        bands=[
+            Band(x=b["x"], y=b["y"], lines=b["ls"], line_h=b["lh"], gap=b["g"])
+            for b in p["bs"]
+        ],
+    )

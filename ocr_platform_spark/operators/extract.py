@@ -1,0 +1,317 @@
+"""The extraction pipeline as a Spark DataFrame job (SURVEY.md §3.4).
+
+Replaces the reference's HTTP/Redis/Postgres/S3 process hops
+(``apps/worker/app/tasks/ocr_tasks.py``) with Spark's own exchange points:
+
+    documents ─ explode(spans) ─┬─ text spans ── unicode-trim passthrough ──┐
+                                └─ media spans ⋈ media payloads             │
+                                    │ mapInPandas DECODE (cheap):           │
+                                    │   container parse → 1 row per page    │
+                                    │   (compact descriptor; no raster      │
+                                    │    crosses a shuffle)                 │
+                                    │ repartition(page key)  ← skew spread  │
+                                    │ mapInPandas OCR (heavy):              │
+                                    │   render@150dpi → detect → lazy       │
+                                    │   preprocess crops → strips →         │
+                                    │   recognize → trim → blocks           │
+                                    │ window rank (y1, x1, emission)        │
+                                    └──────────────┬─────────────────────────┘
+                                                   union
+                                    window order (offset, page, rank)
+                                    groupBy(doc_id) → sort_array(collect_list)
+                                    left-join back to all doc_ids
+
+Scale rationale (100 TB / 10^12 docs):
+
+* **Page-level explode before the heavy stage** is the skew fix — one
+  200-page PDF becomes 200 independent rows spread by hash repartition, so a
+  single executor never owns a whole giant document (SURVEY.md §4; AQE alone
+  cannot split one huge row).
+* **The decode stage is cheap and narrow** (container header parse); the
+  expensive raster exists only *inside* the heavy UDF — the shuffle between
+  the stages carries ~200-byte descriptors, never pixels.
+* **Joins**: spans⋈media is a key-to-key shuffle hash join (AQE handles
+  residual skew); the final doc_id re-join is an equi-join on the already
+  grouped side.
+* **All relational glue is stock Catalyst** (window, collect_list, union,
+  joins) — predicate pushdown and column pruning reach the parquet scans.
+
+Per-row reference semantics are inherited from :mod:`ocr_platform_spark.oracle`
+kernels — the heavy UDF is the fused detect+recognize of
+``run_job`` (``ocr_tasks.py:108-118``) + ``run_ocr_with_boxes``
+(``libs/ocr_core/ocr_core/pipeline/orchestrator.py:116-174``): batch mode has
+no human box-editing step, so ``detect_result`` flows through unchanged and
+fusing the two phases is semantics-preserving (the optional persisted
+detect-boxes boundary is exposed separately via :func:`detect_boxes_table`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from .. import formats, kernels, raster
+from ..schemas import BLOCK, PAGE_TASK, SPAN
+
+
+# --- stage 1: decode (cheap page explode) ------------------------------------
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Container parse -> one output row per page (S4/S5 in SURVEY.md §2.1).
+
+    Mirrors ``_raw_to_pages`` dispatch (``ocr_tasks.py:34-55``) without
+    rasterizing: emits per-page JSON descriptors so the page-level explode
+    happens *before* any pixel work.
+    """
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in PAGE_TASK.fields}
+        for doc_id, offset, ref, data in zip(
+            pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["data"]
+        ):
+            kind, pages = formats.decode_media(bytes(data))
+            for i, page in enumerate(pages):
+                out["doc_id"].append(doc_id)
+                out["offset"].append(offset)
+                out["media_ref"].append(ref)
+                out["media_kind"].append(kind)
+                out["page_index"].append(i)
+                out["page_desc"].append(formats.dumps_page(page))
+        res = pd.DataFrame(out)
+        res["offset"] = res["offset"].astype("int32")
+        res["page_index"] = res["page_index"].astype("int32")
+        yield res
+
+
+# --- stage 2: heavy OCR (render -> detect -> recognize) ----------------------
+
+
+def _ocr_page(doc_id: str, offset: int, ref: str, kind: str,
+              page_index: int, desc: str, out: dict[str, list]) -> None:
+    page = formats.loads_page(desc)
+    unit_scale = raster.PDF_UNIT_SCALE if kind == "pdf" else 1.0
+    img = raster.render_page(page, unit_scale)
+    h_orig, w_orig = img.shape[:2]
+    # detect phase: on the raw rendered page (run_job does NOT preprocess
+    # before detect — ocr_tasks.py:110-111)
+    boxes = kernels.detect_text_boxes(img)
+    if not boxes:
+        return  # empty-page passthrough: zero block rows (orchestrator.py:133-137)
+    # recognize phase: run_ocr_with_boxes (orchestrator.py:139-172)
+    prep = raster.PrepView(img)
+    w_prep, h_prep = prep.size
+    scale_x = w_prep / w_orig if w_orig else 1.0
+    scale_y = h_prep / h_orig if h_orig else 1.0
+    boxes_for_crop = []
+    original_heights = []
+    for (x1, y1, x2, y2) in boxes:
+        boxes_for_crop.append(
+            (int(x1 * scale_x), int(y1 * scale_y), int(x2 * scale_x), int(y2 * scale_y))
+        )
+        original_heights.append(y2 - y1)
+    crops = [prep.crop(b) for b in boxes_for_crop]
+    rec = kernels.predict_batch(crops, original_heights=original_heights)
+    texts = [t.strip() for t, _ in rec]  # postprocess.py:4-6 (unicode strip)
+    n = min(len(boxes), len(rec), len(texts))  # orchestrator.py:158
+    for i in range(n):
+        x1, y1, x2, y2 = boxes[i]  # ORIGINAL coords kept (orchestrator.py:163)
+        out["doc_id"].append(doc_id)
+        out["offset"].append(offset)
+        out["media_ref"].append(ref)
+        out["page_index"].append(page_index)
+        out["block_index"].append(i)
+        out["x1"].append(x1)
+        out["y1"].append(y1)
+        out["x2"].append(x2)
+        out["y2"].append(y2)
+        out["text"].append(texts[i])
+        out["conf"].append(rec[i][1])
+        out["page_width"].append(w_orig)
+        out["page_height"].append(h_orig)
+
+
+_INT_BLOCK_COLS = [
+    "offset", "page_index", "block_index",
+    "x1", "y1", "x2", "y2", "page_width", "page_height",
+]
+
+
+def _ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Iterator-form mapInPandas: one-time per-worker init would live here
+    (the ``lru_cache`` model-singleton analog, detect.py:68 /
+    vietocr_engine.py:47 — our kernels are stateless numpy, so nothing to
+    load; the hook is kept so real weights drop in without a plan change)."""
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in BLOCK.fields}
+        for row in zip(
+            pdf["doc_id"], pdf["offset"], pdf["media_ref"],
+            pdf["media_kind"], pdf["page_index"], pdf["page_desc"],
+        ):
+            _ocr_page(*row, out)
+        res = pd.DataFrame(out)
+        for c in _INT_BLOCK_COLS:
+            res[c] = res[c].astype("int32")
+        res["conf"] = res["conf"].astype("float64")
+        yield res
+
+
+# --- relational glue ----------------------------------------------------------
+
+
+@pandas_udf(StringType())  # DataType instance: module must import on executors
+def unicode_strip(s: pd.Series) -> pd.Series:
+    """Exact ``str.strip()`` parity (``postprocess.py:6``): strips *all*
+    unicode whitespace, unlike ``F.trim`` which only strips ASCII spaces
+    (SURVEY.md §2.3 M11)."""
+    return s.fillna("").str.strip()
+
+
+def exploded_spans(documents: DataFrame) -> DataFrame:
+    """posexplode-style span flatten; ``offset`` is carried by the data."""
+    return documents.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select("doc_id", "span.kind", "span.text", "span.media_ref", "span.offset")
+
+
+def decode_pages(documents: DataFrame, media: DataFrame) -> DataFrame:
+    """Media spans ⋈ payloads -> per-page descriptor rows (stage 1)."""
+    media_spans = (
+        exploded_spans(documents)
+        .filter(F.col("kind") != "text")
+        .select("doc_id", "offset", "media_ref")
+        .join(media.select("media_ref", "data"), "media_ref")
+    )
+    return media_spans.mapInPandas(_decode_batches, schema=PAGE_TASK)
+
+
+def ocr_blocks(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Stage 2 over page rows, preceded by the explicit skew-spreading
+    repartition on the page key (SURVEY.md §4: AQE can't split one huge doc;
+    hashing (doc_id, offset, page_index) can).
+
+    The partition count is explicit (defaults to 3x cluster parallelism): the
+    page descriptors are only ~200 bytes, so AQE's byte-based coalescing would
+    otherwise squash this shuffle into one partition and serialize the heavy
+    CPU-bound stage — partition cost here is per-*row* CPU, not bytes.
+    """
+    if num_partitions is None:
+        num_partitions = 3 * pages.sparkSession.sparkContext.defaultParallelism
+    pages = pages.repartition(num_partitions, "doc_id", "offset", "page_index")
+    return pages.mapInPandas(_ocr_batches, schema=BLOCK)
+
+
+def reading_ordered_blocks(blocks: DataFrame) -> DataFrame:
+    """Reading-order rank per page: ``y1`` asc, ``x1`` asc
+    (``json-editor.component.ts:157-161``), emission index as total-order
+    tie-break (SURVEY.md §7.3 item 2)."""
+    w = Window.partitionBy("doc_id", "offset", "page_index").orderBy(
+        "y1", "x1", "block_index"
+    )
+    return blocks.withColumn("rank", F.row_number().over(w))
+
+
+def assemble_spans(documents: DataFrame, ordered_blocks: DataFrame) -> DataFrame:
+    """Union text-span passthrough with OCR spans, assign the document-global
+    emission order, re-aggregate to the input schema (O4/A5 in SURVEY.md §2)."""
+    text_spans = (
+        exploded_spans(documents)
+        .filter(F.col("kind") == "text")
+        .select(
+            "doc_id",
+            "offset",
+            F.lit(-1).cast("int").alias("page_index"),
+            F.lit(0).cast("int").alias("rank"),
+            unicode_strip("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+        )
+    )
+    ocr_spans = ordered_blocks.select(
+        "doc_id", "offset", "page_index", "rank", "text", "media_ref"
+    )
+    all_spans = text_spans.unionByName(ocr_spans)
+    w = Window.partitionBy("doc_id").orderBy("offset", "page_index", "rank")
+    ranked = all_spans.withColumn("ord", F.row_number().over(w) - F.lit(1))
+    grouped = ranked.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ord", "text", "media_ref"))
+            ),
+            lambda s: F.struct(
+                F.lit("text").alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["ord"].cast("int").alias("offset"),
+            ),
+        ).alias("spans")
+    )
+    # keep every input document, media-only docs with zero blocks included
+    return documents.select("doc_id").join(grouped, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("spans", F.array().cast(f"array<{SPAN.simpleString()}>")).alias(
+            "spans"
+        ),
+    )
+
+
+def extract_documents(
+    documents: DataFrame, media: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """End-to-end: documents + media -> documents_out with extracted spans."""
+    pages = decode_pages(documents, media)
+    blocks = ocr_blocks(pages, num_partitions=num_partitions)
+    ordered = reading_ordered_blocks(blocks)
+    return assemble_spans(documents, ordered)
+
+
+def detect_boxes_table(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """The persisted detect/recognize boundary (FIXTURES.md §3) — the
+    ``detect_result`` column analog (``apps/worker/app/db/models.py:26``),
+    for workflows that checkpoint detect output before recognition."""
+    if num_partitions:
+        pages = pages.repartition(num_partitions, "doc_id", "offset", "page_index")
+
+    def _detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in [
+                    "doc_id", "media_ref", "page_index", "width", "height",
+                    "block_index", "x1", "y1", "x2", "y2",
+                ]
+            }
+            for doc_id, ref, kind, page_index, desc in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["media_kind"],
+                pdf["page_index"], pdf["page_desc"],
+            ):
+                page = formats.loads_page(desc)
+                scale = raster.PDF_UNIT_SCALE if kind == "pdf" else 1.0
+                img = raster.render_page(page, scale)
+                for i, (x1, y1, x2, y2) in enumerate(kernels.detect_text_boxes(img)):
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(ref)
+                    out["page_index"].append(page_index)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["block_index"].append(i)
+                    out["x1"].append(x1)
+                    out["y1"].append(y1)
+                    out["x2"].append(x2)
+                    out["y2"].append(y2)
+            res = pd.DataFrame(out)
+            for c in res.columns:
+                if c not in ("doc_id", "media_ref"):
+                    res[c] = res[c].astype("int32")
+            yield res
+
+    return pages.mapInPandas(
+        _detect,
+        schema=(
+            "doc_id string, media_ref string, page_index int, width int, "
+            "height int, block_index int, x1 int, y1 int, x2 int, y2 int"
+        ),
+    )

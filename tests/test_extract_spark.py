@@ -1,0 +1,82 @@
+"""End-to-end equality gate (SURVEY.md §5 item 2 / BASELINE.json north_rule):
+the Spark pipeline's per-document span sequence ``(kind, text, media_ref,
+order)`` equals the single-node oracle on the deterministic corpus."""
+
+import pytest
+
+from ocr_platform_spark import corpus, oracle
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, corpus_dir):
+    from ocr_platform_spark.operators.extract import extract_documents
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    out = extract_documents(docs, media).collect()
+    return {r["doc_id"]: r["spans"] for r in out}
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    docs, media = corpus.generate(60, seed=42, max_pages=30)
+    mb = {k: v["data"] for k, v in media.items()}
+    return {
+        d["doc_id"]: oracle.extract_document(d["spans"], mb) for d in docs
+    }
+
+
+def test_all_documents_present(spark_result, oracle_result):
+    assert set(spark_result) == set(oracle_result)
+
+
+def test_span_sequence_equality(spark_result, oracle_result):
+    """The BASELINE.json invariant, every doc, every span."""
+    mismatches = []
+    for doc_id, want in oracle_result.items():
+        got = spark_result[doc_id]
+        got_tuples = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got]
+        want_tuples = [(s.kind, s.text, s.media_ref, s.order) for s in want]
+        if got_tuples != want_tuples:
+            mismatches.append((doc_id, want_tuples[:5], got_tuples[:5]))
+    assert not mismatches, f"{len(mismatches)} docs mismatch; first: {mismatches[0]}"
+
+
+def test_output_schema_matches_input(spark, corpus_dir):
+    from ocr_platform_spark.operators.extract import extract_documents
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    out = extract_documents(docs, media)
+    in_fields = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    out_fields = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert in_fields == out_fields
+
+
+def test_detect_boxes_table(spark, corpus_dir):
+    """The persisted detect boundary matches the oracle's detect phase."""
+    from ocr_platform_spark.operators.extract import decode_pages, detect_boxes_table
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    rows = detect_boxes_table(decode_pages(docs, media)).collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r["media_ref"], r["page_index"]), []).append(
+            (r["block_index"], r["x1"], r["y1"], r["x2"], r["y2"], r["width"], r["height"])
+        )
+    _, media_payloads = corpus.generate(60, seed=42, max_pages=30)
+    checked = 0
+    for ref, m in list(media_payloads.items())[:20]:
+        for p in oracle.detect_document(m["data"]):
+            key = (ref, p["page_index"])
+            want = [
+                (i, b["x1"], b["y1"], b["x2"], b["y2"], p["width"], p["height"])
+                for i, b in enumerate(p["boxes"])
+            ]
+            if want:
+                assert sorted(got.get(key, [])) == sorted(want), key
+                checked += 1
+            else:
+                assert key not in got
+    assert checked > 10
