@@ -1,0 +1,166 @@
+"""Per-partition checkpoint/lineage + resumable runner (north_rule).
+
+Replaces the reference's job status machine
+(QUEUED→RUNNING→DETECT_DONE→DONE/FAILED, ``apps/worker/app/tasks/ocr_tasks.py:87,123,238-246``)
+and its idempotent short-circuits (``ocr_tasks.py:73-80``) with the batch-native
+equivalent (SURVEY.md §2.9, J3):
+
+* every document is assigned a stable logical partition
+  ``partition_id = pmod(xxhash64(doc_id), num_buckets)``;
+* work proceeds in chunks of buckets; each chunk's output is written with
+  *dynamic partition overwrite* (idempotent: a re-run of a half-written chunk
+  replaces exactly its own partitions), then a lineage row per bucket —
+  ``(run_id, partition_id, doc_count, span_checksum, wall_time_s,
+  completed_at)`` — is appended (FIXTURES.md §4);
+* resume = **left anti join** of the input against completed lineage buckets:
+  a killed run re-does only buckets whose lineage row never committed.
+
+The checksum is order-insensitive across documents within a bucket (task
+order must not matter) but order-exact within each document's span sequence:
+sha256 over the sorted list of per-document sha256s of the canonicalized span
+sequence (``F.sha2`` ≙ the upload checksum, ``routes_jobs.py:66``).
+
+Scale posture: buckets are a *logical* unit (10^12 docs → e.g. 4096 buckets,
+chunks of 256); chunk granularity trades resume granularity against scheduling
+overhead — each chunk is one Spark job over a filtered scan, and bucket
+filtering prunes on the hash without reading payloads.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extract import extract_documents
+
+DEFAULT_BUCKETS = 64
+
+_CANON_FIELD_SEP = ""
+_CANON_SPAN_SEP = ""
+
+
+def with_partition_id(documents: DataFrame, num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Stable doc→bucket assignment (pure function of doc_id)."""
+    return documents.withColumn(
+        "partition_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int"),
+    )
+
+
+def span_checksum_per_doc(out: DataFrame) -> DataFrame:
+    """sha256 of the canonicalized span sequence of each document."""
+    canon = F.concat_ws(
+        _CANON_SPAN_SEP,
+        F.transform(
+            "spans",
+            lambda s: F.concat_ws(
+                _CANON_FIELD_SEP,
+                s["kind"],
+                F.coalesce(s["text"], F.lit("\x00")),
+                F.coalesce(s["media_ref"], F.lit("\x00")),
+                s["offset"].cast("string"),
+            ),
+        ),
+    )
+    return out.withColumn("doc_hash", F.sha2(canon, 256))
+
+
+def bucket_lineage(out_with_pid: DataFrame, run_id: str, wall_time_s: float) -> DataFrame:
+    """One lineage row per bucket from a chunk's output."""
+    hashed = span_checksum_per_doc(out_with_pid)
+    return (
+        hashed.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sha2(
+                F.concat_ws(
+                    _CANON_SPAN_SEP,
+                    F.sort_array(
+                        F.collect_list(F.concat_ws(":", "doc_id", "doc_hash"))
+                    ),
+                ),
+                256,
+            ).alias("span_checksum"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            "doc_count",
+            "span_checksum",
+            F.lit(float(wall_time_s)).alias("wall_time_s"),
+            F.current_timestamp().alias("completed_at"),
+        )
+    )
+
+
+def completed_buckets(spark: SparkSession, lineage_dir: str, run_id: str) -> set[int]:
+    if not os.path.isdir(lineage_dir) or not any(
+        f.endswith(".parquet") for _, _, fs in os.walk(lineage_dir) for f in fs
+    ):
+        return set()
+    rows = (
+        spark.read.parquet(lineage_dir)
+        .filter(F.col("run_id") == run_id)
+        .select("partition_id")
+        .distinct()
+        .collect()
+    )
+    return {r["partition_id"] for r in rows}
+
+
+def run_extract_job(
+    spark: SparkSession,
+    documents: DataFrame,
+    media: DataFrame,
+    out_dir: str,
+    run_id: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+    chunk_buckets: int = 16,
+    max_chunks: int | None = None,
+    num_partitions: int | None = None,
+) -> int:
+    """Resumable extraction run. Returns the number of chunks executed.
+
+    ``max_chunks`` is the kill-injection hook for the resume test: stop after
+    N chunks as if the driver died; a later call with the same ``out_dir`` +
+    ``run_id`` resumes from lineage.
+    """
+    data_dir = os.path.join(out_dir, "data")
+    lineage_dir = os.path.join(out_dir, "lineage")
+    docs_pid = with_partition_id(documents, num_buckets)
+
+    done = completed_buckets(spark, lineage_dir, run_id)
+    remaining = [b for b in range(num_buckets) if b not in done]
+    chunks = [
+        remaining[i : i + chunk_buckets]
+        for i in range(0, len(remaining), chunk_buckets)
+    ]
+    executed = 0
+    for chunk in chunks:
+        if max_chunks is not None and executed >= max_chunks:
+            break
+        t0 = time.perf_counter()
+        subset = docs_pid.filter(F.col("partition_id").isin(chunk)).drop("partition_id")
+        out = extract_documents(subset, media, num_partitions=num_partitions)
+        out_pid = with_partition_id(out, num_buckets)
+        # idempotent data commit: dynamic overwrite replaces exactly the
+        # chunk's own partitions, so a crashed half-written chunk heals on
+        # re-run (reference analog: rerun/requeue, routes_jobs.py:119-175)
+        (
+            out_pid.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_id")
+            .parquet(data_dir)
+        )
+        wall = time.perf_counter() - t0
+        # lineage commit AFTER the data commit — the commit point of the chunk
+        bucket_lineage(out_pid, run_id, wall).write.mode("append").parquet(lineage_dir)
+        executed += 1
+    return executed
+
+
+def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data")).drop("partition_id")
