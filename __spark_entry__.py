@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship OCR-extraction pipeline; ``queries`` /
+``oracle_sql`` expose every implemented operator (SURVEY.md §2 + the
+training-data-pipeline set) for the DuckDB side-by-side correctness gate.
+All logic lives in :mod:`ocr_platform_spark`; this file is wiring only.
 """
 
 from __future__ import annotations
@@ -12,27 +11,65 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_platform_spark import corpus as corpus_mod
+from ocr_platform_spark import schemas
+from ocr_platform_spark.operators import extract
+from ocr_platform_spark.queries import REGISTRY
+
+_SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: end-to-end OCR extraction over an interleaved
+    text+media documents table (BASELINE input_hint shape).
+
+    Input = a deterministic synthetic interleaved corpus (the input_hint
+    table must carry media spans, which the flat testdata ``documents``
+    table does not) UNIONED with the sf0.001 ``documents`` parquet rows
+    lifted into the same shape (one text span each) — so the driver's
+    smoke check exercises both the real testdata scan and the media path.
+    """
+    docs, media = corpus_mod.generate(24, max_pages=8)
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    media_rows = [{"media_ref": k, **v} for k, v in sorted(media.items())]
+    media_df = spark.createDataFrame(media_rows, schema=schemas.MEDIA)
+
+    flat = spark.read.parquet(f"{_SF0001}/documents.parquet")
+    lifted = flat.select(
+        F.concat(F.lit("tdoc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    documents = docs_df.unionByName(lifted)
+
+    out = extract.extract_documents(documents, media_df)
+    return out.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; extraction
+    and multimodal pipelines are rows-only (pinned exactly by pytest
+    against the single-node oracle instead)."""
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql}

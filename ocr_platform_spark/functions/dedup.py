@@ -1,0 +1,469 @@
+"""Deduplication over the ``documents`` / ``embeddings`` tables.
+
+Five dedup families a web-scale training-data pipeline needs, each as a
+Spark DataFrame builder + DuckDB oracle:
+
+* exact (hash-groupBy),
+* n-gram Jaccard (shingle inverted index → candidate pairs → exact verify),
+* MinHash signatures + LSH banding,
+* SimHash (60-bit) + banded Hamming pairs,
+* embedding-cosine near-dup.
+
+Scale design (10^12 docs): the pairwise steps never materialize the full
+cross product — candidates come from equi-joins on shingle/band/chunk keys
+(shuffle-hash joins on high-cardinality keys, AQE handles residual skew).
+Hot shingles (stop-shingles shared by millions of docs) are the classic
+blow-up; ``ngram_jaccard_pairs`` drops shingles above a document-frequency
+cap — the standard "stop-shingle" filter — keeping candidate lists bounded.
+Signature computation itself is a narrow map (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import fxp, hash60, shingles, sql_fxp, sql_hash60, sql_shingles, sql_tokens, tokens
+
+MINHASH_K = 16          # permutations
+LSH_BANDS = 4           # bands of MINHASH_K // LSH_BANDS rows
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 60       # fits signed int64
+SIMHASH_CHUNKS = 4      # 15-bit chunks: pigeonhole recall for hamming <= 3
+HAMMING_THRESHOLD = 6
+# sf testdata vectors are near-orthogonal (max pairwise cos ≈ 0.51);
+# 0.35 keeps the check non-trivial (~top 0.1% of pairs) while the operator
+# semantics are threshold-independent
+COSINE_DUP_THRESHOLD = 0.35
+SHINGLE_DF_CAP = 100    # stop-shingle document-frequency cap (sf0.01 scale)
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+    )
+
+
+_TOK_CTE = f"SELECT doc_id, {sql_tokens('text')} AS t FROM documents"
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical doc per normalized-text hash: min doc_id survives."""
+    docs = _docs_tokens(spark, sf_dir)
+    return (
+        docs.select(F.md5(F.array_join("t", " ")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH tok AS ({_TOK_CTE})
+SELECT min(doc_id) AS doc_id, md5(array_to_string(t, ' ')) AS fp
+FROM tok GROUP BY 2
+"""
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct rows, stop-shingles dropped."""
+    docs = _docs_tokens(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("t"), 3))).alias("s")
+    )
+    # stop-shingle filter: drop shingles present in > SHINGLE_DF_CAP docs.
+    # At 10^12 docs this is the step that keeps the inverted index joinable;
+    # window-count per shingle key (one shuffle on s).
+    df_per_shingle = sh.groupBy("s").agg(F.count("*").alias("df"))
+    return sh.join(
+        F.broadcast(df_per_shingle.filter(F.col("df") > SHINGLE_DF_CAP)),
+        "s",
+        "left_anti",
+    )
+
+
+# assumes a CTE named ``tok`` (doc_id, t) is already in scope
+_SHINGLE_CTE_BODY = f"""
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct({sql_shingles('t', 3)})) AS s FROM tok
+),
+hot AS (
+  SELECT s FROM sh0 GROUP BY s HAVING count(*) > {SHINGLE_DF_CAP}
+),
+sh AS (
+  SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
+)
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= threshold."""
+    sh = _shingle_rows(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    j = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(j >= F.lit(JACCARD_THRESHOLD))
+        .select("a_id", "b_id", fxp(j).alias("jaccard_fxp4"))
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH tok AS ({_TOK_CTE}),
+{_SHINGLE_CTE_BODY},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+  {sql_fxp('CAST(inter AS DOUBLE) / (na.n + nb.n - inter)')} AS jaccard_fxp4
+FROM inter
+JOIN sizes na ON na.doc_id = a_id
+JOIN sizes nb ON nb.doc_id = b_id
+WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def _sig_col() -> F.Column:
+    """16-min-hash signature over distinct 3-gram shingles (fallback: whole
+    normalized text when the doc has < 3 tokens)."""
+    sh = F.array_distinct(shingles(F.col("t"), 3))
+    basis = F.when(F.size(sh) > 0, sh).otherwise(
+        F.array(F.array_join("t", " "))
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                basis,
+                lambda s: hash60(
+                    F.concat(k.cast("string"), F.lit(":"), s)
+                ),
+            )
+        ),
+    )
+
+
+_SQL_SIG = f"""
+list_transform(range(0, {MINHASH_K}), k ->
+  list_aggregate(
+    list_transform(
+      CASE WHEN len(list_distinct({sql_shingles('t', 3)})) > 0
+           THEN list_distinct({sql_shingles('t', 3)})
+           ELSE [array_to_string(t, ' ')] END,
+      s -> {sql_hash60("CAST(k AS VARCHAR) || ':' || s")}),
+    'min'))
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature, emitted as a canonical string."""
+    docs = _docs_tokens(spark, sf_dir)
+    sig = _sig_col()
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(sig, lambda v: v.cast("string")), "-").alias(
+            "sig"
+        ),
+    )
+
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH tok AS ({_TOK_CTE})
+SELECT doc_id,
+  array_to_string(list_transform({_SQL_SIG}, v -> CAST(v AS VARCHAR)), '-')
+    AS sig
+FROM tok
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (band-hash equi-join) verified by exact Jaccard.
+
+    Banding: {LSH_BANDS} bands x {MINHASH_K // LSH_BANDS} rows; candidates
+    share at least one full band. Verification recomputes exact Jaccard on
+    the distinct-shingle sets (same CTE as :func:`ngram_jaccard_pairs`), so
+    LSH only controls recall — precision is exact.
+    """
+    docs = _docs_tokens(spark, sf_dir).select("doc_id", _sig_col().alias("sig"))
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ":",
+                    )
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), "s"), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "s"), ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .filter(j >= F.lit(JACCARD_THRESHOLD))
+        .select("a_id", "b_id", fxp(j).alias("jaccard_fxp4"))
+    )
+
+
+_RPB = MINHASH_K // LSH_BANDS
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH tok AS ({_TOK_CTE}),
+sig AS (SELECT doc_id, {_SQL_SIG} AS sig FROM tok),
+bands AS (
+  SELECT doc_id, b AS band,
+    md5(array_to_string(
+      list_transform(range(0, {_RPB}),
+                     i -> CAST(sig[b * {_RPB} + i + 1] AS VARCHAR)), ':')) AS bh
+  FROM sig, unnest(range(0, {LSH_BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+{_SHINGLE_CTE_BODY.strip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.a_id
+  JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+  {sql_fxp('CAST(inter AS DOUBLE) / (na.n + nb.n - inter)')} AS jaccard_fxp4
+FROM inter
+JOIN sizes na ON na.doc_id = a_id
+JOIN sizes nb ON nb.doc_id = b_id
+WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+# 60-bit simhash: per token, a 60-bit md5-derived value; bit b of the
+# signature is set iff sum over tokens of (+1 if bit set else -1) >= 0.
+# Built as generated SQL expressions evaluated identically by Spark SQL and
+# DuckDB (shiftright/shiftleft with expression operands).
+
+
+def _spark_simhash_expr() -> str:
+    return f"""
+aggregate(
+  transform(sequence(0, {SIMHASH_BITS - 1}), b ->
+    CASE WHEN aggregate(tv, 0L,
+        (acc, v) -> acc + (CASE WHEN (shiftright(v, b) & 1) = 1
+                           THEN 1 ELSE -1 END)) >= 0
+    THEN shiftleft(1L, b) ELSE 0L END),
+  0L, (acc, x) -> acc + x)
+"""
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document over token multiset."""
+    docs = _docs_tokens(spark, sf_dir).select(
+        "doc_id", F.transform("t", hash60).alias("tv")
+    )
+    return docs.selectExpr("doc_id", f"({_spark_simhash_expr()}) AS simhash")
+
+
+SIMHASH_SQL = f"""
+WITH tok AS ({_TOK_CTE}),
+tv AS (
+  SELECT doc_id, list_transform(t, x -> {sql_hash60('x')}) AS tv FROM tok
+)
+SELECT doc_id,
+  CAST(list_sum(
+    list_transform(range(0, {SIMHASH_BITS}), b ->
+      CASE WHEN CAST(list_sum(
+          list_transform(tv, v ->
+            CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) >= 0
+      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+  AS simhash
+FROM tv
+"""
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= {HAMMING_THRESHOLD}, found via
+    15-bit chunk banding (pigeonhole: any pair within Hamming 3 shares a
+    chunk; wider radii trade recall) — never a cross join."""
+    sims = simhash(spark, sf_dir)
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
+                f"c -> (shiftright(simhash, c * 15) & 32767))"
+            )
+        ).alias("chunk", "cv"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(
+        F.col("a_sim").bitwiseXOR(F.col("b_sim"))
+    )
+    return (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("a_sim"),
+            F.col("b.simhash").alias("b_sim"),
+        )
+        .distinct()
+        .filter(ham <= F.lit(HAMMING_THRESHOLD))
+        .select("a_id", "b_id", ham.cast("long").alias("hamming"))
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH tok AS ({_TOK_CTE}),
+tv AS (
+  SELECT doc_id, list_transform(t, x -> {sql_hash60('x')}) AS tv FROM tok
+),
+sims AS (
+  SELECT doc_id,
+    CAST(list_sum(
+      list_transform(range(0, {SIMHASH_BITS}), b ->
+        CASE WHEN CAST(list_sum(
+            list_transform(tv, v ->
+              CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) >= 0
+        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+    AS simhash
+  FROM tv
+),
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 15)) & 32767 AS cv
+  FROM sims, unnest(range(0, {SIMHASH_CHUNKS})) AS u(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.simhash AS a_sim, b.simhash AS b_sim
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(a_sim, b_sim)) <= {HAMMING_THRESHOLD}
+"""
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector pairs with cosine >= {COSINE_DUP_THRESHOLD}.
+
+    sf-test path is the verify step only; the scale path buckets candidates
+    with :func:`ocr_platform_spark.functions.similarity.lsh_buckets` first
+    (random-hyperplane LSH) so the join is band-keyed, not a cross join.
+    Sequential folds keep the doubles bit-identical to the oracle.
+    """
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("e", "e", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
+        .filter(F.col("nrm") > 0)
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(COSINE_DUP_THRESHOLD))
+        .select("a_id", "b_id", fxp(F.col("cos"), 6).alias("cos_fxp6"))
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+    sqrt(list_reduce(list_transform(e, x -> x * x), (a, x) -> a + x)) AS nrm
+  FROM e
+),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    list_reduce(
+      list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]),
+      (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+  FROM n a, n b
+  WHERE a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0
+)
+SELECT a_id, b_id, {sql_fxp('cos', 6)} AS cos_fxp6
+FROM p WHERE cos >= {COSINE_DUP_THRESHOLD}
+"""

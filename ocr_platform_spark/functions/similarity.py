@@ -1,0 +1,279 @@
+"""Approximate nearest-neighbor search over the ``embeddings`` table
+(``vec_id:bigint, embedding:array<float>, label:int``).
+
+Three tiers:
+
+* :func:`ann_bruteforce_topk` — exact cosine top-k (the baseline / verify
+  path). Scale shape: broadcast the (small) query set against the full
+  vector table → one narrow map + a top-k-per-query aggregation; never a
+  shuffle of the big side.
+* :func:`ann_ivf_topk` — IVF with deterministic centroids (the first C
+  vectors), nprobe cells probed per query. The coarse quantizer is itself
+  expressed relationally, so the whole operator is native Spark SQL and has
+  an exact DuckDB oracle.
+* :func:`lsh_buckets` — random-hyperplane signature (md5-derived
+  pseudo-random projections) for bucketed candidate generation; the scale
+  path for :func:`ocr_platform_spark.functions.dedup.embedding_near_dup`.
+
+Bit-exactness: all dot products are sequential left-to-right folds over
+float32→float64-cast values (Spark ``aggregate`` == foldLeft, DuckDB
+``list_reduce``), so cosine values — and therefore ranks, with ``vec_id``
+tie-breaks — are identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import fxp, sql_fxp, sql_hash60
+
+N_QUERIES = 10      # query set: vec_id < N_QUERIES
+TOP_K = 10
+IVF_CENTROIDS = 16  # deterministic coarse quantizer: vec_id < IVF_CENTROIDS
+IVF_NPROBE = 4
+LSH_PLANES = 12
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("e", "e", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
+        .filter(F.col("nrm") > 0)
+    )
+
+
+def _cos(ea: str, na: str, eb: str, nb: str) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return dot / (F.col(na) * F.col(nb))
+
+
+_SQL_VEC_CTE = """
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                     (a, x) -> a + x)) AS nrm
+  FROM embeddings
+  WHERE sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                         (a, x) -> a + x)) > 0
+)
+"""
+
+_SQL_COS = (
+    "list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]),"
+    " (x, y) -> x + y) / (q.nrm * c.nrm)"
+)
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for each query vector (vec_id < N_QUERIES)."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = v.select(
+        F.col("vec_id").alias("n_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    cos = _cos("qe", "qn", "ce", "cn")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "n_id", fxp(F.col("cos"), 6).alias("cos_fxp6"), "rank")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH {_SQL_VEC_CTE},
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {_SQL_COS} AS cos
+  FROM v q, v c
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, {sql_fxp('cos', 6)} AS cos_fxp6, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign vectors to nearest of {IVF_CENTROIDS} deterministic
+    centroids; each query probes its {IVF_NPROBE} closest cells and ranks
+    candidates by exact cosine within them."""
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    # cell assignment: nearest centroid per vector (broadcast centroids —
+    # the big side never shuffles for assignment)
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("c_id")
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", _cos("e", "nrm", "ce", "cn"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "e", "nrm", F.col("c_id").alias("cell"))
+    )
+    # query probes: top-nprobe cells
+    q = v.filter(F.col("vec_id") < N_QUERIES)
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", _cos("e", "nrm", "ce", "cn"))
+        .withColumn("prank", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
+        ))
+        .filter(F.col("prank") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.col("c_id").alias("cell"),
+        )
+    )
+    cand = probes.join(assigned, "cell").filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    cos = _cos("qe", "qn", "e", "nrm")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            fxp(F.col("cos"), 6).alias("cos_fxp6"),
+            "rank",
+        )
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH {_SQL_VEC_CTE},
+cent AS (SELECT vec_id AS c_id, e, nrm FROM v WHERE vec_id < {IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, e, nrm, cell FROM (
+    SELECT q.vec_id, q.e, q.nrm, c.c_id AS cell,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        (list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]),
+                     (x, y) -> x + y) / (q.nrm * c.nrm)) DESC, c.c_id ASC) AS r
+    FROM v q, cent c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT q_id, qe, qn, cell FROM (
+    SELECT q.vec_id AS q_id, q.e AS qe, q.nrm AS qn, c.c_id AS cell,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        (list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]),
+                     (x, y) -> x + y) / (q.nrm * c.nrm)) DESC, c.c_id ASC) AS r
+    FROM v q, cent c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE r <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id AS n_id,
+    list_reduce(list_transform(range(1, len(p.qe) + 1), i -> p.qe[i] * a.e[i]),
+                (x, y) -> x + y) / (p.qn * a.nrm) AS cos
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE p.q_id <> a.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, n_id, {sql_fxp('cos', 6)} AS cos_fxp6, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector.
+
+    Plane p's component for dimension d is a deterministic pseudo-random
+    value in [-0.5, 0.5): ``hash60(p || ',' || d) / 2^60 - 0.5``. The
+    bucket id packs the {LSH_PLANES} sign bits. Pure narrow map — the
+    candidate-generation primitive for near-dup at 10^12 scale.
+    """
+    v = _vectors(spark, sf_dir)
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_PLANES - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                "e",
+                F.transform(
+                    F.sequence(F.lit(1), F.size("e")),
+                    lambda d: F.conv(
+                        F.substring(
+                            F.md5(F.concat(p.cast("string"), F.lit(","), d.cast("string"))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long").cast("double")
+                    / F.lit(float(2**60))
+                    - F.lit(0.5),
+                ),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            planes,
+            F.sequence(F.lit(0), F.lit(LSH_PLANES - 1)),
+            # F.shiftleft needs a literal shift; 2^i via pow is exact here
+            lambda s, i: F.when(
+                s >= 0, F.pow(F.lit(2.0), i).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return v.select("vec_id", bucket.alias("bucket"))
+
+
+LSH_BUCKETS_SQL = f"""
+WITH {_SQL_VEC_CTE},
+s AS (
+  SELECT vec_id,
+    list_transform(range(0, {LSH_PLANES}), p ->
+      list_reduce(
+        list_transform(range(1, len(e) + 1), d ->
+          e[d] * ({sql_hash60("CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)")}
+                  / CAST({2 ** 60} AS DOUBLE) - 0.5)),
+        (x, y) -> x + y)) AS dots
+  FROM v
+)
+SELECT vec_id,
+  CAST(list_sum(
+    list_transform(range(0, {LSH_PLANES}), i ->
+      CASE WHEN dots[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i)
+           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+FROM s
+"""

@@ -1,0 +1,204 @@
+"""Multimodal (binary-column) plumbing: opaque payload bytes + typed
+metadata, processed by Arrow-batched ``mapInPandas`` UDFs.
+
+The pattern a 100 TB training-data pipeline needs for image/audio/video
+columns: the payload is an opaque ``binary`` column riding next to typed
+metadata; decode / feature-extract / resize / frame-sample are vectorized
+pandas UDFs whose *plumbing* (schema, batch shape, partitioning) is real
+and tested here, while the codec itself is swappable:
+
+* for the engine's own SPDF1/SIMG1 containers the decode is real
+  (:mod:`ocr_platform_spark.formats`);
+* for real-world codecs (JPEG/PNG/MP3/MP4) the decode step is stubbed
+  behind :func:`decode_real_media`, which raises ``NotImplementedError``
+  unless the optional libs (PIL et al.) are importable — the Spark-side
+  contract is unchanged either way.
+
+Scale notes: every operator is a narrow map over binary batches — no
+shuffle; Arrow transfers the bytes zero-copy into pandas. Batch size is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
+decoded payloads fits executor memory (SURVEY.md §7.3 item 5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import formats
+
+# optional real-codec imports, gated (not available in this environment)
+try:  # pragma: no cover
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover
+    _PILImage = None
+
+PAYLOAD_STATS_SCHEMA = "doc_id bigint, n_bytes bigint, digest string"
+MEDIA_META_SCHEMA = (
+    "media_ref string, kind string, n_pages int, width int, height int, "
+    "n_bands int"
+)
+FEATURE_SCHEMA = "media_ref string, page_index int, feature array<double>"
+FRAME_SAMPLE_SCHEMA = (
+    "media_ref string, frame_index int, width int, height int, n_bands int"
+)
+
+
+def decode_real_media(raw: bytes):  # pragma: no cover - stub by design
+    """Decode a real-world image payload (JPEG/PNG). STUB: the imaging
+    libraries are not installed in this environment; the Spark plumbing
+    around this function is real and tested with SPDF1/SIMG1 payloads."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "real-codec decode requires PIL; use SPDF1/SIMG1 containers "
+            "(ocr_platform_spark.formats) in this environment"
+        )
+    import io
+
+    return _PILImage.open(io.BytesIO(raw)).convert("RGB")
+
+
+# --- payload stats (binary column round-trip, oracle-checkable) --------------
+
+
+def payload_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """(doc_id, payload:binary) -> (doc_id, n_bytes, md5 digest).
+
+    The minimal binary-column operator: proves bytes survive the Arrow
+    boundary intact (the oracle recomputes both values from the source
+    text with ``strlen``/``md5``).
+    """
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "digest": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        _stats, schema=PAYLOAD_STATS_SCHEMA
+    )
+
+
+def documents_payload_stats(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: documents.text → utf-8 binary → stats."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return payload_stats(docs)
+
+
+DOCUMENTS_PAYLOAD_STATS_SQL = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS digest
+FROM documents
+"""
+
+
+# --- container metadata (typed metadata from opaque bytes) -------------------
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Parse container headers: kind, page count, page-1 dims, band count.
+
+    The ``pypdf`` page-count-probe analog (``routes_jobs.py:68-73``) as a
+    vectorized map over the binary column.
+    """
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ["media_ref", "kind", "n_pages", "width", "height", "n_bands"]}
+            for ref, raw in zip(pdf["media_ref"], pdf["data"]):
+                kind, pages = formats.decode_media(bytes(raw))
+                out["media_ref"].append(ref)
+                out["kind"].append(kind)
+                out["n_pages"].append(len(pages))
+                out["width"].append(pages[0].width if pages else 0)
+                out["height"].append(pages[0].height if pages else 0)
+                out["n_bands"].append(sum(len(p.bands) for p in pages))
+            res = pd.DataFrame(out)
+            for c in ("n_pages", "width", "height", "n_bands"):
+                res[c] = res[c].astype("int32")
+            yield res
+
+    return media.select("media_ref", "data").mapInPandas(
+        _meta, schema=MEDIA_META_SCHEMA
+    )
+
+
+# --- feature extraction (deterministic stand-in for an image embedder) -------
+
+
+def page_features(media: DataFrame, dims: int = 8) -> DataFrame:
+    """Per-page feature vector from the rendered band layout.
+
+    Deterministic stand-in for a CNN feature extractor: an ``dims``-bin
+    histogram of band-box geometry (x, y, width fractions), L2-normalized
+    in float64 numpy. Real plumbing: binary in, ``array<double>`` out, one
+    row per page (UDTF-shaped explode inside the UDF).
+    """
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, feats = [], [], []
+            for ref, raw in zip(pdf["media_ref"], pdf["data"]):
+                _, pages = formats.decode_media(bytes(raw))
+                for i, page in enumerate(pages):
+                    h = np.zeros(dims, dtype=np.float64)
+                    for b in page.bands:
+                        h[int(dims * b.x / max(1, page.width)) % dims] += 1.0
+                        h[int(dims * b.y / max(1, page.height)) % dims] += 0.5
+                    n = np.linalg.norm(h)
+                    refs.append(ref)
+                    idxs.append(i)
+                    feats.append((h / n if n > 0 else h).tolist())
+            yield pd.DataFrame(
+                {"media_ref": refs,
+                 "page_index": pd.Series(idxs, dtype="int32"),
+                 "feature": feats}
+            )
+
+    return media.select("media_ref", "data").mapInPandas(
+        _feats, schema=FEATURE_SCHEMA
+    )
+
+
+# --- frame sampling (video-style every-k-th page) ----------------------------
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """Sample every ``every``-th page of multi-page payloads — the
+    video-frame-sampling pattern (a video is an opaque binary whose frames
+    we subsample before feature extraction)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ["media_ref", "frame_index", "width", "height", "n_bands"]}
+            for ref, raw in zip(pdf["media_ref"], pdf["data"]):
+                _, pages = formats.decode_media(bytes(raw))
+                for i in range(0, len(pages), every):
+                    out["media_ref"].append(ref)
+                    out["frame_index"].append(i)
+                    out["width"].append(pages[i].width)
+                    out["height"].append(pages[i].height)
+                    out["n_bands"].append(len(pages[i].bands))
+            res = pd.DataFrame(out)
+            for c in ("frame_index", "width", "height", "n_bands"):
+                res[c] = res[c].astype("int32")
+            yield res
+
+    return media.select("media_ref", "data").mapInPandas(
+        _sample, schema=FRAME_SAMPLE_SCHEMA
+    )

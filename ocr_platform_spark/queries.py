@@ -1,0 +1,400 @@
+"""Query registry: every operator exposed through the driver contract.
+
+``REGISTRY`` maps query name → ``(spark_builder, oracle_sql | None)``.
+Spark builders take ``(spark, sf_dir)`` and return a DataFrame; oracle SQL
+is ANSI SQL DuckDB runs on the same parquet tables (views pre-registered
+with the bare table names). Builders with ``None`` oracles are the
+non-SQL-expressible pipelines (OCR extraction itself) — the driver records
+a rows-only check and pytest pins them against the single-node oracle.
+
+Relational queries here cover the reference's operator surface
+(SURVEY.md §2): top-k (O5), group aggregates (A1–A4), broadcast joins
+(J1), anti-join resume (J3), reading-order window (O1), ordered span
+assembly (A5/O4), range join (J5), sha256 checksum (M13), JSON
+extraction (M14).
+
+Determinism rules for the value-hash compare: no raw doubles cross the
+boundary — money/value sums go through DECIMAL (exact, order-insensitive),
+ratios through the shared fxp fixed-point rounding; timestamps never
+appear in output columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import corpus as corpus_mod
+from . import multimodal, schemas
+from .functions import dedup, similarity, textstats
+from .functions.common import fxp
+from .operators import extract
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- O5: top-k (TakeOrderedAndProject) ---------------------------------------
+
+
+def topk_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest-50 orders (``jobs_service.py:73-83`` analog)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+
+
+TOPK_RECENT_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents
+FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50
+"""
+
+
+# --- A1–A4: grouped aggregation (TPC-H Q1 shape) -----------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem: exact decimal sums + fxp averages."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(qty) * 100).cast("long").alias("sum_qty_c"),
+        (F.sum(price) * 100).cast("long").alias("sum_price_c"),
+        (F.sum((price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("decimal(28,4)")) * 10000)
+        .cast("long")
+        .alias("sum_disc_price_c"),
+        F.count("*").alias("n_rows"),
+    )
+    avg_qty = F.col("sum_qty_c").cast("double") / 100.0 / F.col("n_rows")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_c",
+        "sum_price_c",
+        "sum_disc_price_c",
+        "n_rows",
+        fxp(avg_qty).alias("avg_qty_fxp4"),
+    )
+
+
+PRICING_SUMMARY_SQL = """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      AS sum_price_c,
+    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        AS DECIMAL(28,4))) * 10000 AS BIGINT) AS sum_disc_price_c,
+    count(*) AS n_rows
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty_c, sum_price_c, sum_disc_price_c,
+  n_rows,
+  CAST(floor((CAST(sum_qty_c AS DOUBLE) / 100.0 / n_rows) * 10000 + 0.5)
+       AS BIGINT) AS avg_qty_fxp4
+FROM a
+"""
+
+
+# --- J1: multi-way broadcast join + aggregate --------------------------------
+
+
+def orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation: dims broadcast, fact never shuffled
+    for the join (only for the final small-key aggregation)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+
+
+ORDERS_PER_NATION_SQL = """
+SELECT n_name, count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- J3: anti-join (resume semantics) ----------------------------------------
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — the resume pattern (skip completed work, P7/J3).
+
+    Filter on the right side keeps the result non-trivial: customers with
+    no order above 300k (every customer has *some* order in the testdata).
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+# --- O1: reading-order window ------------------------------------------------
+
+
+def reading_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per user ordered by (ts, event_id) — the y-then-x
+    reading-order sort shape (``json-editor.component.ts:157-161``)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("rn")
+    )
+
+
+READING_ORDER_EVENTS_SQL = """
+SELECT user_id, event_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+    AS rn
+FROM events WHERE user_id < 50
+"""
+
+
+# --- A5/O4: ordered span assembly (collect_list) -----------------------------
+
+
+def session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event sequence re-emitted as one canonical string —
+    the span-array assembly shape (``orchestrator.py:173-174``)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: F.concat(s["event_type"], F.lit("#"), s["event_id"].cast("string")),
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(ordered, ",").alias("span_seq"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SESSION_SPANS_SQL = """
+SELECT user_id,
+  array_to_string(
+    array_agg(event_type || '#' || CAST(event_id AS VARCHAR)
+              ORDER BY ts, event_id), ',') AS span_seq,
+  count(*) AS n_events
+FROM events WHERE user_id < 50
+GROUP BY user_id
+"""
+
+
+# --- J5: range join ----------------------------------------------------------
+
+_BINS = [(0, 25), (25, 50), (50, 75), (75, 101)]
+
+
+def value_range_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ literal bin table on lo <= value < hi (the only range-join
+    shape in the reference, J5); broadcast the tiny bin side."""
+    ev = _t(spark, sf_dir, "events")
+    bins = spark.createDataFrame(
+        [(i, float(lo), float(hi)) for i, (lo, hi) in enumerate(_BINS)],
+        "bin_id int, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(bins),
+        (ev.value >= bins.lo) & (ev.value < bins.hi),
+    )
+    return joined.groupBy("bin_id").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.col("value").cast("decimal(28,6)")) * 1000000)
+        .cast("long")
+        .alias("sum_value_micros"),
+    )
+
+
+_BINS_SQL = ", ".join(f"({i}, {float(lo)}, {float(hi)})" for i, (lo, hi) in enumerate(_BINS))
+VALUE_RANGE_BINS_SQL = f"""
+WITH bins(bin_id, lo, hi) AS (VALUES {_BINS_SQL})
+SELECT bin_id, count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+    AS sum_value_micros
+FROM events JOIN bins ON value >= lo AND value < hi
+GROUP BY bin_id
+"""
+
+
+# --- M14: JSON extraction ----------------------------------------------------
+
+
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregate (``from_json`` analog, M14)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+EVENT_PROPS_JSON_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --- extraction pipeline (rows-only: pytest pins these against the oracle) ---
+
+_CORPUS_DOCS = 32
+_CORPUS_MAX_PAGES = 12
+
+
+def _corpus_dfs(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Deterministic interleaved corpus in the BASELINE input_hint shape."""
+    docs, media = corpus_mod.generate(_CORPUS_DOCS, max_pages=_CORPUS_MAX_PAGES)
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    media_rows = [{"media_ref": k, **v} for k, v in sorted(media.items())]
+    media_df = spark.createDataFrame(media_rows, schema=schemas.MEDIA)
+    return docs_df, media_df
+
+
+def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship OCR extraction end-to-end (non-SQL; oracle = pytest
+    single-node pipeline equality)."""
+    docs_df, media_df = _corpus_dfs(spark)
+    out = extract.extract_documents(docs_df, media_df)
+    # flatten for the driver's stable-schema check (arrays of structs stay
+    # engine-internal)
+    return out.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def extract_detect_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted detect/recognize boundary (detect_result analog)."""
+    docs_df, media_df = _corpus_dfs(spark)
+    pages = extract.decode_pages(docs_df, media_df)
+    return extract.detect_boxes_table(pages)
+
+
+def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_df = _corpus_dfs(spark)
+    return multimodal.media_metadata(media_df)
+
+
+def page_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_df = _corpus_dfs(spark)
+    return multimodal.page_features(media_df)
+
+
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media_df = _corpus_dfs(spark)
+    return multimodal.frame_sample(media_df)
+
+
+# --- registry ----------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # relational operator surface (SURVEY.md §2)
+    "topk_recent_orders": (topk_recent_orders, TOPK_RECENT_ORDERS_SQL),
+    "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "orders_per_nation": (orders_per_nation, ORDERS_PER_NATION_SQL),
+    "customers_without_orders": (
+        customers_without_orders,
+        CUSTOMERS_WITHOUT_ORDERS_SQL,
+    ),
+    "reading_order_events": (reading_order_events, READING_ORDER_EVENTS_SQL),
+    "session_spans": (session_spans, SESSION_SPANS_SQL),
+    "value_range_bins": (value_range_bins, VALUE_RANGE_BINS_SQL),
+    "event_props_json": (event_props_json, EVENT_PROPS_JSON_SQL),
+    # text analysis
+    "token_stats": (textstats.token_stats, textstats.TOKEN_STATS_SQL),
+    "quality_scores": (textstats.quality_scores, textstats.QUALITY_SCORES_SQL),
+    "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
+    "doc_fingerprints": (
+        textstats.doc_fingerprints,
+        textstats.DOC_FINGERPRINTS_SQL,
+    ),
+    "doc_checksums": (textstats.doc_checksums, textstats.DOC_CHECKSUMS_SQL),
+    # dedup
+    "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
+    "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
+    "minhash_signatures": (
+        dedup.minhash_signatures,
+        dedup.MINHASH_SIGNATURES_SQL,
+    ),
+    "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL),
+    "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
+    "simhash_pairs": (dedup.simhash_pairs, dedup.SIMHASH_PAIRS_SQL),
+    "embedding_near_dup": (
+        dedup.embedding_near_dup,
+        dedup.EMBEDDING_NEAR_DUP_SQL,
+    ),
+    # similarity search
+    "ann_bruteforce_topk": (
+        similarity.ann_bruteforce_topk,
+        similarity.ANN_BRUTEFORCE_SQL,
+    ),
+    "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
+    "lsh_buckets": (similarity.lsh_buckets, similarity.LSH_BUCKETS_SQL),
+    # multimodal binary plumbing
+    "payload_stats": (
+        multimodal.documents_payload_stats,
+        multimodal.DOCUMENTS_PAYLOAD_STATS_SQL,
+    ),
+    # extraction pipeline (non-SQL-expressible: rows-only driver check,
+    # exact span-sequence equality pinned by tests/test_extract_spark.py)
+    "extract_spans": (extract_spans, None),
+    "extract_detect_boxes": (extract_detect_boxes, None),
+    "media_metadata": (media_metadata_q, None),
+    "page_features": (page_features_q, None),
+    "frame_sample": (frame_sample_q, None),
+}
