@@ -1,0 +1,99 @@
+"""Host scaling ceiling: the extraction kernels (render → detect →
+recognize) under plain multiprocessing, no Spark.
+
+This measures what the sandbox VM itself can deliver when the exact
+per-page work of the heavy UDF stage is run on N independent processes —
+the upper bound any Spark configuration can reach. On a
+memory-bandwidth-limited VM the ceiling itself drops below 1.0 well
+before 32 cores; BENCH/BASELINE.md reports Spark's N→4N efficiency next
+to this number.
+
+Usage: python BENCH/hardware_ceiling.py [--n 8] [--pages 150]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def work(args: tuple[int, int]) -> tuple[int, float]:
+    seed, n = args
+    from ocr_platform_spark import corpus, formats, kernels, raster
+
+    _docs, media = corpus.generate(60, seed=seed, max_pages=30)
+    pages = []
+    for _ref, m in media.items():
+        kind, ps = formats.decode_media(m["data"])
+        scale = raster.PDF_UNIT_SCALE if kind == "pdf" else 1.0
+        pages.extend((p, scale) for p in ps)
+    pages = pages[:n]
+    t0 = time.time()
+    for p, scale in pages:
+        img = raster.render_page(p, scale)
+        boxes = kernels.detect_text_boxes(img)
+        if boxes:
+            prep = raster.PrepView(img)
+            w_prep, h_prep = prep.size
+            h0, w0 = img.shape[:2]
+            sx, sy = w_prep / w0, h_prep / h0
+            bc = [
+                (int(x1 * sx), int(y1 * sy), int(x2 * sx), int(y2 * sy))
+                for x1, y1, x2, y2 in boxes
+            ]
+            crops = [prep.crop(b) for b in bc]
+            kernels.predict_batch(
+                crops, original_heights=[y2 - y1 for _, y1, _, y2 in boxes]
+            )
+    return len(pages), time.time() - t0
+
+
+def level(nproc: int, pages_per_proc: int) -> float:
+    with mp.get_context("fork").Pool(nproc) as pool:
+        res = pool.map(
+            work, [(100 + i, pages_per_proc) for i in range(nproc)]
+        )
+    total = sum(r[0] for r in res)
+    mean_task = sum(r[1] for r in res) / nproc
+    return total / mean_task  # aggregate pages/sec while all procs busy
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--pages", type=int, default=500)
+    args = ap.parse_args()
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
+    small, big = args.n, 4 * args.n
+    # warm both pools once (import + corpus gen), then measure
+    level(small, 20)
+    thr_small = level(small, args.pages)
+    level(big, 20)
+    thr_big = level(big, args.pages)
+    print(
+        json.dumps(
+            {
+                "n_small": small,
+                "n_big": big,
+                "pages_per_sec_small": round(thr_small, 1),
+                "pages_per_sec_big": round(thr_big, 1),
+                "hardware_ceiling_efficiency": round(
+                    thr_big / (4 * thr_small), 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline = the flagship OCR-extraction job (docs/sec + pages/sec, the
+BASELINE.json metric) over a deterministic heavy-tail corpus sized by sf,
+plus representative operators from each family. Queries execute via the
+``noop`` sink so the full plan runs without a driver collect.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default: all cores)
+  BENCH_CORPUS_DOCS    override extraction corpus size
+  BENCH_SKIP_WARMUP    set to skip the JVM warm-up pass
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_platform_spark import corpus as corpus_mod
+from ocr_platform_spark.operators import extract
+from ocr_platform_spark.queries import REGISTRY
+from ocr_platform_spark.session import get_spark
+
+# representative, scale-stable subset of REGISTRY for the per-round bench
+# (pairwise-explosion queries like embedding_near_dup are correctness-only)
+BENCH_QUERIES = [
+    "pricing_summary",
+    "orders_per_nation",
+    "topk_recent_orders",
+    "reading_order_events",
+    "session_spans",
+    "value_range_bins",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "doc_fingerprints",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "lsh_buckets",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "payload_stats",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _corpus_dir(n_docs: int, max_pages: int, n_files: int = 32) -> str:
+    """Deterministic cached corpus parquet (generate once, reuse).
+
+    Multi-file tables so the scan parallelizes (a single parquet file
+    serializes the head of every job)."""
+    d = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_corpus",
+        f"d{n_docs}_p{max_pages}_f{n_files}",
+    )
+    if not (
+        os.path.exists(os.path.join(d, "documents.parquet"))
+        and os.path.exists(os.path.join(d, "media.parquet"))
+    ):
+        corpus_mod.write_parquet(d, n_docs, max_pages=max_pages, n_files=n_files)
+    return d
+
+
+def _run_noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+    n_docs = int(
+        os.environ.get("BENCH_CORPUS_DOCS", max(100, int(2000 * sf / 0.1)))
+    )
+    spark = get_spark("bench")
+    corpus_dir = _corpus_dir(n_docs, 200)
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    n_pages = (
+        media.groupBy().sum("page_count").collect()[0][0] or 0
+    )
+
+    if not os.environ.get("BENCH_SKIP_WARMUP"):
+        # JVM/codegen warm-up, excluded from timings
+        _run_noop(extract.extract_documents(docs.limit(8), media))
+
+    timings: dict[str, float] = {}
+    t_ex = _run_noop(extract.extract_documents(docs, media))
+    timings["extract_documents"] = round(t_ex, 3)
+
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        timings[name] = round(_run_noop(fn(spark, sf_dir)), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extract_docs": n_docs,
+                "extract_pages": int(n_pages),
+                "docs_per_sec": round(n_docs / t_ex, 2),
+                "pages_per_sec": round(n_pages / t_ex, 2),
+                "cpus": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

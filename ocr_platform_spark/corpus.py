@@ -210,23 +210,45 @@ def generate(
 
 
 def write_parquet(
-    out_dir: str, n_docs: int, seed: int = SEED, max_pages: int = 200
+    out_dir: str,
+    n_docs: int,
+    seed: int = SEED,
+    max_pages: int = 200,
+    n_files: int = 1,
 ) -> tuple[str, str]:
-    """Materialize documents.parquet + media.parquet under ``out_dir``."""
+    """Materialize documents.parquet + media.parquet under ``out_dir``.
+
+    With ``n_files > 1`` each table is a *directory* of part files (what a
+    real Iceberg/parquet table looks like) so Spark's scan parallelizes —
+    a single monolithic file serializes the head of every job that reads
+    it. Spark and pyarrow both read the directory transparently.
+    """
     import os
 
     docs, media = generate(n_docs, seed=seed, max_pages=max_pages)
     os.makedirs(out_dir, exist_ok=True)
     doc_path = os.path.join(out_dir, "documents.parquet")
     media_path = os.path.join(out_dir, "media.parquet")
-    pq.write_table(
-        pa.Table.from_pylist(docs, schema=DOCUMENTS_SCHEMA), doc_path
-    )
     media_rows = [
         {"media_ref": k, **{kk: vv for kk, vv in v.items()}}
         for k, v in sorted(media.items())
     ]
-    pq.write_table(
-        pa.Table.from_pylist(media_rows, schema=MEDIA_SCHEMA), media_path
-    )
+
+    def _write(rows: list[dict], schema: pa.Schema, path: str) -> None:
+        if n_files <= 1:
+            pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+            return
+        os.makedirs(path, exist_ok=True)
+        chunk = (len(rows) + n_files - 1) // n_files or 1
+        for i in range(0, max(1, n_files)):
+            part = rows[i * chunk : (i + 1) * chunk]
+            if not part and i > 0:
+                break
+            pq.write_table(
+                pa.Table.from_pylist(part, schema=schema),
+                os.path.join(path, f"part-{i:05d}.parquet"),
+            )
+
+    _write(docs, DOCUMENTS_SCHEMA, doc_path)
+    _write(media_rows, MEDIA_SCHEMA, media_path)
     return doc_path, media_path

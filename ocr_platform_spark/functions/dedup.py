@@ -149,26 +149,6 @@ WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
 # --- MinHash + LSH -----------------------------------------------------------
 
 
-def _sig_col() -> F.Column:
-    """16-min-hash signature over distinct 3-gram shingles (fallback: whole
-    normalized text when the doc has < 3 tokens)."""
-    sh = F.array_distinct(shingles(F.col("t"), 3))
-    basis = F.when(F.size(sh) > 0, sh).otherwise(
-        F.array(F.array_join("t", " "))
-    )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-        lambda k: F.array_min(
-            F.transform(
-                basis,
-                lambda s: hash60(
-                    F.concat(k.cast("string"), F.lit(":"), s)
-                ),
-            )
-        ),
-    )
-
-
 _SQL_SIG = f"""
 list_transform(range(0, {MINHASH_K}), k ->
   list_aggregate(
@@ -181,15 +161,39 @@ list_transform(range(0, {MINHASH_K}), k ->
 """
 
 
+def _signature_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<long>) via explode + {MINHASH_K} flat min-aggs.
+
+    One shuffle on doc_id with map-side partial mins; the basis explode
+    (distinct shingles, or the normalized text for <3-token docs) never
+    leaves a doc without rows, so no re-attach join is needed.
+    """
+    docs = _docs_tokens(spark, sf_dir)
+    sh = F.array_distinct(shingles(F.col("t"), 3))
+    basis = F.when(F.size(sh) > 0, sh).otherwise(
+        F.array(F.array_join("t", " "))
+    )
+    rows = docs.select("doc_id", F.explode(basis).alias("s"))
+    agg = rows.groupBy("doc_id").agg(
+        *[
+            F.min(
+                hash60(F.concat(F.lit(f"{k}:"), F.col("s")))
+            ).alias(f"m{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
+    return agg.select(
+        "doc_id", F.array(*[f"m{k}" for k in range(MINHASH_K)]).alias("sig")
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature, emitted as a canonical string."""
-    docs = _docs_tokens(spark, sf_dir)
-    sig = _sig_col()
-    return docs.select(
+    return _signature_cols(spark, sf_dir).select(
         "doc_id",
-        F.array_join(F.transform(sig, lambda v: v.cast("string")), "-").alias(
-            "sig"
-        ),
+        F.array_join(
+            F.transform("sig", lambda v: v.cast("string")), "-"
+        ).alias("sig"),
     )
 
 
@@ -210,7 +214,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct-shingle sets (same CTE as :func:`ngram_jaccard_pairs`), so
     LSH only controls recall — precision is exact.
     """
-    docs = _docs_tokens(spark, sf_dir).select("doc_id", _sig_col().alias("sig"))
+    docs = _signature_cols(spark, sf_dir)
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = docs.select(
         "doc_id",
@@ -294,28 +298,45 @@ WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
 # --- SimHash -----------------------------------------------------------------
 # 60-bit simhash: per token, a 60-bit md5-derived value; bit b of the
 # signature is set iff sum over tokens of (+1 if bit set else -1) >= 0.
-# Built as generated SQL expressions evaluated identically by Spark SQL and
-# DuckDB (shiftright/shiftleft with expression operands).
-
-
-def _spark_simhash_expr() -> str:
-    return f"""
-aggregate(
-  transform(sequence(0, {SIMHASH_BITS - 1}), b ->
-    CASE WHEN aggregate(tv, 0L,
-        (acc, v) -> acc + (CASE WHEN (shiftright(v, b) & 1) = 1
-                           THEN 1 ELSE -1 END)) >= 0
-    THEN shiftleft(1L, b) ELSE 0L END),
-  0L, (acc, x) -> acc + x)
-"""
+# Empty token list => simhash 0 (both engines; Spark's explode drops the
+# doc, re-attached with coalesce(0); DuckDB's list_sum of [] is NULL).
+#
+# Spark shape: explode tokens -> one shuffle-free partial-agg groupBy with
+# 60 flat codegen'd sum expressions (higher-order array lambdas are
+# interpreted per element — ~10x slower at scale).
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document over token multiset."""
-    docs = _docs_tokens(spark, sf_dir).select(
-        "doc_id", F.transform("t", hash60).alias("tv")
+    docs = _docs_tokens(spark, sf_dir)
+    tv = docs.select(
+        "doc_id", F.explode("t").alias("tok")
+    ).select("doc_id", hash60(F.col("tok")).alias("v"))
+    sums = tv.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"(shiftright(v, {b}) & 1) = 1"), F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    return docs.selectExpr("doc_id", f"({_spark_simhash_expr()}) AS simhash")
+    sim = sums.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ).cast("long").alias("simhash"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(sim, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+        )
+    )
 
 
 SIMHASH_SQL = f"""

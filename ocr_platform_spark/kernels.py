@@ -145,17 +145,23 @@ def _row_regions(any_mask: np.ndarray, bridge: int) -> list[tuple[int, int]]:
 def _detect_polygons(img: np.ndarray) -> np.ndarray:
     """Stand-in for ``craft.detect_text(np_img)["boxes"]`` (``detect.py:97-99``):
     returns ``(N, 4, 2)`` float32 corner polygons in detector emission order
-    (top-to-bottom region, then left-to-right)."""
-    ink = img < _BIN_THRESHOLD
-    row_any = ink.any(axis=1)
+    (top-to-bottom region, then left-to-right).
+
+    Memory-traffic note: ``min``-reductions replace the equivalent
+    ``(img < thr).any(...)`` formulation — one pass over the page, no
+    full-page bool mask allocation (the heavy UDF stage is DRAM-bandwidth
+    bound at high core counts; ~4x less traffic per page).
+    """
+    row_any = img.min(axis=1) < _BIN_THRESHOLD  # ink anywhere in row
     polys: list[list[list[float]]] = []
     for r0, r1 in _row_regions(row_any, VGAP_BRIDGE):
-        band = ink[r0:r1]
-        col_any = band.any(axis=0)
+        band = img[r0:r1]
+        col_min = band.min(axis=0)
+        col_any = col_min < _BIN_THRESHOLD
         for c0, c1 in _row_regions(col_any, HGAP_BRIDGE):
             sub = band[:, c0:c1]
-            rows = np.flatnonzero(sub.any(axis=1))
-            cols = np.flatnonzero(sub.any(axis=0))
+            rows = np.flatnonzero(sub.min(axis=1) < _BIN_THRESHOLD)
+            cols = np.flatnonzero(col_min[c0:c1] < _BIN_THRESHOLD)
             y1, y2 = r0 + int(rows[0]), r0 + int(rows[-1]) + 1
             x1, x2 = c0 + int(cols[0]), c0 + int(cols[-1]) + 1
             polys.append([[x1, y1], [x2, y1], [x2, y2], [x1, y2]])

@@ -179,14 +179,24 @@ def exploded_spans(documents: DataFrame) -> DataFrame:
 
 
 def decode_pages(documents: DataFrame, media: DataFrame) -> DataFrame:
-    """Media spans ⋈ payloads -> per-page descriptor rows (stage 1)."""
+    """Media spans ⋈ payloads -> per-page descriptor rows (stage 1).
+
+    The explicit repartition before the decode UDF matters: the joined
+    payload rows are only a few MB, so AQE's byte-based coalescing would
+    squash them into ~1 partition and serialize the container parsing —
+    like the OCR stage, decode cost is per-*row* CPU (zlib + JSON), not
+    bytes (see :func:`ocr_blocks`).
+    """
     media_spans = (
         exploded_spans(documents)
         .filter(F.col("kind") != "text")
         .select("doc_id", "offset", "media_ref")
         .join(media.select("media_ref", "data"), "media_ref")
     )
-    return media_spans.mapInPandas(_decode_batches, schema=PAGE_TASK)
+    n = 2 * documents.sparkSession.sparkContext.defaultParallelism
+    return media_spans.repartition(n, "doc_id", "offset").mapInPandas(
+        _decode_batches, schema=PAGE_TASK
+    )
 
 
 def ocr_blocks(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -215,9 +225,18 @@ def reading_ordered_blocks(blocks: DataFrame) -> DataFrame:
     return blocks.withColumn("rank", F.row_number().over(w))
 
 
-def assemble_spans(documents: DataFrame, ordered_blocks: DataFrame) -> DataFrame:
+def assemble_spans(documents: DataFrame, blocks: DataFrame) -> DataFrame:
     """Union text-span passthrough with OCR spans, assign the document-global
-    emission order, re-aggregate to the input schema (O4/A5 in SURVEY.md §2)."""
+    emission order, re-aggregate to the input schema (O4/A5 in SURVEY.md §2).
+
+    The per-page reading-order rank (y1, x1, emission index — O1) is fused
+    into the single document-global window: within one page the sort key
+    ``(offset, page_index, y1, x1, block_index)`` induces exactly the
+    per-page rank order, so ranking separately first would only add a
+    second full shuffle+sort of the block rows for the same total order
+    (:func:`reading_ordered_blocks` stays available as the standalone
+    operator / checkpoint boundary).
+    """
     text_spans = (
         exploded_spans(documents)
         .filter(F.col("kind") == "text")
@@ -225,16 +244,21 @@ def assemble_spans(documents: DataFrame, ordered_blocks: DataFrame) -> DataFrame
             "doc_id",
             "offset",
             F.lit(-1).cast("int").alias("page_index"),
-            F.lit(0).cast("int").alias("rank"),
+            F.lit(0).cast("int").alias("y1"),
+            F.lit(0).cast("int").alias("x1"),
+            F.lit(0).cast("int").alias("block_index"),
             unicode_strip("text").alias("text"),
             F.lit(None).cast("string").alias("media_ref"),
         )
     )
-    ocr_spans = ordered_blocks.select(
-        "doc_id", "offset", "page_index", "rank", "text", "media_ref"
+    ocr_spans = blocks.select(
+        "doc_id", "offset", "page_index", "y1", "x1", "block_index",
+        "text", "media_ref",
     )
     all_spans = text_spans.unionByName(ocr_spans)
-    w = Window.partitionBy("doc_id").orderBy("offset", "page_index", "rank")
+    w = Window.partitionBy("doc_id").orderBy(
+        "offset", "page_index", "y1", "x1", "block_index"
+    )
     ranked = all_spans.withColumn("ord", F.row_number().over(w) - F.lit(1))
     grouped = ranked.groupBy("doc_id").agg(
         F.transform(
@@ -264,8 +288,7 @@ def extract_documents(
     """End-to-end: documents + media -> documents_out with extracted spans."""
     pages = decode_pages(documents, media)
     blocks = ocr_blocks(pages, num_partitions=num_partitions)
-    ordered = reading_ordered_blocks(blocks)
-    return assemble_spans(documents, ordered)
+    return assemble_spans(documents, blocks)
 
 
 def detect_boxes_table(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:

@@ -158,9 +158,87 @@ def preprocess_image(img: np.ndarray, max_side: int = OCR_MAX_SIDE) -> np.ndarra
     return img
 
 
+class LazyCropView:
+    """A crop of the (virtually) preprocessed image, materialized **per
+    pixel row** on demand.
+
+    The recognizer only ever reads one row per strip
+    (``kernels.predict`` reads ``crop[h // 2]``), so materializing the
+    whole resized crop wastes ~30x the resample work; this view exposes
+    ``shape`` / ``size`` / row indexing / row slicing (what the strip
+    splitter and recognizer use) and evaluates the area filter only for
+    rows actually read. Row values are bit-identical to the eager crop:
+    each row is the matching one-row window of ``area_resize_window``,
+    whose window evaluation is bit-identical to full evaluation (module
+    invariant above); out-of-bounds padding is the same black PIL pad.
+    """
+
+    __slots__ = ("_img", "_w", "_h", "_x1", "_y1", "_x2", "_y2",
+                 "_pad_r", "_pad_b", "shape")
+
+    def __init__(self, img, w, h, x1, y1, x2, y2, pad_r, pad_b):
+        self._img = img          # source raster (pre-preprocess)
+        self._w, self._h = w, h  # virtual preprocessed dims
+        self._x1, self._y1 = x1, y1  # clamped crop rect in prep coords
+        self._x2, self._y2 = x2, y2
+        self._pad_r, self._pad_b = pad_r, pad_b
+        self.shape = (y2 - y1 + pad_b, x2 - x1 + pad_r)
+
+    @property
+    def size(self) -> int:
+        return self.shape[0] * self.shape[1]
+
+    def _row(self, i: int) -> np.ndarray:
+        rows_in = self._y2 - self._y1
+        if i < 0:
+            i += self.shape[0]
+        if i >= rows_in:  # bottom black padding
+            return np.zeros(self.shape[1], dtype=np.uint8)
+        out = area_resize_window(
+            self._img, self._w, self._h,
+            self._x1, self._y1 + i, self._x2, self._y1 + i + 1,
+        )[0]
+        if self._pad_r:
+            out = np.concatenate(
+                [out, np.zeros(self._pad_r, dtype=np.uint8)]
+            )
+        return out
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self.shape[0])
+            if step != 1:
+                raise IndexError("LazyCropView supports contiguous row slices")
+            rows_in = self._y2 - self._y1
+            ny1 = self._y1 + min(start, rows_in)
+            ny2 = self._y1 + min(stop, rows_in)
+            pad_b = max(0, stop - max(start, rows_in))
+            return LazyCropView(
+                self._img, self._w, self._h,
+                self._x1, ny1, self._x2, max(ny2, ny1), self._pad_r, pad_b,
+            )
+        return self._row(int(key))
+
+    def __array__(self, dtype=None, copy=None):
+        """Full materialization fallback (tests / debugging)."""
+        rows_in = self._y2 - self._y1
+        if rows_in > 0:
+            body = area_resize_window(
+                self._img, self._w, self._h,
+                self._x1, self._y1, self._x2, self._y2,
+            )
+        else:
+            body = np.zeros((0, self._x2 - self._x1), dtype=np.uint8)
+        out = np.pad(body, ((0, self._pad_b), (0, self._pad_r)),
+                     constant_values=0)
+        return out.astype(dtype) if dtype is not None else out
+
+
 class PrepView:
     """Lazy preprocessed page: same pixels as :func:`preprocess_image`, but the
-    resample is evaluated only under :meth:`crop` windows.
+    resample is evaluated only under :meth:`crop` windows — and, for the
+    resized path, only under the crop *rows* the recognizer actually reads
+    (:class:`LazyCropView`).
 
     The recognize stage (``orchestrator.py:141-156``) resizes the page then
     crops a handful of small boxes out of it — evaluating the filter only
@@ -195,15 +273,18 @@ class PrepView:
         y2 = max(y1 + 1, y2)
         w, h = self.width, self.height
         ix2, iy2 = min(x2, w), min(y2, h)
-        if not self._resized:
-            out = self._img[y1:iy2, x1:ix2]
-        else:
-            out = area_resize_window(self._img, w, h, x1, y1, ix2, iy2)
         pad_b = max(0, y2 - max(y1, h))
         pad_r = max(0, x2 - max(x1, w))
-        if pad_b or pad_r:
-            out = np.pad(out, ((0, pad_b), (0, pad_r)), constant_values=0)
-        return out
+        if not self._resized:
+            out = self._img[y1:iy2, x1:ix2]
+            if pad_b or pad_r:
+                out = np.pad(out, ((0, pad_b), (0, pad_r)), constant_values=0)
+            return out
+        # resized path: per-row lazy evaluation (recognizer reads ~1 row
+        # per strip; materializing the full crop is ~30x wasted resampling)
+        return LazyCropView(
+            self._img, w, h, x1, y1, ix2, max(iy2, y1), pad_r, pad_b
+        )
 
 
 def crop(img: np.ndarray, box: tuple[int, int, int, int]) -> np.ndarray:
