@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "reading_order_events",
     "session_spans",
     "value_range_bins",
+    "session_json",
+    "zip_align_events",
     "token_stats",
     "quality_scores",
     "lang_id",

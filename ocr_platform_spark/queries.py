@@ -282,6 +282,94 @@ FROM events GROUP BY 1
 """
 
 
+# --- S10/M14: JSON sink (to_json of a nested struct) -------------------------
+
+
+def session_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user summary serialized to a JSON string — the detect_result /
+    result JSON sink shape (``ocr_tasks.py:119-123``, ``:235-246``)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list("event_id")).alias("ids"),
+    )
+    return agg.select(
+        "user_id",
+        F.to_json(
+            F.struct("user_id", "n", F.slice("ids", 1, 5).alias("first_ids"))
+        ).alias("doc"),
+    )
+
+
+SESSION_JSON_SQL = """
+WITH agg AS (
+  SELECT user_id, count(*) AS n,
+         array_agg(event_id ORDER BY event_id) AS ids
+  FROM events WHERE user_id < 50 GROUP BY user_id
+)
+SELECT user_id,
+  CAST(json_object('user_id', user_id, 'n', n, 'first_ids', ids[1:5])
+       AS VARCHAR) AS doc
+FROM agg
+"""
+
+
+# --- P4/J4: positional zip + length-align truncation -------------------------
+
+
+def zip_align_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``arrays_zip`` + truncate-to-min-length — the box↔text positional
+    alignment guard (``orchestrator.py:75-80``): two per-user sequences of
+    different lengths, zipped to ``n = min(len(a), len(b))`` pairs."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    a_src = F.sort_array(F.collect_list(F.struct("ts", "event_id")))
+    b_src = F.sort_array(
+        F.collect_list(
+            F.when(F.col("value") > 50, F.struct(-F.col("value"), F.col("event_id")))
+        )
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.transform(a_src, lambda s: s["event_id"]).alias("a"),
+        F.transform(b_src, lambda s: s["event_id"]).alias("b"),
+    )
+    n = F.least(F.size("a"), F.size("b"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.element_at("a", i).cast("string"),
+            F.lit(":"),
+            F.element_at("b", i).cast("string"),
+        ),
+    )
+    return agg.select(
+        "user_id",
+        F.when(n > 0, F.array_join(pairs, ",")).otherwise(F.lit("")).alias(
+            "aligned"
+        ),
+        n.cast("int").alias("n_pairs"),
+    )
+
+
+ZIP_ALIGN_EVENTS_SQL = """
+WITH agg AS (
+  SELECT user_id,
+    array_agg(event_id ORDER BY ts, event_id) AS a,
+    coalesce(array_agg(event_id ORDER BY value DESC, event_id)
+             FILTER (value > 50), []) AS b
+  FROM events WHERE user_id < 50 GROUP BY user_id
+)
+SELECT user_id,
+  CASE WHEN least(len(a), len(b)) > 0 THEN
+    array_to_string(
+      list_transform(range(1, least(len(a), len(b)) + 1),
+                     i -> CAST(a[i] AS VARCHAR) || ':' || CAST(b[i] AS VARCHAR)),
+      ',')
+  ELSE '' END AS aligned,
+  CAST(least(len(a), len(b)) AS INT) AS n_pairs
+FROM agg
+"""
+
+
 # --- extraction pipeline (rows-only: pytest pins these against the oracle) ---
 
 _CORPUS_DOCS = 32
@@ -355,6 +443,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "session_spans": (session_spans, SESSION_SPANS_SQL),
     "value_range_bins": (value_range_bins, VALUE_RANGE_BINS_SQL),
     "event_props_json": (event_props_json, EVENT_PROPS_JSON_SQL),
+    "session_json": (session_json, SESSION_JSON_SQL),
+    "zip_align_events": (zip_align_events, ZIP_ALIGN_EVENTS_SQL),
     # text analysis
     "token_stats": (textstats.token_stats, textstats.TOKEN_STATS_SQL),
     "quality_scores": (textstats.quality_scores, textstats.QUALITY_SCORES_SQL),

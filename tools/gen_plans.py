@@ -1,0 +1,66 @@
+import sys, io, contextlib
+sys.path.insert(0, "/root/repo")
+from ocr_platform_spark.session import get_spark
+from ocr_platform_spark.queries import REGISTRY
+from ocr_platform_spark.operators import extract
+
+spark = get_spark("plans", master="local[4]", shuffle_partitions=8)
+sf = "/root/testdata/sf0.01"
+
+def plan_of(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+sections = []
+
+# 1. pushdown + pruning: filter over lineitem
+from pyspark.sql import functions as F
+li = spark.read.parquet(f"{sf}/lineitem.parquet")
+q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_returnflag", "l_quantity")
+sections.append(("Predicate pushdown + column pruning (lineitem filter/project)",
+  "A filter + 2-column projection must reach the parquet scan: `PushedFilters`"
+  " carries the shipdate predicate and `ReadSchema` lists only the 3 referenced"
+  " columns — Catalyst does this for every operator in the registry.",
+  plan_of(q)))
+
+# 2. broadcast join
+fn, _ = REGISTRY["orders_per_nation"]
+sections.append(("Broadcast joins (orders_per_nation)",
+  "Both dimension sides (customer, nation) broadcast; the orders fact is never"
+  " shuffled for the join — only the final 25-key aggregate exchanges.",
+  plan_of(fn(spark, sf))))
+
+# 3. anti join
+fn, _ = REGISTRY["customers_without_orders"]
+sections.append(("Broadcast anti-join (resume pattern)",
+  "The left-anti join plans as BroadcastHashJoin LeftAnti — the completed-work"
+  " list stays on every executor; this is the lineage-resume join shape.",
+  plan_of(fn(spark, sf))))
+
+# 4. window + topk
+fn, _ = REGISTRY["topk_recent_orders"]
+sections.append(("Top-k (TakeOrderedAndProject)",
+  "orderBy+limit compiles to TakeOrderedAndProject — no global sort.",
+  plan_of(fn(spark, sf))))
+
+# 5. extraction pipeline
+from ocr_platform_spark import corpus as cm, schemas
+docs, media = cm.generate(8, max_pages=4)
+docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+media_df = spark.createDataFrame([{"media_ref": k, **v} for k, v in sorted(media.items())], schema=schemas.MEDIA)
+sections.append(("Extraction pipeline (end-to-end)",
+  "Two MapInPandas stages with explicit repartitions between them; a single"
+  " window + partial/final aggregate tail; whole-stage codegen spans the"
+  " relational glue. No raster bytes appear in any exchange.",
+  plan_of(extract.extract_documents(docs_df, media_df))))
+
+with open("/root/repo/docs/PLANS.md", "w") as f:
+    f.write("# Physical plan evidence (`.explain(\"formatted\")`)\n\n")
+    f.write("Captured at sf0.01 on local mode; regenerate with `python /tmp/gen_plans.py`"
+            " (or see tools/gen_plans.py).\n")
+    for title, note, plan in sections:
+        f.write(f"\n## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
+print("written")
+spark.stop()
