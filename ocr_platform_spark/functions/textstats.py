@@ -223,6 +223,50 @@ FROM sh
 """
 
 
+# --- bpe_token_count ---------------------------------------------------------
+
+# GPT-2-pretokenizer-ish: alnum runs | punctuation runs (whitespace splits);
+# explicit ASCII whitespace class so Java regex and RE2 agree byte-for-byte
+_BPE_PRETOKEN_RE = "[a-z0-9]+|[^a-z0-9 \\t\\n\\r]+"
+_BPE_CHARS_PER_TOKEN = 4.0  # the standard ~4-chars/token estimate
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-token budget estimate per document: regex pretokenize,
+    then ceil(len/4) tokens per pretoken — the train-data costing pass."""
+    pre = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_BPE_PRETOKEN_RE), 0
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", pre.alias("p"))
+    est = F.aggregate(
+        F.transform(
+            "p", lambda t: F.ceil(F.length(t) / F.lit(_BPE_CHARS_PER_TOKEN))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size("p").cast("long").alias("n_pretokens"),
+        est.alias("bpe_tokens_est"),
+    )
+
+
+BPE_TOKEN_COUNT_SQL = f"""
+WITH pre AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(text), '{_BPE_PRETOKEN_RE}') AS p
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(p) AS BIGINT) AS n_pretokens,
+  CAST(coalesce(list_sum(
+    list_transform(p, t -> CAST(ceil(len(t) / {_BPE_CHARS_PER_TOKEN}) AS BIGINT))
+  ), 0) AS BIGINT) AS bpe_tokens_est
+FROM pre
+"""
+
+
 # --- doc_checksums (M13 analog: sha256 content checksum) ---------------------
 
 

@@ -61,6 +61,8 @@ from ..schemas import BLOCK, PAGE_TASK, SPAN
 
 # --- stage 1: decode (cheap page explode) ------------------------------------
 
+MEDIA_KIND_ERROR = "error"  # quarantined: payload failed container parse
+
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Container parse -> one output row per page (S4/S5 in SURVEY.md §2.1).
@@ -74,7 +76,21 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, offset, ref, data in zip(
             pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["data"]
         ):
-            kind, pages = formats.decode_media(bytes(data))
+            try:
+                kind, pages = formats.decode_media(bytes(data))
+            except Exception as exc:  # corrupt payload -> quarantine row
+                # At 10^12 docs a malformed blob must not fail the job
+                # (reference analog: per-job FAILED status + error column,
+                # ``ocr_tasks.py:125-128``). One row with media_kind=
+                # "error"; downstream OCR skips it and the doc still
+                # re-emits its surviving spans.
+                out["doc_id"].append(doc_id)
+                out["offset"].append(offset)
+                out["media_ref"].append(ref)
+                out["media_kind"].append(MEDIA_KIND_ERROR)
+                out["page_index"].append(-1)
+                out["page_desc"].append(str(exc)[:200])
+                continue
             for i, page in enumerate(pages):
                 out["doc_id"].append(doc_id)
                 out["offset"].append(offset)
@@ -211,8 +227,18 @@ def ocr_blocks(pages: DataFrame, num_partitions: int | None = None) -> DataFrame
     """
     if num_partitions is None:
         num_partitions = 3 * pages.sparkSession.sparkContext.defaultParallelism
+    pages = pages.filter(F.col("media_kind") != MEDIA_KIND_ERROR)
     pages = pages.repartition(num_partitions, "doc_id", "offset", "page_index")
     return pages.mapInPandas(_ocr_batches, schema=BLOCK)
+
+
+def media_errors(pages: DataFrame) -> DataFrame:
+    """Quarantine table: media whose container parse failed (the FAILED
+    status + ``error`` column analog, ``apps/worker/app/tasks/
+    ocr_tasks.py:125-128``); write alongside lineage for triage/re-run."""
+    return pages.filter(F.col("media_kind") == MEDIA_KIND_ERROR).select(
+        "doc_id", "offset", "media_ref", F.col("page_desc").alias("error")
+    )
 
 
 def reading_ordered_blocks(blocks: DataFrame) -> DataFrame:
@@ -295,6 +321,7 @@ def detect_boxes_table(pages: DataFrame, num_partitions: int | None = None) -> D
     """The persisted detect/recognize boundary (FIXTURES.md §3) — the
     ``detect_result`` column analog (``apps/worker/app/db/models.py:26``),
     for workflows that checkpoint detect output before recognition."""
+    pages = pages.filter(F.col("media_kind") != MEDIA_KIND_ERROR)
     if num_partitions:
         pages = pages.repartition(num_partitions, "doc_id", "offset", "page_index")
 

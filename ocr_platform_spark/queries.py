@@ -411,6 +411,23 @@ def extract_detect_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.detect_boxes_table(pages)
 
 
+def media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-payload quarantine path: two payloads deterministically
+    corrupted; the errors table must surface exactly those, while
+    extraction of the rest proceeds (tests/test_quarantine.py pins the
+    full invariant)."""
+    docs, media = corpus_mod.generate(_CORPUS_DOCS, max_pages=_CORPUS_MAX_PAGES)
+    refs = sorted(media)
+    media[refs[0]]["data"] = b"XXXXXgarbage"
+    media[refs[1]]["data"] = media[refs[1]]["data"][:8]
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(
+        [{"media_ref": k, **v} for k, v in sorted(media.items())],
+        schema=schemas.MEDIA,
+    )
+    return extract.media_errors(extract.decode_pages(docs_df, media_df))
+
+
 def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, media_df = _corpus_dfs(spark)
     return multimodal.media_metadata(media_df)
@@ -454,6 +471,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textstats.DOC_FINGERPRINTS_SQL,
     ),
     "doc_checksums": (textstats.doc_checksums, textstats.DOC_CHECKSUMS_SQL),
+    "bpe_token_count": (
+        textstats.bpe_token_count,
+        textstats.BPE_TOKEN_COUNT_SQL,
+    ),
     # dedup
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
@@ -484,6 +505,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # exact span-sequence equality pinned by tests/test_extract_spark.py)
     "extract_spans": (extract_spans, None),
     "extract_detect_boxes": (extract_detect_boxes, None),
+    "media_quarantine": (media_quarantine, None),
     "media_metadata": (media_metadata_q, None),
     "page_features": (page_features_q, None),
     "frame_sample": (frame_sample_q, None),
