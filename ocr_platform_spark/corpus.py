@@ -69,14 +69,18 @@ def _word(rng: np.random.Generator) -> str:
 
 
 def _page_count(rng: np.random.Generator, max_pages: int) -> int:
-    """Heavy-tailed page count: P50=1, ~P90=4, tail to ``max_pages``."""
+    """Heavy-tailed page count: P50=1, ~P90=4, tail to ``max_pages``.
+
+    Branch bounds clamp to ``max_pages`` so small test corpora are valid;
+    for ``max_pages >= 21`` the draws are identical to the unclamped
+    form (seeded corpora stay byte-stable)."""
     u = rng.random()
-    if u < 0.60:
+    if u < 0.60 or max_pages < 2:
         return 1
     if u < 0.90:
-        return int(rng.integers(2, 5))
-    if u < 0.98:
-        return int(rng.integers(5, 21))
+        return int(rng.integers(2, min(5, max_pages + 1)))
+    if u < 0.98 or max_pages < 22:
+        return int(rng.integers(min(5, max_pages), min(21, max_pages + 1)))
     return int(rng.integers(21, max_pages + 1))
 
 

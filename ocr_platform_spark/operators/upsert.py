@@ -1,0 +1,121 @@
+"""Result-edit upsert: the MERGE INTO surface (SURVEY.md §2.7 U1–U3).
+
+The reference's human-in-the-loop edits PATCH whole JSON columns
+(detect boxes: ``routes_jobs.py:230-249``; result text edit / block
+delete: ``json-editor.component.ts:186-207`` + ``routes_jobs.py:252-270``).
+The engine-side equivalents:
+
+* :func:`apply_span_edits` — relational application of an edits table
+  (``doc_id, offset, op, new_text``) onto the ``spans`` array column:
+  ``edit`` rewrites a span's text, ``delete`` removes the span and
+  re-sequences the remaining offsets. Pure higher-order array ops on a
+  per-doc map — no explode/regroup round trip.
+* :func:`upsert_results` — the Iceberg ``MERGE INTO`` fallback for the
+  hash-bucketed parquet output of :mod:`ocr_platform_spark.lineage`:
+  recompute the edited docs' buckets, rewrite exactly those partitions
+  via dynamic partition overwrite (untouched buckets' files are never
+  rewritten), mirroring the chunk-commit idempotence of the main job.
+
+At 10^12 docs with Iceberg this becomes a real ``MERGE INTO ... WHEN
+MATCHED`` on the output table; the edits table is tiny (human edits) so
+the merge broadcasts it — same shape as here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lineage import with_partition_id
+
+OP_EDIT = "edit"
+OP_DELETE = "delete"
+
+
+def apply_span_edits(documents_out: DataFrame, edits: DataFrame) -> DataFrame:
+    """Apply span-level edits to ``(doc_id, spans)`` rows.
+
+    ``edits``: ``doc_id, offset:int, op:string('edit'|'delete'),
+    new_text:string`` (new_text ignored for deletes). Unknown doc_ids /
+    offsets are no-ops. Surviving spans are re-sequenced ``0..n-1`` like
+    the FE's splice (``json-editor.component.ts:199-203``).
+    """
+    per_doc = edits.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("offset"),
+                    F.struct(F.col("op"), F.col("new_text")),
+                )
+            )
+        ).alias("edit_map")
+    )
+    joined = documents_out.join(F.broadcast(per_doc), "doc_id", "left")
+    e = lambda s: F.element_at("edit_map", s["offset"])  # noqa: E731
+    edited = F.transform(
+        "spans",
+        lambda s: F.when(
+            e(s).isNotNull() & (e(s)["op"] == OP_EDIT),
+            F.struct(
+                s["kind"].alias("kind"),
+                e(s)["new_text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).otherwise(s),
+    )
+    kept = F.filter(
+        edited,
+        lambda s: F.when(
+            e(s).isNotNull() & (e(s)["op"] == OP_DELETE), F.lit(False)
+        ).otherwise(F.lit(True)),
+    )
+    resequenced = F.transform(
+        kept,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("edit_map").isNotNull(), resequenced)
+        .otherwise(F.col("spans"))
+        .alias("spans"),
+    )
+
+
+def upsert_results(
+    spark: SparkSession,
+    out_dir: str,
+    edits: DataFrame,
+    num_buckets: int,
+) -> int:
+    """MERGE the edits into the bucketed extraction output at
+    ``out_dir``/data; rewrites only the buckets containing edited docs.
+    Returns the number of rewritten buckets."""
+    data_dir = os.path.join(out_dir, "data")
+    touched = [
+        r["partition_id"]
+        for r in with_partition_id(
+            edits.select("doc_id").distinct(), num_buckets
+        ).select("partition_id").distinct().collect()
+    ]
+    if not touched:
+        return 0
+    current = spark.read.parquet(data_dir).filter(
+        F.col("partition_id").isin(touched)
+    )
+    merged = apply_span_edits(current.drop("partition_id"), edits)
+    (
+        with_partition_id(merged, num_buckets)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("partition_id")
+        .parquet(data_dir)
+    )
+    return len(touched)

@@ -1,0 +1,89 @@
+"""Upsert surface (U1–U3): span edit/delete application + bucketed
+MERGE that rewrites only affected partitions."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ocr_platform_spark import corpus, schemas
+from ocr_platform_spark.lineage import run_extract_job, read_result
+from ocr_platform_spark.operators.upsert import apply_span_edits, upsert_results
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+
+
+def test_apply_span_edits_edit_and_delete(spark):
+    rows = [
+        {
+            "doc_id": "a",
+            "spans": [
+                {"kind": "text", "text": "one", "media_ref": None, "offset": 0},
+                {"kind": "text", "text": "two", "media_ref": "m", "offset": 1},
+                {"kind": "text", "text": "three", "media_ref": None, "offset": 2},
+            ],
+        },
+        {
+            "doc_id": "b",
+            "spans": [
+                {"kind": "text", "text": "keep", "media_ref": None, "offset": 0}
+            ],
+        },
+    ]
+    docs = _docs_df(spark, rows)
+    edits = spark.createDataFrame(
+        [
+            ("a", 0, "edit", "ONE!"),
+            ("a", 1, "delete", None),
+            ("zz", 0, "edit", "ignored"),  # unknown doc: no-op
+        ],
+        "doc_id string, offset int, op string, new_text string",
+    )
+    got = {r["doc_id"]: r["spans"] for r in apply_span_edits(docs, edits).collect()}
+    a = [(s["text"], s["media_ref"], s["offset"]) for s in got["a"]]
+    assert a == [("ONE!", None, 0), ("three", None, 1)]
+    b = [(s["text"], s["offset"]) for s in got["b"]]
+    assert b == [("keep", 0)]
+
+
+def test_upsert_results_rewrites_only_touched_buckets(spark, tmp_path):
+    docs, media = corpus.generate(20, seed=31, max_pages=4)
+    docs_df = _docs_df(spark, docs)
+    media_df = spark.createDataFrame(
+        [{"media_ref": k, **v} for k, v in sorted(media.items())],
+        schema=schemas.MEDIA,
+    )
+    out = str(tmp_path / "out")
+    run_extract_job(
+        spark, docs_df, media_df, out_dir=out, run_id="r1", num_buckets=8,
+        chunk_buckets=8,
+    )
+    before = {
+        r["doc_id"]: [(s["text"], s["offset"]) for s in r["spans"]]
+        for r in read_result(spark, out).collect()
+    }
+    target = sorted(before)[0]
+    edits = spark.createDataFrame(
+        [(target, 0, "edit", "EDITED")],
+        "doc_id string, offset int, op string, new_text string",
+    )
+    n = upsert_results(spark, out, edits, num_buckets=8)
+    assert n >= 1
+    after = {
+        r["doc_id"]: [(s["text"], s["offset"]) for s in r["spans"]]
+        for r in read_result(spark, out).collect()
+    }
+    assert set(after) == set(before)
+    assert after[target][0] == ("EDITED", 0)
+    assert after[target][1:] == before[target][1:]
+    for d in before:
+        if d != target:
+            assert after[d] == before[d]
+    # untouched bucket files not rewritten: at least one partition dir
+    # retains its original file set
+    data = os.path.join(out, "data")
+    parts = [p for p in os.listdir(data) if p.startswith("partition_id=")]
+    assert len(parts) > 1
