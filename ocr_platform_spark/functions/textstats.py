@@ -192,16 +192,22 @@ FROM s
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-text md5 + winnowing-style min 5-gram hash."""
+    """Canonical-text md5 + winnowing-style min 5-gram hash.
+
+    Explode + flat ``min`` aggregate (map-side partial) instead of a
+    higher-order ``transform``+``array_min`` — interpreted per-element
+    lambdas are the slow path at scale."""
     tok = tokens(F.col("text"))
-    docs = _read(spark, sf_dir, "documents").select("doc_id", tok.alias("t"))
-    norm = F.array_join("t", " ")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(tok, " ").alias("norm"), tok.alias("t")
+    )
     sh5 = shingles(F.col("t"), 5)
-    winnow = F.when(
-        F.size(sh5) > 0, F.array_min(F.transform(sh5, hash60))
-    ).otherwise(hash60(norm))
-    return docs.select(
-        "doc_id", F.md5(norm).alias("fp"), winnow.alias("winnow_min")
+    basis = F.when(F.size(sh5) > 0, sh5).otherwise(F.array(F.col("norm")))
+    rows = docs.select("doc_id", "norm", F.explode(basis).alias("s"))
+    return (
+        rows.groupBy("doc_id", "norm")
+        .agg(F.min(hash60(F.col("s"))).alias("winnow_min"))
+        .select("doc_id", F.md5("norm").alias("fp"), "winnow_min")
     )
 
 
