@@ -21,6 +21,7 @@ appear in output columns.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -443,6 +444,57 @@ def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media_df)
 
 
+# --- streaming: watermarked window agg, drained and oracle-checked -----------
+
+
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts over the events table,
+    drained with availableNow — the result is deterministic and equals
+    the batch aggregation, so it gets a full DuckDB oracle. Emits the
+    window start as epoch seconds (session tz pinned to UTC for the
+    NTZ→timestamp cast)."""
+    import shutil
+    import tempfile
+
+    from . import streaming as streaming_mod
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        tmp = tempfile.mkdtemp(prefix="stream_win_")
+        landing = os.path.join(tmp, "ev")
+        os.makedirs(landing)
+        shutil.copy(
+            f"{sf_dir}/events.parquet", os.path.join(landing, "part-0.parquet")
+        )
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.read.parquet(f"{sf_dir}/events.parquet").schema.fields
+        )
+        agg = streaming_mod.windowed_event_counts(spark, landing, schema)
+        name = "stream_win_counts_q"
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ck")).start()
+        )
+        q.awaitTermination()
+        return spark.table(name).select(
+            F.col("win_start").cast("long").alias("win_start_epoch"),
+            "event_type",
+            "n",
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+STREAM_WINDOW_COUNTS_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_epoch,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -461,6 +513,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "value_range_bins": (value_range_bins, VALUE_RANGE_BINS_SQL),
     "event_props_json": (event_props_json, EVENT_PROPS_JSON_SQL),
     "session_json": (session_json, SESSION_JSON_SQL),
+    "stream_window_counts": (stream_window_counts, STREAM_WINDOW_COUNTS_SQL),
     "zip_align_events": (zip_align_events, ZIP_ALIGN_EVENTS_SQL),
     # text analysis
     "token_stats": (textstats.token_stats, textstats.TOKEN_STATS_SQL),

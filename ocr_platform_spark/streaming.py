@@ -31,6 +31,121 @@ from .operators.extract import extract_documents
 from .schemas import DOCUMENTS
 
 
+def windowed_event_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Event-time tumbling-window counts with a late-data watermark — the
+    canonical Structured Streaming aggregation shape (readStream →
+    withWatermark → window groupBy). Returns an unstarted streaming
+    DataFrame; callers attach a sink (tests drain with availableNow and
+    compare against the equivalent batch aggregation).
+
+    At scale this is the ingest-monitoring leg of the pipeline (docs/sec
+    per source with bounded state: the watermark expires window state
+    older than the lateness budget).
+    """
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    # watermarks require TIMESTAMP (with tz); parquet often carries NTZ
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sessionize_events(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str,
+    gap_minutes: int = 30,
+):
+    """Gap-based sessionization — the custom stateful streaming operator
+    (``applyInPandasWithState`` with event-time timeout).
+
+    Per user: consecutive events closer than ``gap_minutes`` belong to one
+    session. Sessions closed *within* a batch (a later event arrives past
+    the gap) emit immediately; the trailing open session is kept in state
+    and emitted when the event-time watermark passes ``last + gap``
+    (bounded state: one open session per active user). Returns the
+    unstarted streaming DataFrame of closed sessions
+    ``(user_id, session_start, session_end, n_events)``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_type = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events int"
+    )
+    state_type = "start long, last long, n int"
+
+    def _emit(rows: list[tuple[int, int, int, int]]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "session_start": pd.to_datetime([r[1] for r in rows], unit="ms"),
+                "session_end": pd.to_datetime([r[2] for r in rows], unit="ms"),
+                "n_events": pd.Series([r[3] for r in rows], dtype="int32"),
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            s0, l0, n0 = state.get
+            state.remove()
+            yield _emit([(user_id, s0, l0, n0)])
+            return
+        parts = [pdf["ts"] for pdf in pdfs]
+        ts = pd.concat(parts).sort_values()
+        if getattr(ts.dtype, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        # unit-robust epoch-ms (arrow may deliver ns or us resolution)
+        ms = ts.astype("datetime64[ms]").astype("int64").tolist()
+        s0 = l0 = n0 = None
+        if state.exists:
+            s0, l0, n0 = state.get
+        closed: list[tuple[int, int, int, int]] = []
+        for t in ms:
+            if s0 is None:
+                s0, l0, n0 = t, t, 1
+            elif t - l0 > gap_ms:
+                closed.append((user_id, s0, l0, n0))
+                s0, l0, n0 = t, t, 1
+            else:
+                l0 = max(l0, t)
+                n0 += 1
+        state.update((s0, l0, n0))
+        state.setTimeoutTimestamp(l0 + gap_ms)
+        if closed:
+            yield _emit(closed)
+
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_type,
+            stateStructType=state_type,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     landing_dir: str,

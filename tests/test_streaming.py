@@ -108,3 +108,117 @@ def test_stream_resume_no_duplicates(spark, tmp_path):
     out = spark.read.parquet(os.path.join(out_dir, "data"))
     assert out.count() == 10
     assert out.select("doc_id").distinct().count() == 10
+
+
+def _to_ms(s):
+    import pandas as pd
+
+    s = pd.to_datetime(s)
+    if getattr(s.dtype, "tz", None) is not None:
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    return s.astype("datetime64[ms]").astype("int64")
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window streaming agg == batch window agg."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    shutil.copy(src, str(landing / "part-0.parquet"))
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.read.parquet(src).schema.fields
+    )
+    from ocr_platform_spark.streaming import windowed_event_counts
+
+    agg = windowed_event_counts(spark, str(landing), schema)
+    q = (
+        agg.writeStream.format("memory").queryName("winagg_t")
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["win_start"], r["event_type"], r["n"])
+        for r in spark.sql("select * from winagg_t").collect()
+    }
+    batch = {
+        (r["w"]["start"], r["event_type"], r["n"])
+        for r in (
+            spark.read.parquet(src)
+            .groupBy(
+                F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    assert got == batch
+
+
+def test_sessionize_events_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: every emitted session is an
+    oracle session, and every oracle session closed by later data is
+    emitted (open per-user tails may stay in state at availableNow end)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocr_platform_spark.streaming import sessionize_events
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    tbl = pq.read_table(src).sort_by("ts")
+    mid = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, mid), str(landing / "part-0.parquet"))
+    pq.write_table(tbl.slice(mid), str(landing / "part-1.parquet"))
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.read.parquet(src).schema.fields
+    )
+    sess = sessionize_events(spark, str(landing), schema, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory").queryName("sess_t")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", 1).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from sess_t").toPandas()
+
+    pdf = tbl.to_pandas()
+    pdf["ms"] = _to_ms(pdf["ts"])
+    sessions = []
+    for uid, g in pdf.sort_values(["user_id", "ms"]).groupby("user_id"):
+        s = last = None
+        cnt = 0
+        for t in g["ms"]:
+            if s is None:
+                s, last, cnt = t, t, 1
+            elif t - last > 30 * 60 * 1000:
+                sessions.append((uid, s, last, cnt))
+                s, last, cnt = t, t, 1
+            else:
+                last, cnt = t, cnt + 1
+        sessions.append((uid, s, last, cnt))
+    gotset = set(
+        zip(
+            got.user_id,
+            _to_ms(got.session_start),
+            _to_ms(got.session_end),
+            got.n_events,
+        )
+    )
+    oset = set(sessions)
+    tails = {}
+    for s in sessions:
+        if s[0] not in tails or s[2] > tails[s[0]][2]:
+            tails[s[0]] = s
+    assert gotset <= oset
+    assert (oset - set(tails.values())) <= gotset
+    assert len(gotset) > 0
