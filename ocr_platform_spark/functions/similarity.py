@@ -258,6 +258,106 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("vec_id", bucket.alias("bucket"))
 
 
+LSH_NEARDUP_BANDS = 3      # bands of LSH_PLANES // LSH_NEARDUP_BANDS sign bits
+_BAND_BITS = LSH_PLANES // LSH_NEARDUP_BANDS
+_BAND_MASK = (1 << _BAND_BITS) - 1
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via banded hyperplane LSH (the 10^12-scale path):
+    candidates share at least one of {LSH_NEARDUP_BANDS} sign-bit bands
+    (equi-join on (band, value) — never a cross join), then exact cosine
+    verifies. Same output contract as ``dedup.embedding_near_dup``;
+    banding trades recall, verification keeps precision exact.
+    """
+    from .dedup import COSINE_DUP_THRESHOLD
+
+    v = _vectors(spark, sf_dir)
+    b = lsh_buckets(spark, sf_dir)
+    bands = b.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {LSH_NEARDUP_BANDS - 1}, 1), "
+                f"i -> (shiftright(bucket, i * {_BAND_BITS}) & {_BAND_MASK}))"
+            )
+        ).alias("band", "bv"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bv"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id")
+        )
+        .distinct()
+    )
+    a = v.select(
+        F.col("vec_id").alias("a_id"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("b_id"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "a_id")
+        .join(c, "b_id")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(COSINE_DUP_THRESHOLD))
+        .select("a_id", "b_id", fxp(F.col("cos"), 6).alias("cos_fxp6"))
+    )
+
+
+_SQL_BUCKET = f"""
+  CAST(list_sum(
+    list_transform(range(0, {LSH_PLANES}), i ->
+      CASE WHEN list_reduce(
+          list_transform(range(1, len(e) + 1), d ->
+            e[d] * ({sql_hash60("CAST(i AS VARCHAR) || ',' || CAST(d AS VARCHAR)")}
+                    / CAST({2 ** 60} AS DOUBLE) - 0.5)),
+          (x, y) -> x + y) >= 0
+      THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+"""
+
+EMBEDDING_NEAR_DUP_LSH_SQL = f"""
+WITH {_SQL_VEC_CTE},
+vb AS (SELECT vec_id, e, nrm, {_SQL_BUCKET} AS bucket FROM v),
+bands AS (
+  SELECT vec_id, band, (bucket >> (band * {_BAND_BITS})) & {_BAND_MASK} AS bv
+  FROM vb, unnest(range(0, {LSH_NEARDUP_BANDS})) AS u(band)
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+  WHERE x.vec_id < y.vec_id
+),
+p AS (
+  SELECT c.a_id, c.b_id,
+    list_reduce(
+      list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]),
+      (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+  FROM cand c
+  JOIN vb a ON a.vec_id = c.a_id
+  JOIN vb b ON b.vec_id = c.b_id
+)
+SELECT a_id, b_id, {sql_fxp('cos', 6)} AS cos_fxp6
+FROM p WHERE cos >= __COS_THRESHOLD__
+"""
+
+
+def _finalize_sql() -> str:
+    from .dedup import COSINE_DUP_THRESHOLD
+
+    return EMBEDDING_NEAR_DUP_LSH_SQL.replace(
+        "__COS_THRESHOLD__", str(COSINE_DUP_THRESHOLD)
+    )
+
+
 LSH_BUCKETS_SQL = f"""
 WITH {_SQL_VEC_CTE},
 s AS (

@@ -549,6 +549,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
     "lsh_buckets": (similarity.lsh_buckets, similarity.LSH_BUCKETS_SQL),
+    "embedding_near_dup_lsh": (
+        similarity.embedding_near_dup_lsh,
+        similarity._finalize_sql(),
+    ),
     # multimodal binary plumbing
     "payload_stats": (
         multimodal.documents_payload_stats,
