@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from . import corpus as corpus_mod
 from . import multimodal, schemas
-from .functions import dedup, similarity, textstats
+from .functions import dedup, html_extract, similarity, textstats
 from .functions.common import fxp
 from .operators import extract
 
@@ -553,6 +553,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.embedding_near_dup_lsh,
         similarity._finalize_sql(),
     ),
+    # HTML main-content extraction (north_rule: boilerplate strip + DOM
+    # heuristics); tag-strip tier is fully oracle-checked, the density
+    # heuristic is pinned against its Python oracle in pytest
+    "html_text": (html_extract.html_text, html_extract.HTML_TEXT_SQL),
+    "html_main_content": (html_extract.main_content, None),
     # multimodal binary plumbing
     "payload_stats": (
         multimodal.documents_payload_stats,
