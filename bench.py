@@ -85,8 +85,10 @@ def _run_noop(df) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
+    # big enough that the extraction job is work-bound, not
+    # stage-overhead-bound, at 32 cores (~20 s at sf0.1)
     n_docs = int(
-        os.environ.get("BENCH_CORPUS_DOCS", max(100, int(2000 * sf / 0.1)))
+        os.environ.get("BENCH_CORPUS_DOCS", max(100, int(8000 * sf / 0.1)))
     )
     spark = get_spark("bench")
     corpus_dir = _corpus_dir(n_docs, 200)
