@@ -365,3 +365,116 @@ def detect_boxes_table(pages: DataFrame, num_partitions: int | None = None) -> D
             "height int, block_index int, x1 int, y1 int, x2 int, y2 int"
         ),
     )
+
+
+# --- two-phase path: recognize from (possibly human-edited) boxes ------------
+
+
+def _recognize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """run_ocr_with_boxes semantics (``orchestrator.py:116-174``): boxes
+    arrive in detect_result original-page coordinates; scale to the
+    preprocessed raster for cropping, keep original coords + heights."""
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in BLOCK.fields}
+        for (doc_id, offset, ref, kind, page_index, desc,
+             xs1, ys1, xs2, ys2, w_orig, h_orig) in zip(
+            pdf["doc_id"], pdf["offset"], pdf["media_ref"],
+            pdf["media_kind"], pdf["page_index"], pdf["page_desc"],
+            pdf["xs1"], pdf["ys1"], pdf["xs2"], pdf["ys2"],
+            pdf["width"], pdf["height"],
+        ):
+            boxes = list(zip(map(int, xs1), map(int, ys1),
+                             map(int, xs2), map(int, ys2)))
+            if not boxes:
+                continue  # empty-page passthrough (orchestrator.py:133-137)
+            page = formats.loads_page(desc)
+            unit_scale = raster.PDF_UNIT_SCALE if kind == "pdf" else 1.0
+            img = raster.render_page(page, unit_scale)
+            prep = raster.PrepView(img)
+            w_prep, h_prep = prep.size
+            w_orig = int(w_orig) or img.shape[1]
+            h_orig = int(h_orig) or img.shape[0]
+            sx = w_prep / w_orig if w_orig else 1.0
+            sy = h_prep / h_orig if h_orig else 1.0
+            crops = [
+                prep.crop((int(x1 * sx), int(y1 * sy), int(x2 * sx), int(y2 * sy)))
+                for (x1, y1, x2, y2) in boxes
+            ]
+            heights = [y2 - y1 for (_x1, y1, _x2, y2) in boxes]
+            rec = kernels.predict_batch(crops, original_heights=heights)
+            texts = [t.strip() for t, _ in rec]
+            n = min(len(boxes), len(rec), len(texts))  # orchestrator.py:158
+            for i in range(n):
+                x1, y1, x2, y2 = boxes[i]
+                out["doc_id"].append(doc_id)
+                out["offset"].append(offset)
+                out["media_ref"].append(ref)
+                out["page_index"].append(page_index)
+                out["block_index"].append(i)
+                out["x1"].append(x1)
+                out["y1"].append(y1)
+                out["x2"].append(x2)
+                out["y2"].append(y2)
+                out["text"].append(texts[i])
+                out["conf"].append(rec[i][1])
+                out["page_width"].append(w_orig)
+                out["page_height"].append(h_orig)
+        res = pd.DataFrame(out)
+        for c in _INT_BLOCK_COLS:
+            res[c] = res[c].astype("int32")
+        res["conf"] = res["conf"].astype("float64")
+        yield res
+
+
+def recognize_with_boxes(
+    pages: DataFrame, boxes: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Recognition phase driven by a (possibly human-edited) boxes table —
+    the ``run_ocr_job`` path (``ocr_tasks.py:192-254``): detect output is
+    persisted/edited, recognition re-runs from it.
+
+    ``boxes``: output shape of :func:`detect_boxes_table` (block_index
+    gives the detector/editor emission order; ``width``/``height`` are the
+    detect-time original page dims that the crop scaling must use).
+    """
+    if num_partitions is None:
+        num_partitions = 3 * pages.sparkSession.sparkContext.defaultParallelism
+    per_page = boxes.groupBy("doc_id", "media_ref", "page_index").agg(
+        F.sort_array(
+            F.collect_list(F.struct("block_index", "x1", "y1", "x2", "y2"))
+        ).alias("bs"),
+        F.first("width").alias("width"),
+        F.first("height").alias("height"),
+    ).select(
+        "doc_id", "media_ref", "page_index", "width", "height",
+        F.transform("bs", lambda b: b["x1"]).alias("xs1"),
+        F.transform("bs", lambda b: b["y1"]).alias("ys1"),
+        F.transform("bs", lambda b: b["x2"]).alias("xs2"),
+        F.transform("bs", lambda b: b["y2"]).alias("ys2"),
+    )
+    joined = (
+        pages.filter(F.col("media_kind") != MEDIA_KIND_ERROR)
+        .join(per_page, ["doc_id", "media_ref", "page_index"], "inner")
+        .repartition(num_partitions, "doc_id", "offset", "page_index")
+    )
+    return joined.mapInPandas(_recognize_batches, schema=BLOCK)
+
+
+def extract_documents_two_phase(
+    documents: DataFrame,
+    media: DataFrame,
+    edited_boxes: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The reference's two-phase workflow (detect → [human edit] →
+    recognize), end-to-end: with ``edited_boxes=None`` the detect phase
+    runs inline and the result equals :func:`extract_documents` exactly;
+    passing an edited boxes table replays recognition from the edits."""
+    pages = decode_pages(documents, media)
+    boxes = (
+        edited_boxes
+        if edited_boxes is not None
+        else detect_boxes_table(pages, num_partitions=num_partitions)
+    )
+    blocks = recognize_with_boxes(pages, boxes, num_partitions=num_partitions)
+    return assemble_spans(documents, blocks)

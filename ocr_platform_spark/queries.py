@@ -412,6 +412,24 @@ def extract_detect_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.detect_boxes_table(pages)
 
 
+def extract_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect → [editable boxes] → recognize, the reference's primary
+    workflow; output equals the fused pipeline (tests/test_two_phase.py
+    also pins the edited-boxes replay against the oracle)."""
+    docs_df, media_df = _corpus_dfs(spark)
+    out = extract.extract_documents_two_phase(docs_df, media_df)
+    return out.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
 def media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-payload quarantine path: two payloads deterministically
     corrupted; the errors table must surface exactly those, while
@@ -567,6 +585,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # exact span-sequence equality pinned by tests/test_extract_spark.py)
     "extract_spans": (extract_spans, None),
     "extract_detect_boxes": (extract_detect_boxes, None),
+    "extract_two_phase": (extract_two_phase, None),
     "media_quarantine": (media_quarantine, None),
     "media_metadata": (media_metadata_q, None),
     "page_features": (page_features_q, None),
