@@ -263,6 +263,69 @@ GROUP BY bin_id
 """
 
 
+# --- aggregate extensions (beyond the reference's surface) -------------------
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, order-priority): subtotal + grand-total rows —
+    grouping-sets support the reference lacks entirely."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        base.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT coalesce(n_name, 'ALL') AS n_name,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
+"""
+
+
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + exact interpolated percentiles per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        fxp(F.expr("percentile(value, 0.5)")).alias("p50_fxp4"),
+        fxp(F.expr("percentile(value, 0.9)")).alias("p90_fxp4"),
+    )
+
+
+EVENT_TYPE_STATS_SQL = """
+SELECT event_type,
+  count(DISTINCT user_id) AS n_users,
+  count(*) AS n_events,
+  CAST(floor(quantile_cont(value, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_fxp4,
+  CAST(floor(quantile_cont(value, 0.9) * 10000 + 0.5) AS BIGINT) AS p90_fxp4
+FROM events GROUP BY event_type
+"""
+
+
 # --- M14: JSON extraction ----------------------------------------------------
 
 
@@ -522,6 +585,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "topk_recent_orders": (topk_recent_orders, TOPK_RECENT_ORDERS_SQL),
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "orders_per_nation": (orders_per_nation, ORDERS_PER_NATION_SQL),
+    "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
+    "event_type_stats": (event_type_stats, EVENT_TYPE_STATS_SQL),
     "customers_without_orders": (
         customers_without_orders,
         CUSTOMERS_WITHOUT_ORDERS_SQL,
