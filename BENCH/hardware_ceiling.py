@@ -8,7 +8,7 @@ memory-bandwidth-limited VM the ceiling itself drops below 1.0 well
 before 32 cores; BENCH/BASELINE.md reports Spark's N→4N efficiency next
 to this number.
 
-Usage: python BENCH/hardware_ceiling.py [--n 8] [--pages 150]
+Usage: python BENCH/hardware_ceiling.py [--n 8] [--pages 500]
 Prints one JSON line.
 """
 
@@ -29,12 +29,17 @@ def work(args: tuple[int, int]) -> tuple[int, float]:
     seed, n = args
     from ocr_platform_spark import corpus, formats, kernels, raster
 
-    _docs, media = corpus.generate(60, seed=seed, max_pages=30)
+    # size the corpus to the requested page count (~2.8 pages/doc at
+    # max_pages=30) so pages[:n] never silently truncates the workload
+    n_docs = max(60, int(n / 2.0))
+    _docs, media = corpus.generate(n_docs, seed=seed, max_pages=30)
     pages = []
     for _ref, m in media.items():
         kind, ps = formats.decode_media(m["data"])
         scale = raster.PDF_UNIT_SCALE if kind == "pdf" else 1.0
         pages.extend((p, scale) for p in ps)
+    if len(pages) < n:
+        raise RuntimeError(f"corpus yielded {len(pages)} pages < requested {n}")
     pages = pages[:n]
     t0 = time.time()
     for p, scale in pages:

@@ -79,7 +79,7 @@ def _page_count(rng: np.random.Generator, max_pages: int) -> int:
         return 1
     if u < 0.90:
         return int(rng.integers(2, min(5, max_pages + 1)))
-    if u < 0.98 or max_pages < 22:
+    if u < 0.98 or max_pages < 21:
         return int(rng.integers(min(5, max_pages), min(21, max_pages + 1)))
     return int(rng.integers(21, max_pages + 1))
 

@@ -104,8 +104,14 @@ sh AS (
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard >= threshold."""
-    sh = _shingle_rows(spark, sf_dir).cache()
+    """Near-dup pairs by exact 3-gram Jaccard >= threshold.
+
+    The shingle index is deliberately *not* cached: these builders run in
+    long-lived sessions (bench, driver gate) where a cache would pin
+    executor memory for the session's lifetime; at real scale the index
+    is a checkpointed table instead.
+    """
+    sh = _shingle_rows(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -432,33 +438,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf-test path is the verify step only; the scale path buckets candidates
     with :func:`ocr_platform_spark.functions.similarity.lsh_buckets` first
     (random-hyperplane LSH) so the join is band-keyed, not a cross join.
-    Sequential folds keep the doubles bit-identical to the oracle.
-    """
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-        .withColumn(
-            "nrm",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with("e", "e", lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-            ),
-        )
-        .filter(F.col("nrm") > 0)
-    )
+    Vector loading and the sequential cosine fold are shared with the
+    similarity module (one bit-exactness-critical implementation)."""
+    from . import similarity
+
+    emb = similarity._vectors(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("a_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
     b = emb.select(
         F.col("vec_id").alias("b_id"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
-    )
-    cos = dot / (F.col("na") * F.col("nb"))
+    cos = similarity._cos("ea", "na", "eb", "nb")
     return (
         a.crossJoin(b)
         .filter(F.col("a_id") < F.col("b_id"))

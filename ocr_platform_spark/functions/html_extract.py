@@ -75,15 +75,17 @@ _SQL_SYNTH = (
 # --- tier 1: relational tag strip --------------------------------------------
 
 # cascade order matters: subtree drops first, then tags, entities, spaces.
-# (?s) inline DOTALL works identically in Java regex and RE2.
+# (?s) inline DOTALL works identically in Java regex and RE2. Entity order:
+# &amp; must decode LAST or doubly-escaped entities ("&amp;lt;") would
+# double-decode to "<" instead of "&lt;".
 _STRIP_STEPS = [
     ("(?s)<script[^>]*>.*?</script>", " "),
     ("(?s)<style[^>]*>.*?</style>", " "),
     ("<[^>]+>", " "),
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
+    ("&amp;", "&"),
     ("[ \\t\\n\\r]+", " "),
 ]
 

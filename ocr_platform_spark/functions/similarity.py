@@ -300,10 +300,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"), F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-    )
-    cos = dot / (F.col("na") * F.col("nb"))
+    cos = _cos("ea", "na", "eb", "nb")
     return (
         cand.join(a, "a_id")
         .join(c, "b_id")

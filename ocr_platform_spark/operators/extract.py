@@ -330,19 +330,20 @@ def detect_boxes_table(pages: DataFrame, num_partitions: int | None = None) -> D
             out: dict[str, list] = {
                 k: []
                 for k in [
-                    "doc_id", "media_ref", "page_index", "width", "height",
-                    "block_index", "x1", "y1", "x2", "y2",
+                    "doc_id", "offset", "media_ref", "page_index", "width",
+                    "height", "block_index", "x1", "y1", "x2", "y2",
                 ]
             }
-            for doc_id, ref, kind, page_index, desc in zip(
-                pdf["doc_id"], pdf["media_ref"], pdf["media_kind"],
-                pdf["page_index"], pdf["page_desc"],
+            for doc_id, offset, ref, kind, page_index, desc in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"],
+                pdf["media_kind"], pdf["page_index"], pdf["page_desc"],
             ):
                 page = formats.loads_page(desc)
                 scale = raster.PDF_UNIT_SCALE if kind == "pdf" else 1.0
                 img = raster.render_page(page, scale)
                 for i, (x1, y1, x2, y2) in enumerate(kernels.detect_text_boxes(img)):
                     out["doc_id"].append(doc_id)
+                    out["offset"].append(offset)
                     out["media_ref"].append(ref)
                     out["page_index"].append(page_index)
                     out["width"].append(img.shape[1])
@@ -358,11 +359,14 @@ def detect_boxes_table(pages: DataFrame, num_partitions: int | None = None) -> D
                     res[c] = res[c].astype("int32")
             yield res
 
+    # offset is part of the key: the same media_ref may be referenced by
+    # several spans of one document; detect/recognize state is per span
     return pages.mapInPandas(
         _detect,
         schema=(
-            "doc_id string, media_ref string, page_index int, width int, "
-            "height int, block_index int, x1 int, y1 int, x2 int, y2 int"
+            "doc_id string, offset int, media_ref string, page_index int, "
+            "width int, height int, block_index int, x1 int, y1 int, "
+            "x2 int, y2 int"
         ),
     )
 
@@ -439,14 +443,14 @@ def recognize_with_boxes(
     """
     if num_partitions is None:
         num_partitions = 3 * pages.sparkSession.sparkContext.defaultParallelism
-    per_page = boxes.groupBy("doc_id", "media_ref", "page_index").agg(
+    per_page = boxes.groupBy("doc_id", "offset", "media_ref", "page_index").agg(
         F.sort_array(
             F.collect_list(F.struct("block_index", "x1", "y1", "x2", "y2"))
         ).alias("bs"),
         F.first("width").alias("width"),
         F.first("height").alias("height"),
     ).select(
-        "doc_id", "media_ref", "page_index", "width", "height",
+        "doc_id", "offset", "media_ref", "page_index", "width", "height",
         F.transform("bs", lambda b: b["x1"]).alias("xs1"),
         F.transform("bs", lambda b: b["y1"]).alias("ys1"),
         F.transform("bs", lambda b: b["x2"]).alias("xs2"),
@@ -454,7 +458,7 @@ def recognize_with_boxes(
     )
     joined = (
         pages.filter(F.col("media_kind") != MEDIA_KIND_ERROR)
-        .join(per_page, ["doc_id", "media_ref", "page_index"], "inner")
+        .join(per_page, ["doc_id", "offset", "media_ref", "page_index"], "inner")
         .repartition(num_partitions, "doc_id", "offset", "page_index")
     )
     return joined.mapInPandas(_recognize_batches, schema=BLOCK)

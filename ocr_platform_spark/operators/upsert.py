@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..lineage import with_partition_id
@@ -41,7 +41,20 @@ def apply_span_edits(documents_out: DataFrame, edits: DataFrame) -> DataFrame:
     new_text:string`` (new_text ignored for deletes). Unknown doc_ids /
     offsets are no-ops. Surviving spans are re-sequenced ``0..n-1`` like
     the FE's splice (``json-editor.component.ts:199-203``).
+
+    Conflicting edits for the same ``(doc_id, offset)`` resolve
+    deterministically — ``delete`` beats ``edit``, then lexicographically
+    greatest ``new_text`` — instead of aborting the job on the duplicate
+    map key.
     """
+    w = Window.partitionBy("doc_id", "offset").orderBy(
+        (F.col("op") == OP_DELETE).desc(), F.col("new_text").desc_nulls_last()
+    )
+    edits = (
+        edits.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
     per_doc = edits.groupBy("doc_id").agg(
         F.map_from_entries(
             F.collect_list(
@@ -111,8 +124,16 @@ def upsert_results(
         F.col("partition_id").isin(touched)
     )
     merged = apply_span_edits(current.drop("partition_id"), edits)
+    # stage-then-publish: materialize the merged buckets to a staging dir
+    # first, so a crash during the (non-atomic on plain parquet) dynamic
+    # overwrite leaves a durable copy to re-publish from. With Iceberg the
+    # whole thing is one atomic MERGE INTO and the staging step disappears.
+    staging = os.path.join(out_dir, "_upsert_staging")
+    with_partition_id(merged, num_buckets).write.mode("overwrite").parquet(
+        staging
+    )
     (
-        with_partition_id(merged, num_buckets)
+        spark.read.parquet(staging)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("partition_id")

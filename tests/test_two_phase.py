@@ -41,6 +41,31 @@ def test_two_phase_equals_fused(spark):
     assert two == fused
 
 
+def test_two_phase_repeated_media_ref(spark):
+    """Regression: one document referencing the SAME media_ref at two
+    offsets must not duplicate blocks in the two-phase path (boxes are
+    keyed per span offset, not just per media_ref)."""
+    _docs, media, _df, media_df = _dfs(spark, n=4, seed=43, max_pages=3)
+    ref = sorted(media)[0]
+    rows = [
+        {
+            "doc_id": "dup-doc",
+            "spans": [
+                {"kind": "text", "text": "head", "media_ref": None, "offset": 0},
+                {"kind": "pdf", "text": None, "media_ref": ref, "offset": 1},
+                {"kind": "pdf", "text": None, "media_ref": ref, "offset": 2},
+            ],
+        }
+    ]
+    docs_df = spark.createDataFrame(rows, schema=schemas.DOCUMENTS)
+    fused = _spans(extract.extract_documents(docs_df, media_df))
+    two = _spans(extract.extract_documents_two_phase(docs_df, media_df))
+    assert two == fused
+    # both media occurrences contribute once each: identical block texts
+    per_offsetish = [s for s in fused["dup-doc"] if s[2] == ref]
+    assert len(per_offsetish) % 2 == 0 and len(per_offsetish) > 0
+
+
 def test_recognize_from_edited_boxes_matches_oracle(spark):
     docs, media, docs_df, media_df = _dfs(spark)
     pages = extract.decode_pages(docs_df, media_df)

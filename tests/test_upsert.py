@@ -49,6 +49,32 @@ def test_apply_span_edits_edit_and_delete(spark):
     assert b == [("keep", 0)]
 
 
+def test_conflicting_edits_resolve_deterministically(spark):
+    """Duplicate (doc_id, offset) edits must not abort the job: delete
+    beats edit, then greatest new_text wins."""
+    rows = [
+        {
+            "doc_id": "a",
+            "spans": [
+                {"kind": "text", "text": "one", "media_ref": None, "offset": 0},
+                {"kind": "text", "text": "two", "media_ref": None, "offset": 1},
+            ],
+        }
+    ]
+    docs = _docs_df(spark, rows)
+    edits = spark.createDataFrame(
+        [
+            ("a", 0, "edit", "AAA"),
+            ("a", 0, "delete", None),   # delete wins over edit
+            ("a", 1, "edit", "BBB"),
+            ("a", 1, "edit", "CCC"),    # greatest new_text wins
+        ],
+        "doc_id string, offset int, op string, new_text string",
+    )
+    got = {r["doc_id"]: r["spans"] for r in apply_span_edits(docs, edits).collect()}
+    assert [(s["text"], s["offset"]) for s in got["a"]] == [("CCC", 0)]
+
+
 def test_upsert_results_rewrites_only_touched_buckets(spark, tmp_path):
     docs, media = corpus.generate(20, seed=31, max_pages=4)
     docs_df = _docs_df(spark, docs)

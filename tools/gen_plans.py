@@ -58,8 +58,8 @@ sections.append(("Extraction pipeline (end-to-end)",
 
 with open("/root/repo/docs/PLANS.md", "w") as f:
     f.write("# Physical plan evidence (`.explain(\"formatted\")`)\n\n")
-    f.write("Captured at sf0.01 on local mode; regenerate with `python /tmp/gen_plans.py`"
-            " (or see tools/gen_plans.py).\n")
+    f.write("Captured at sf0.01 on local mode; regenerate with "
+            "`python tools/gen_plans.py`.\n")
     for title, note, plan in sections:
         f.write(f"\n## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
 print("written")
