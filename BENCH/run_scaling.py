@@ -191,7 +191,8 @@ ABBA and best-of is reported for that reason.
 
 Raw: `{json.dumps(result)}`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # single-run view; BENCH/BASELINE.md is the curated multi-run summary
+    with open(os.path.join(REPO, "BENCH", "LAST_RUN.md"), "w") as f:
         f.write(md)
     print(json.dumps(result))
 
