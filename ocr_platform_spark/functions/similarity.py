@@ -209,6 +209,42 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF index against exact brute force, per query —
+    the measurement that justifies (or rejects) an ANN configuration."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "n_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("q_id", "n_id")
+    hits = bf.join(ivf, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    total = bf.groupBy("q_id").agg(F.count("*").alias("n_true"))
+    return (
+        total.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            fxp(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_true")
+            ).alias("recall_fxp4"),
+        )
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH bf AS ({ANN_BRUTEFORCE_SQL.replace(';', '')}),
+ivf AS ({ANN_IVF_SQL.replace(';', '')}),
+hits AS (
+  SELECT bf.q_id, count(*) AS n_hit
+  FROM bf JOIN ivf ON bf.q_id = ivf.q_id AND bf.n_id = ivf.n_id
+  GROUP BY bf.q_id
+),
+total AS (SELECT q_id, count(*) AS n_true FROM bf GROUP BY q_id)
+SELECT t.q_id,
+  {sql_fxp('CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_true')} AS recall_fxp4
+FROM total t LEFT JOIN hits h ON h.q_id = t.q_id
+"""
+
+
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector.
 

@@ -631,6 +631,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.ANN_BRUTEFORCE_SQL,
     ),
     "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
+    "ann_recall": (similarity.ann_recall, similarity.ANN_RECALL_SQL),
     "lsh_buckets": (similarity.lsh_buckets, similarity.LSH_BUCKETS_SQL),
     "embedding_near_dup_lsh": (
         similarity.embedding_near_dup_lsh,
