@@ -43,10 +43,23 @@ MEDIA_META_SCHEMA = (
     "media_ref string, kind string, n_pages int, width int, height int, "
     "n_bands int"
 )
-FEATURE_SCHEMA = "media_ref string, page_index int, feature array<double>"
+FEATURE_SCHEMA = (
+    "media_ref string, page_index int, dim int, value_fxp6 bigint"
+)
 FRAME_SAMPLE_SCHEMA = (
     "media_ref string, frame_index int, width int, height int, n_bands int"
 )
+
+MEDIA_KIND_ERROR = "error"  # quarantined: payload failed container parse
+
+
+def _fxp6(v: float) -> int:
+    """floor(v * 10^6 + 0.5) — the shared engine-neutral fixed-point
+    rounding (functions/common.fxp), applied Python-side so feature values
+    cross the Arrow boundary as hashable BIGINT scalars."""
+    import math
+
+    return int(math.floor(v * 1_000_000 + 0.5))
 
 
 def decode_real_media(raw: bytes):  # pragma: no cover - stub by design
@@ -120,7 +133,19 @@ def media_metadata(media: DataFrame) -> DataFrame:
             out = {k: [] for k in
                    ["media_ref", "kind", "n_pages", "width", "height", "n_bands"]}
             for ref, raw in zip(pdf["media_ref"], pdf["data"]):
-                kind, pages = formats.decode_media(bytes(raw))
+                try:
+                    kind, pages = formats.decode_media(bytes(raw))
+                except Exception:
+                    # malformed blob must not fail the job — same quarantine
+                    # posture as operators/extract._decode_batches: one error
+                    # row, zeroed metadata
+                    out["media_ref"].append(ref)
+                    out["kind"].append(MEDIA_KIND_ERROR)
+                    out["n_pages"].append(0)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["n_bands"].append(0)
+                    continue
                 out["media_ref"].append(ref)
                 out["kind"].append(kind)
                 out["n_pages"].append(len(pages))
@@ -143,30 +168,41 @@ def media_metadata(media: DataFrame) -> DataFrame:
 def page_features(media: DataFrame, dims: int = 8) -> DataFrame:
     """Per-page feature vector from the rendered band layout.
 
-    Deterministic stand-in for a CNN feature extractor: an ``dims``-bin
-    histogram of band-box geometry (x, y, width fractions), L2-normalized
-    in float64 numpy. Real plumbing: binary in, ``array<double>`` out, one
-    row per page (UDTF-shaped explode inside the UDF).
+    Deterministic stand-in for a CNN feature extractor: a ``dims``-bin
+    histogram of band-box geometry (x, y fractions), L2-normalized in
+    float64 numpy. Real plumbing: binary in, one row per **component**
+    out — ``(media_ref, page_index, dim, value_fxp6)`` — so every output
+    column is a hashable scalar (array columns break value-hash compares
+    at exchange boundaries; the fxp encoding is the shared cross-engine
+    rounding from functions/common). Corrupt payloads are quarantined
+    (skipped), matching the extraction pipeline's posture.
     """
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            refs, idxs, feats = [], [], []
+            refs, idxs, dim_idx, vals = [], [], [], []
             for ref, raw in zip(pdf["media_ref"], pdf["data"]):
-                _, pages = formats.decode_media(bytes(raw))
+                try:
+                    _, pages = formats.decode_media(bytes(raw))
+                except Exception:
+                    continue  # quarantined: no decodable pages
                 for i, page in enumerate(pages):
                     h = np.zeros(dims, dtype=np.float64)
                     for b in page.bands:
                         h[int(dims * b.x / max(1, page.width)) % dims] += 1.0
                         h[int(dims * b.y / max(1, page.height)) % dims] += 0.5
                     n = np.linalg.norm(h)
-                    refs.append(ref)
-                    idxs.append(i)
-                    feats.append((h / n if n > 0 else h).tolist())
+                    feat = h / n if n > 0 else h
+                    for d in range(dims):
+                        refs.append(ref)
+                        idxs.append(i)
+                        dim_idx.append(d)
+                        vals.append(_fxp6(float(feat[d])))
             yield pd.DataFrame(
                 {"media_ref": refs,
                  "page_index": pd.Series(idxs, dtype="int32"),
-                 "feature": feats}
+                 "dim": pd.Series(dim_idx, dtype="int32"),
+                 "value_fxp6": pd.Series(vals, dtype="int64")}
             )
 
     return media.select("media_ref", "data").mapInPandas(
@@ -187,7 +223,10 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
             out = {k: [] for k in
                    ["media_ref", "frame_index", "width", "height", "n_bands"]}
             for ref, raw in zip(pdf["media_ref"], pdf["data"]):
-                _, pages = formats.decode_media(bytes(raw))
+                try:
+                    _, pages = formats.decode_media(bytes(raw))
+                except Exception:
+                    continue  # quarantined: no decodable frames
                 for i in range(0, len(pages), every):
                     out["media_ref"].append(ref)
                     out["frame_index"].append(i)
