@@ -153,18 +153,43 @@ WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
 
 
 # --- MinHash + LSH -----------------------------------------------------------
+#
+# One md5 per shingle; the K=16 permutation values are derived from it by
+# Kirsch–Mitzenmacher double hashing, h_k = (h1 + k*h2) mod 2^60, with h1
+# the first 60 digest bits and h2 split into two 30-bit halves so every
+# intermediate fits a signed 64-bit integer in both engines (no ANSI
+# overflow):  h_k = (v1 + ((k*vh) % 2^30)*2^30 + k*vl) % 2^60.
+# This cuts hashing cost ~16x vs the former one-md5-per-(k, shingle)
+# scheme, and the derivation is mirrored exactly in DuckDB SQL.
+
+_M30 = 1 << 30
+_MASK30 = _M30 - 1
+_M60 = 1 << 60
 
 
+def _sql_hk(d: str, k: str) -> str:
+    """DuckDB mirror of the double-hash derivation over hex digest ``d``."""
+    v1 = f"CAST(CAST('0x' || substr({d}, 1, 15) AS UBIGINT) AS BIGINT)"
+    vh = f"(CAST(CAST('0x' || substr({d}, 16, 8) AS UBIGINT) AS BIGINT) & {_MASK30})"
+    vl = f"(CAST(CAST('0x' || substr({d}, 24, 8) AS UBIGINT) AS BIGINT) & {_MASK30})"
+    return f"(({v1} + (({k} * {vh}) % {_M30}) * {_M30} + {k} * {vl}) % {_M60})"
+
+
+_SQL_DS = f"""
+list_transform(
+  CASE WHEN len(list_distinct({sql_shingles('t', 3)})) > 0
+       THEN list_distinct({sql_shingles('t', 3)})
+       ELSE [array_to_string(t, ' ')] END,
+  s -> md5(s))
+"""
+
+# expects a column ``ds`` (list of per-shingle md5 hex digests) in scope
 _SQL_SIG = f"""
 list_transform(range(0, {MINHASH_K}), k ->
-  list_aggregate(
-    list_transform(
-      CASE WHEN len(list_distinct({sql_shingles('t', 3)})) > 0
-           THEN list_distinct({sql_shingles('t', 3)})
-           ELSE [array_to_string(t, ' ')] END,
-      s -> {sql_hash60("CAST(k AS VARCHAR) || ':' || s")}),
-    'min'))
+  list_aggregate(list_transform(ds, d -> {_sql_hk('d', 'k')}), 'min'))
 """
+
+_SIG_CTE = f"dsig AS (SELECT doc_id, {_SQL_DS} AS ds FROM tok)"
 
 
 def _signature_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,7 +197,9 @@ def _signature_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on doc_id with map-side partial mins; the basis explode
     (distinct shingles, or the normalized text for <3-token docs) never
-    leaves a doc without rows, so no re-attach join is needed.
+    leaves a doc without rows, so no re-attach join is needed. The md5 is
+    evaluated once per shingle row; the K mins run over cheap codegen'd
+    integer arithmetic on its 120 digest bits.
     """
     docs = _docs_tokens(spark, sf_dir)
     sh = F.array_distinct(shingles(F.col("t"), 3))
@@ -180,10 +207,28 @@ def _signature_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.array_join("t", " "))
     )
     rows = docs.select("doc_id", F.explode(basis).alias("s"))
-    agg = rows.groupBy("doc_id").agg(
+    d = F.md5("s")
+    pre = rows.select(
+        "doc_id",
+        F.conv(F.substring(d, 1, 15), 16, 10).cast("long").alias("v1"),
+        F.conv(F.substring(d, 16, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(_MASK30))
+        .alias("vh"),
+        F.conv(F.substring(d, 24, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(_MASK30))
+        .alias("vl"),
+    )
+    agg = pre.groupBy("doc_id").agg(
         *[
             F.min(
-                hash60(F.concat(F.lit(f"{k}:"), F.col("s")))
+                (
+                    F.col("v1")
+                    + ((F.lit(k) * F.col("vh")) % F.lit(_M30)) * F.lit(_M30)
+                    + F.lit(k) * F.col("vl")
+                )
+                % F.lit(_M60)
             ).alias(f"m{k}")
             for k in range(MINHASH_K)
         ]
@@ -204,11 +249,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MINHASH_SIGNATURES_SQL = f"""
-WITH tok AS ({_TOK_CTE})
+WITH tok AS ({_TOK_CTE}),
+{_SIG_CTE}
 SELECT doc_id,
   array_to_string(list_transform({_SQL_SIG}, v -> CAST(v AS VARCHAR)), '-')
     AS sig
-FROM tok
+FROM dsig
 """
 
 
@@ -270,7 +316,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RPB = MINHASH_K // LSH_BANDS
 MINHASH_LSH_PAIRS_SQL = f"""
 WITH tok AS ({_TOK_CTE}),
-sig AS (SELECT doc_id, {_SQL_SIG} AS sig FROM tok),
+{_SIG_CTE},
+sig AS (SELECT doc_id, {_SQL_SIG} AS sig FROM dsig),
 bands AS (
   SELECT doc_id, b AS band,
     md5(array_to_string(
