@@ -29,7 +29,14 @@ MINHASH_K = 16          # permutations
 LSH_BANDS = 4           # bands of MINHASH_K // LSH_BANDS rows
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 60       # fits signed int64
-SIMHASH_CHUNKS = 4      # 15-bit chunks: pigeonhole recall for hamming <= 3
+# Banding must pigeonhole-cover the pair radius: with HAMMING_THRESHOLD=6,
+# 7 chunks guarantee any qualifying pair shares at least one unchanged
+# chunk (6 differing bits can touch at most 6 of 7 chunks) — the output
+# contract is therefore EXACT recall at radius 6, not best-effort.
+# 60 bits / 7 chunks -> 9-bit chunks (the 7th covers bits 54-59).
+SIMHASH_CHUNKS = 7
+SIMHASH_CHUNK_BITS = 9
+SIMHASH_CHUNK_MASK = (1 << SIMHASH_CHUNK_BITS) - 1
 HAMMING_THRESHOLD = 6
 # sf testdata vectors are near-orthogonal (max pairwise cos ≈ 0.51);
 # 0.35 keeps the check non-trivial (~top 0.1% of pairs) while the operator
@@ -410,9 +417,10 @@ FROM tv
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= {HAMMING_THRESHOLD}, found via
-    15-bit chunk banding (pigeonhole: any pair within Hamming 3 shares a
-    chunk; wider radii trade recall) — never a cross join."""
+    """ALL pairs with Hamming(simhash) <= {HAMMING_THRESHOLD}, found via
+    {SIMHASH_CHUNKS}-chunk banding — exact recall by pigeonhole (see the
+    SIMHASH_CHUNKS comment), never a cross join. Narrower chunks mean more
+    candidates to verify; the verify step (bit_count) is cheap."""
     sims = simhash(spark, sf_dir)
     chunks = sims.select(
         "doc_id",
@@ -420,7 +428,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
-                f"c -> (shiftright(simhash, c * 15) & 32767))"
+                f"c -> (shiftright(simhash, c * {SIMHASH_CHUNK_BITS})"
+                f" & {SIMHASH_CHUNK_MASK}))"
             )
         ).alias("chunk", "cv"),
     )
@@ -461,7 +470,8 @@ sims AS (
   FROM tv
 ),
 chunks AS (
-  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 15)) & 32767 AS cv
+  SELECT doc_id, simhash, c AS chunk,
+         (simhash >> (c * {SIMHASH_CHUNK_BITS})) & {SIMHASH_CHUNK_MASK} AS cv
   FROM sims, unnest(range(0, {SIMHASH_CHUNKS})) AS u(c)
 ),
 cand AS (
@@ -479,17 +489,32 @@ WHERE bit_count(xor(a_sim, b_sim)) <= {HAMMING_THRESHOLD}
 # --- embedding cosine near-dup ----------------------------------------------
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector pairs with cosine >= {COSINE_DUP_THRESHOLD}.
+# hard ceiling for the exact O(n^2) tier: beyond this, the crossJoin is a
+# mistake by construction — use embedding_near_dup_lsh (the banded path)
+EXACT_NEAR_DUP_MAX_ROWS = 100_000
 
-    sf-test path is the verify step only; the scale path buckets candidates
-    with :func:`ocr_platform_spark.functions.similarity.lsh_buckets` first
-    (random-hyperplane LSH) so the join is band-keyed, not a cross join.
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector pairs with cosine >= {COSINE_DUP_THRESHOLD} — the EXACT
+    verify tier, deliberately O(n^2).
+
+    Guarded: refuses inputs above EXACT_NEAR_DUP_MAX_ROWS rows so the
+    cross join can't be pointed at a big table by accident — the scale
+    path is :func:`ocr_platform_spark.functions.similarity.
+    embedding_near_dup_lsh` (band-keyed candidates, exact verify;
+    tests/test_dedup_recall.py measures its recall against this tier).
     Vector loading and the sequential cosine fold are shared with the
     similarity module (one bit-exactness-critical implementation)."""
     from . import similarity
 
     emb = similarity._vectors(spark, sf_dir)
+    n = emb.count()
+    if n > EXACT_NEAR_DUP_MAX_ROWS:
+        raise ValueError(
+            f"embedding_near_dup is the exact O(n^2) verify tier and got "
+            f"{n} rows (> {EXACT_NEAR_DUP_MAX_ROWS}); use "
+            f"similarity.embedding_near_dup_lsh for large inputs"
+        )
     a = emb.select(
         F.col("vec_id").alias("a_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )

@@ -318,7 +318,14 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("vec_id", bucket.alias("bucket"))
 
 
-LSH_NEARDUP_BANDS = 3      # bands of LSH_PLANES // LSH_NEARDUP_BANDS sign bits
+# Banding config trades recall against candidate volume for the corpus's
+# cosine regime: more/narrower bands -> higher recall, more candidates.
+# 4 bands x 3 sign bits gives measured recall ~0.6-0.7 at the test
+# corpus's (deliberately hard) near-orthogonal threshold 0.35; at a
+# production near-dup threshold (cos >= 0.9, p_agree ~ 0.86/plane) the
+# same config yields >0.95 recall. tests/test_dedup_recall.py pins the
+# subset property and bounds the measured recall.
+LSH_NEARDUP_BANDS = 4      # bands of LSH_PLANES // LSH_NEARDUP_BANDS sign bits
 _BAND_BITS = LSH_PLANES // LSH_NEARDUP_BANDS
 _BAND_MASK = (1 << _BAND_BITS) - 1
 

@@ -1,0 +1,61 @@
+"""Recall contracts of the banded candidate-generation paths.
+
+Two guarantees the pair operators now state explicitly:
+
+* ``simhash_pairs``: EXACT recall at Hamming <= HAMMING_THRESHOLD —
+  7-chunk banding pigeonhole-covers radius 6, so banding must find every
+  qualifying pair, verified here against a brute-force O(n^2) Python scan.
+* ``embedding_near_dup_lsh``: pairs are a SUBSET of the exact tier
+  (precision is exact — banding only trades recall), with recall
+  measured and sanity-bounded.
+
+Plus the exact-tier guard: ``embedding_near_dup`` must refuse inputs
+larger than EXACT_NEAR_DUP_MAX_ROWS.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from ocr_platform_spark.functions import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_simhash_pairs_exact_recall_vs_bruteforce(spark):
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash(spark, SF).collect()}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sims), 2):
+        ham = bin(sims[a] ^ sims[b]).count("1")
+        if ham <= dedup.HAMMING_THRESHOLD:
+            expected.add((a, b, ham))
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in dedup.simhash_pairs(spark, SF).collect()
+    }
+    assert got == expected  # exact, both directions: no misses, no extras
+
+
+def test_embedding_lsh_pairs_subset_of_exact_with_recall(spark):
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos_fxp6"]
+        for r in dedup.embedding_near_dup(spark, SF).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]): r["cos_fxp6"]
+        for r in similarity.embedding_near_dup_lsh(spark, SF).collect()
+    }
+    # precision is exact: every LSH pair is an exact pair with the same cosine
+    for pair, cos in lsh.items():
+        assert pair in exact and exact[pair] == cos
+    # recall is a property of the banding config; measure and bound it
+    recall = len(lsh) / len(exact) if exact else 1.0
+    assert recall >= 0.5, f"banded recall collapsed: {recall:.2f}"
+
+
+def test_exact_near_dup_tier_is_guarded(spark, monkeypatch):
+    monkeypatch.setattr(dedup, "EXACT_NEAR_DUP_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        dedup.embedding_near_dup(spark, SF)
