@@ -71,5 +71,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; extraction
     and multimodal pipelines are rows-only (pinned exactly by pytest
-    against the single-node oracle instead)."""
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql}
+    against the single-node oracle instead). Callable slots are lazy
+    oracle builders (expensive derivations, e.g. source_map_blocks runs
+    the single-node OCR oracle once) — resolved here."""
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_fn, sql) in REGISTRY.items()
+        if sql
+    }

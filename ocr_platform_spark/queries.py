@@ -31,7 +31,7 @@ from . import corpus as corpus_mod
 from . import multimodal, schemas
 from .functions import dedup, html_extract, similarity, textstats
 from .functions.common import fxp
-from .operators import extract
+from .operators import extract, source_map
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -579,8 +579,13 @@ FROM events GROUP BY 1, 2
 # --- registry ----------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+# oracle slot: a SQL string, a zero-arg callable returning one (for
+# oracles that are expensive to derive — built lazily, e.g. the
+# source-map oracle which runs the single-node OCR oracle), or None
+# (rows-only pipelines pinned by pytest instead)
+OracleSql = "str | Callable[[], str] | None"
 
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+REGISTRY: dict[str, tuple[QueryFn, object]] = {
     # relational operator surface (SURVEY.md §2)
     "topk_recent_orders": (topk_recent_orders, TOPK_RECENT_ORDERS_SQL),
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
@@ -649,6 +654,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # extraction pipeline (non-SQL-expressible: rows-only driver check,
     # exact span-sequence equality pinned by tests/test_extract_spark.py)
+    # true J5: structure-node source map — blocks from the REAL Spark
+    # detect+recognize pipeline range-joined to node anchors; the oracle
+    # recomputes the blocks independently via the single-node Python
+    # oracle, so this gate cross-checks the whole extraction stack
+    "source_map_blocks": (
+        source_map.source_map_blocks_query,
+        source_map.source_map_blocks_oracle_sql,
+    ),
     "extract_spans": (extract_spans, None),
     "extract_detect_boxes": (extract_detect_boxes, None),
     "extract_two_phase": (extract_two_phase, None),

@@ -59,6 +59,8 @@ def main() -> int:
     failures = []
     for name in names:
         fn, sql = REGISTRY[name]
+        if callable(sql):
+            sql = sql()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
