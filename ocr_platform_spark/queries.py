@@ -263,6 +263,44 @@ GROUP BY bin_id
 """
 
 
+# --- M15: coordinate-space conversion (150-dpi px ↔ PDF points) --------------
+
+
+def coord_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """px→pt→px over a pixel-valued column with the FE's exact constants
+    and Math.round semantics (functions/coords.py; M15). The round trip
+    must be the identity — the oracle recomputes all three columns."""
+    from .functions import coords
+
+    ev = _t(spark, sf_dir, "events")
+    px = F.pmod(F.col("event_id"), F.lit(3000)).cast("long")
+    pt = coords.px_to_pt(px)
+    return ev.select(
+        "event_id",
+        px.alias("px"),
+        fxp(pt, 6).alias("pt_fxp6"),
+        coords.pt_to_px(pt).alias("px_roundtrip"),
+    )
+
+
+def _coord_convert_sql() -> str:
+    from .functions import coords
+
+    px = "(event_id % 3000)"
+    pt = coords.sql_px_to_pt(px)
+    from .functions.common import sql_fxp
+
+    return f"""
+SELECT event_id, CAST({px} AS BIGINT) AS px,
+  {sql_fxp(pt, 6)} AS pt_fxp6,
+  {coords.sql_pt_to_px(pt)} AS px_roundtrip
+FROM events
+"""
+
+
+COORD_CONVERT_SQL = _coord_convert_sql()
+
+
 # --- aggregate extensions (beyond the reference's surface) -------------------
 
 
@@ -603,6 +641,7 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
     "session_json": (session_json, SESSION_JSON_SQL),
     "stream_window_counts": (stream_window_counts, STREAM_WINDOW_COUNTS_SQL),
     "zip_align_events": (zip_align_events, ZIP_ALIGN_EVENTS_SQL),
+    "coord_convert": (coord_convert, COORD_CONVERT_SQL),
     # text analysis
     "token_stats": (textstats.token_stats, textstats.TOKEN_STATS_SQL),
     "quality_scores": (textstats.quality_scores, textstats.QUALITY_SCORES_SQL),
