@@ -102,6 +102,40 @@ def apply_span_edits(documents_out: DataFrame, edits: DataFrame) -> DataFrame:
     )
 
 
+def _staging_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_upsert_staging")
+
+
+def _publish_staging(spark: SparkSession, staging: str, data_dir: str) -> None:
+    (
+        spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("partition_id")
+        .parquet(data_dir)
+    )
+
+
+def recover_pending_upsert(spark: SparkSession, out_dir: str) -> bool:
+    """Make the stage-then-publish recovery story executable: if a previous
+    upsert crashed *after* staging completed (``_SUCCESS`` marker present)
+    but before/while publishing, re-publish the staged buckets (dynamic
+    overwrite is idempotent); if the crash happened mid-staging (no
+    marker), the staged copy is garbage and the data dir is still the
+    pre-upsert state — drop it. Returns True if staged buckets were
+    re-published."""
+    import shutil
+
+    staging = _staging_dir(out_dir)
+    if not os.path.isdir(staging):
+        return False
+    complete = os.path.exists(os.path.join(staging, "_SUCCESS"))
+    if complete:
+        _publish_staging(spark, staging, os.path.join(out_dir, "data"))
+    shutil.rmtree(staging)
+    return complete
+
+
 def upsert_results(
     spark: SparkSession,
     out_dir: str,
@@ -110,7 +144,14 @@ def upsert_results(
 ) -> int:
     """MERGE the edits into the bucketed extraction output at
     ``out_dir``/data; rewrites only the buckets containing edited docs.
-    Returns the number of rewritten buckets."""
+    Returns the number of rewritten buckets.
+
+    Entry first heals any leftover staging from a crashed upsert
+    (:func:`recover_pending_upsert`); a successful publish removes its
+    own staging copy."""
+    import shutil
+
+    recover_pending_upsert(spark, out_dir)
     data_dir = os.path.join(out_dir, "data")
     touched = [
         r["partition_id"]
@@ -128,15 +169,10 @@ def upsert_results(
     # first, so a crash during the (non-atomic on plain parquet) dynamic
     # overwrite leaves a durable copy to re-publish from. With Iceberg the
     # whole thing is one atomic MERGE INTO and the staging step disappears.
-    staging = os.path.join(out_dir, "_upsert_staging")
+    staging = _staging_dir(out_dir)
     with_partition_id(merged, num_buckets).write.mode("overwrite").parquet(
         staging
     )
-    (
-        spark.read.parquet(staging)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("partition_id")
-        .parquet(data_dir)
-    )
+    _publish_staging(spark, staging, data_dir)
+    shutil.rmtree(staging)  # publish succeeded — the durable copy is data/
     return len(touched)

@@ -176,15 +176,20 @@ def stream_extract(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.perf_counter()
+        # count once on the raw source batch (column-pruned parquet scan),
+        # recorded in lineage AND handed to the callback — on_batch must
+        # not trigger a second pass over the micro-batch
+        n_docs = batch_df.count()
         out = extract_documents(batch_df, media, num_partitions=num_partitions)
         out.write.mode("append").parquet(data_dir)
         wall = time.perf_counter() - t0
         lineage = batch_df.sparkSession.createDataFrame(
-            [(int(batch_id), float(wall))], "batch_id long, wall_time_s double"
+            [(int(batch_id), int(n_docs), float(wall))],
+            "batch_id long, doc_count long, wall_time_s double",
         ).withColumn("completed_at", F.current_timestamp())
         lineage.write.mode("append").parquet(lineage_dir)
         if on_batch is not None:
-            on_batch(batch_id, batch_df.count())
+            on_batch(batch_id, n_docs)
 
     writer = (
         stream.writeStream.foreachBatch(_process)

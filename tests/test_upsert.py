@@ -113,3 +113,71 @@ def test_upsert_results_rewrites_only_touched_buckets(spark, tmp_path):
     data = os.path.join(out, "data")
     parts = [p for p in os.listdir(data) if p.startswith("partition_id=")]
     assert len(parts) > 1
+
+
+def test_upsert_staging_cleanup_and_crash_recovery(spark, tmp_path):
+    from ocr_platform_spark.operators import upsert as upsert_mod
+
+    docs, media = corpus.generate(16, seed=35, max_pages=3)
+    docs_df = _docs_df(spark, docs)
+    media_df = spark.createDataFrame(
+        [{"media_ref": k, **v} for k, v in sorted(media.items())],
+        schema=schemas.MEDIA,
+    )
+    out = str(tmp_path / "out")
+    run_extract_job(
+        spark, docs_df, media_df, out_dir=out, run_id="r1", num_buckets=8,
+        chunk_buckets=8,
+    )
+    target = sorted(
+        r["doc_id"] for r in read_result(spark, out).select("doc_id").collect()
+    )[0]
+    edits = spark.createDataFrame(
+        [(target, 0, "edit", "EDITED")],
+        "doc_id string, offset int, op string, new_text string",
+    )
+
+    # 1. a successful upsert leaves no staging behind
+    upsert_results(spark, out, edits, num_buckets=8)
+    staging = upsert_mod._staging_dir(out)
+    assert not os.path.exists(staging)
+
+    # 2. crash between staging and publish: stage a second edit manually
+    # (exactly what upsert_results writes), skip the publish
+    edits2 = spark.createDataFrame(
+        [(target, 0, "edit", "EDITED-TWICE")],
+        "doc_id string, offset int, op string, new_text string",
+    )
+    from ocr_platform_spark.lineage import with_partition_id
+    from ocr_platform_spark.operators.upsert import apply_span_edits as ase
+
+    touched_pid = with_partition_id(
+        edits2.select("doc_id").distinct(), 8
+    ).select("partition_id").first()["partition_id"]
+    current = spark.read.parquet(os.path.join(out, "data")).filter(
+        f"partition_id = {touched_pid}"
+    )
+    staged = ase(current.drop("partition_id"), edits2)
+    with_partition_id(staged, 8).write.mode("overwrite").parquet(staging)
+    assert os.path.exists(os.path.join(staging, "_SUCCESS"))
+
+    # recovery re-publishes the completed staging and removes it
+    assert upsert_mod.recover_pending_upsert(spark, out) is True
+    assert not os.path.exists(staging)
+    got = {
+        r["doc_id"]: [(s["text"], s["offset"]) for s in r["spans"]]
+        for r in read_result(spark, out).collect()
+    }
+    assert got[target][0] == ("EDITED-TWICE", 0)
+
+    # 3. crash mid-staging (no _SUCCESS): recovery drops the garbage copy
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial")
+    assert upsert_mod.recover_pending_upsert(spark, out) is False
+    assert not os.path.exists(staging)
+    after = {
+        r["doc_id"]: [(s["text"], s["offset"]) for s in r["spans"]]
+        for r in read_result(spark, out).collect()
+    }
+    assert after == got
