@@ -35,6 +35,30 @@ from dataclasses import dataclass, field
 MAGIC_PDF = b"SPDF1"
 MAGIC_IMG = b"SIMG1"
 
+# real-world container magics (the optional codec seam; see sniff_kind)
+MAGIC_REAL_PDF = b"%PDF-"
+MAGIC_REAL_PNG = b"\x89PNG\r\n\x1a\n"
+MAGIC_REAL_JPEG = b"\xff\xd8\xff"
+
+
+def sniff_kind(raw: bytes) -> str:
+    """Byte-level content sniffing (the reference dispatches on
+    content-type/extension, ``ocr_tasks.py:36-39``; serving sniffs magic
+    bytes). Returns one of ``spdf | simg | pdf | png | jpeg | unknown`` —
+    ``pdf``/``png``/``jpeg`` are REAL codecs handled by the optional
+    :func:`ocr_platform_spark.multimodal.decode_real_media` seam."""
+    if raw.startswith(MAGIC_PDF):
+        return "spdf"
+    if raw.startswith(MAGIC_IMG):
+        return "simg"
+    if raw.startswith(MAGIC_REAL_PDF):
+        return "pdf"
+    if raw.startswith(MAGIC_REAL_PNG):
+        return "png"
+    if raw.startswith(MAGIC_REAL_JPEG):
+        return "jpeg"
+    return "unknown"
+
 RENDER_DPI = 150  # ref: apps/worker/app/tasks/ocr_tasks.py:47 (get_pixmap(dpi=150))
 PDF_POINT_DPI = 72  # PDF user-space points per inch
 
@@ -88,6 +112,13 @@ def decode_media(raw: bytes) -> tuple[str, list[PageDesc]]:
     elif magic == MAGIC_IMG:
         kind = "image"
     else:
+        sniffed = sniff_kind(raw)
+        if sniffed in ("pdf", "png", "jpeg"):
+            raise ValueError(
+                f"real-codec payload ({sniffed}): decode with "
+                "ocr_platform_spark.multimodal.decode_real_media "
+                "(requires the optional PIL / pypdfium2 libraries)"
+            )
         raise ValueError(f"unknown media magic {magic!r}")
     doc = json.loads(zlib.decompress(body).decode("utf-8"))
     pages = [

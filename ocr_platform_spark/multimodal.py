@@ -37,6 +37,10 @@ try:  # pragma: no cover
     from PIL import Image as _PILImage  # type: ignore
 except ImportError:  # pragma: no cover
     _PILImage = None
+try:  # pragma: no cover
+    import pypdfium2 as _pdfium  # type: ignore
+except ImportError:  # pragma: no cover
+    _pdfium = None
 
 PAYLOAD_STATS_SCHEMA = "doc_id bigint, n_bytes bigint, digest string"
 MEDIA_META_SCHEMA = (
@@ -62,18 +66,50 @@ def _fxp6(v: float) -> int:
     return int(math.floor(v * 1_000_000 + 0.5))
 
 
-def decode_real_media(raw: bytes):  # pragma: no cover - stub by design
-    """Decode a real-world image payload (JPEG/PNG). STUB: the imaging
-    libraries are not installed in this environment; the Spark plumbing
-    around this function is real and tested with SPDF1/SIMG1 payloads."""
-    if _PILImage is None:
-        raise NotImplementedError(
-            "real-codec decode requires PIL; use SPDF1/SIMG1 containers "
-            "(ocr_platform_spark.formats) in this environment"
-        )
+def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
+    """Decode a REAL-codec payload to rasters: ``(kind, [HxWx3 uint8])``.
+
+    The optional codec seam (import-gated — PIL / pypdfium2 are not in
+    this environment; tests/test_real_codecs.py exercises it where they
+    are and SKIPS elsewhere). Mirrors the reference's ``_raw_to_pages``
+    (``apps/worker/app/tasks/ocr_tasks.py:34-55``): PDF pages render at
+    ``RENDER_DPI`` (150), images decode at native size via
+    ``convert("RGB")``. Dispatch is on magic bytes
+    (:func:`ocr_platform_spark.formats.sniff_kind`); synthetic SPDF1/SIMG1
+    containers should go through :func:`formats.decode_media` instead.
+    """
     import io
 
-    return _PILImage.open(io.BytesIO(raw)).convert("RGB")
+    kind = formats.sniff_kind(raw)
+    if kind in ("spdf", "simg"):
+        raise ValueError(
+            "synthetic container: decode with formats.decode_media"
+        )
+    if kind == "pdf":
+        if _pdfium is None:
+            raise NotImplementedError(
+                "real PDF decode requires pypdfium2 (not installed here); "
+                "use SPDF1 containers (ocr_platform_spark.formats) instead"
+            )
+        doc = _pdfium.PdfDocument(io.BytesIO(raw))
+        scale = formats.RENDER_DPI / formats.PDF_POINT_DPI  # dpi=150
+        pages = []
+        for page in doc:
+            bitmap = page.render(scale=scale)
+            arr = bitmap.to_numpy()
+            if arr.ndim == 2:  # grayscale -> RGB
+                arr = np.stack([arr] * 3, axis=-1)
+            pages.append(np.ascontiguousarray(arr[:, :, :3]))
+        return "pdf", pages
+    if kind in ("png", "jpeg"):
+        if _PILImage is None:
+            raise NotImplementedError(
+                "real image decode requires PIL (not installed here); "
+                "use SIMG1 containers (ocr_platform_spark.formats) instead"
+            )
+        img = _PILImage.open(io.BytesIO(raw)).convert("RGB")
+        return "image", [np.asarray(img, dtype=np.uint8)]
+    raise ValueError(f"unknown media magic {raw[:5]!r}")
 
 
 # --- payload stats (binary column round-trip, oracle-checkable) --------------
