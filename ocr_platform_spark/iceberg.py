@@ -1,0 +1,76 @@
+"""Iceberg table seam (BASELINE north star: the 10^12-doc corpus is an
+Iceberg table).
+
+This sandbox has no Iceberg catalog (no spark-iceberg runtime jar), so
+the engine's committed path simulates the two Iceberg primitives it needs
+with hash-bucketed parquet + dynamic partition overwrite
+(:mod:`ocr_platform_spark.lineage`, :mod:`ocr_platform_spark.operators.upsert`).
+This module is the explicit upgrade seam: when a catalog IS configured
+(``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``),
+pass an :class:`IcebergSink` and the same jobs run as native Iceberg
+operations instead:
+
+* per-chunk commit → ``df.writeTo(table).overwritePartitions()`` — an
+  atomic REPLACE of exactly the partitions present in the chunk (the
+  dynamic-overwrite analog, but with snapshot isolation, so the staging
+  copy and crash-recovery dance in ``upsert.py`` disappear);
+* result edits → one ``MERGE INTO ... WHEN MATCHED THEN UPDATE`` (the
+  edits side is tiny — human edits — so the merge broadcasts it).
+
+Unit-tested at the SQL/plan-construction level (the catalog itself can't
+run here); the parquet fallback is the default and fully tested.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(part: str) -> str:
+    if not _IDENT.match(part):
+        raise ValueError(f"invalid identifier part: {part!r}")
+    return part
+
+
+@dataclass(frozen=True)
+class IcebergSink:
+    """Target Iceberg table, ``catalog.namespace.table``."""
+
+    catalog: str
+    namespace: str
+    table: str
+
+    @property
+    def qualified(self) -> str:
+        return ".".join(
+            _check_ident(p) for p in (self.catalog, self.namespace, self.table)
+        )
+
+    # --- chunk commit (run_extract_job's per-chunk write) --------------------
+
+    def write_chunk(self, out_pid: DataFrame) -> None:
+        """Atomic partition replacement for one chunk's buckets."""
+        out_pid.writeTo(self.qualified).overwritePartitions()
+
+    # --- result-edit merge (upsert_results' publish) --------------------------
+
+    def merge_sql(self, updates_view: str) -> str:
+        """The MERGE INTO statement for edited documents: ``updates_view``
+        must expose (doc_id, spans) — the post-edit rows. With Iceberg the
+        whole upsert is this one atomic statement."""
+        _check_ident(updates_view)
+        return (
+            f"MERGE INTO {self.qualified} t\n"
+            f"USING {updates_view} u\n"
+            f"ON t.doc_id = u.doc_id\n"
+            f"WHEN MATCHED THEN UPDATE SET t.spans = u.spans"
+        )
+
+    def merge(self, updates: DataFrame, view_name: str = "_upsert_updates") -> None:
+        updates.createOrReplaceTempView(view_name)
+        updates.sparkSession.sql(self.merge_sql(view_name))

@@ -121,12 +121,19 @@ def run_extract_job(
     chunk_buckets: int = 16,
     max_chunks: int | None = None,
     num_partitions: int | None = None,
+    sink=None,
 ) -> int:
     """Resumable extraction run. Returns the number of chunks executed.
 
     ``max_chunks`` is the kill-injection hook for the resume test: stop after
     N chunks as if the driver died; a later call with the same ``out_dir`` +
     ``run_id`` resumes from lineage.
+
+    ``sink`` is the Iceberg seam (:class:`ocr_platform_spark.iceberg.
+    IcebergSink`): when set, each chunk commits via
+    ``writeTo(table).overwritePartitions()`` (atomic partition REPLACE
+    under snapshot isolation) instead of the parquet dynamic-overwrite
+    fallback; lineage rows still land in ``out_dir``/lineage.
     """
     data_dir = os.path.join(out_dir, "data")
     lineage_dir = os.path.join(out_dir, "lineage")
@@ -149,12 +156,15 @@ def run_extract_job(
         # idempotent data commit: dynamic overwrite replaces exactly the
         # chunk's own partitions, so a crashed half-written chunk heals on
         # re-run (reference analog: rerun/requeue, routes_jobs.py:119-175)
-        (
-            out_pid.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("partition_id")
-            .parquet(data_dir)
-        )
+        if sink is not None:
+            sink.write_chunk(out_pid)
+        else:
+            (
+                out_pid.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("partition_id")
+                .parquet(data_dir)
+            )
         wall = time.perf_counter() - t0
         # lineage commit AFTER the data commit — the commit point of the chunk
         bucket_lineage(out_pid, run_id, wall).write.mode("append").parquet(lineage_dir)

@@ -141,6 +141,7 @@ def upsert_results(
     out_dir: str,
     edits: DataFrame,
     num_buckets: int,
+    sink=None,
 ) -> int:
     """MERGE the edits into the bucketed extraction output at
     ``out_dir``/data; rewrites only the buckets containing edited docs.
@@ -148,8 +149,22 @@ def upsert_results(
 
     Entry first heals any leftover staging from a crashed upsert
     (:func:`recover_pending_upsert`); a successful publish removes its
-    own staging copy."""
+    own staging copy.
+
+    ``sink`` is the Iceberg seam (:class:`ocr_platform_spark.iceberg.
+    IcebergSink`): when set, the edited docs are read from the Iceberg
+    table and published as ONE atomic ``MERGE INTO ... WHEN MATCHED``
+    statement — no staging, no dynamic-overwrite dance."""
     import shutil
+
+    if sink is not None:
+        target = edits.select("doc_id").distinct()
+        current = spark.table(sink.qualified).join(
+            F.broadcast(target), "doc_id"
+        )
+        merged = apply_span_edits(current, edits)
+        sink.merge(merged)
+        return target.count()
 
     recover_pending_upsert(spark, out_dir)
     data_dir = os.path.join(out_dir, "data")

@@ -1,0 +1,81 @@
+"""Iceberg seam: the catalog can't run in this sandbox, so the tests pin
+(a) the generated MERGE INTO SQL, (b) identifier validation, and (c) that
+run_extract_job actually routes chunk commits through a sink — using a
+fake sink whose write_chunk is the parquet dynamic overwrite, which must
+produce byte-identical results to the default path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ocr_platform_spark import corpus, schemas
+from ocr_platform_spark.iceberg import IcebergSink
+from ocr_platform_spark.lineage import read_result, run_extract_job
+
+
+def test_merge_sql_shape():
+    sink = IcebergSink("ice", "prod", "documents_out")
+    sql = sink.merge_sql("edits_v")
+    assert sql == (
+        "MERGE INTO ice.prod.documents_out t\n"
+        "USING edits_v u\n"
+        "ON t.doc_id = u.doc_id\n"
+        "WHEN MATCHED THEN UPDATE SET t.spans = u.spans"
+    )
+
+
+def test_identifiers_validated():
+    with pytest.raises(ValueError):
+        IcebergSink("ice", "prod", "t; DROP TABLE x").qualified
+    with pytest.raises(ValueError):
+        IcebergSink("ice", "prod", "t").merge_sql("bad view")
+
+
+def test_run_extract_job_routes_chunks_through_sink(spark, tmp_path):
+    docs, media = corpus.generate(12, seed=44, max_pages=3)
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(
+        [{"media_ref": k, **v} for k, v in sorted(media.items())],
+        schema=schemas.MEDIA,
+    )
+
+    class FakeSink:
+        """Duck-typed sink: commits chunks the way the parquet fallback
+        does, but through the sink interface — proving the routing."""
+
+        def __init__(self, data_dir):
+            self.data_dir = data_dir
+            self.chunks = 0
+
+        def write_chunk(self, out_pid):
+            self.chunks += 1
+            (
+                out_pid.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("partition_id")
+                .parquet(self.data_dir)
+            )
+
+    out_a = str(tmp_path / "default")
+    out_b = str(tmp_path / "sinked")
+    run_extract_job(
+        spark, docs_df, media_df, out_dir=out_a, run_id="r", num_buckets=4,
+        chunk_buckets=2,
+    )
+    sink = FakeSink(os.path.join(out_b, "data"))
+    n = run_extract_job(
+        spark, docs_df, media_df, out_dir=out_b, run_id="r", num_buckets=4,
+        chunk_buckets=2, sink=sink,
+    )
+    assert sink.chunks == n > 0
+    a = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in read_result(spark, out_a).collect()
+    }
+    b = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in read_result(spark, out_b).collect()
+    }
+    assert a == b
