@@ -61,11 +61,21 @@ def work(args: tuple[int, int]) -> tuple[int, float]:
     return len(pages), time.time() - t0
 
 
-def level(nproc: int, pages_per_proc: int) -> float:
-    with mp.get_context("fork").Pool(nproc) as pool:
-        res = pool.map(
-            work, [(100 + i, pages_per_proc) for i in range(nproc)]
-        )
+def level(nproc: int, pages_per_proc: int, pin: bool = True) -> float:
+    """Aggregate pages/sec with ``nproc`` busy workers; with ``pin`` the
+    process (and its forked pool) is confined to exactly ``nproc`` cores,
+    mirroring run_scaling.py's taskset protocol — an N-core 'cluster'
+    must not borrow spare cores for anything."""
+    prev = os.sched_getaffinity(0)
+    if pin:
+        os.sched_setaffinity(0, set(range(nproc)))
+    try:
+        with mp.get_context("fork").Pool(nproc) as pool:
+            res = pool.map(
+                work, [(100 + i, pages_per_proc) for i in range(nproc)]
+            )
+    finally:
+        os.sched_setaffinity(0, prev)
     total = sum(r[0] for r in res)
     mean_task = sum(r[1] for r in res) / nproc
     return total / mean_task  # aggregate pages/sec while all procs busy
@@ -75,16 +85,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--pages", type=int, default=500)
+    ap.add_argument("--no-pin", action="store_true")
     args = ap.parse_args()
     os.environ.setdefault("OMP_NUM_THREADS", "1")
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 
     small, big = args.n, 4 * args.n
+    pin = not args.no_pin
     # warm both pools once (import + corpus gen), then measure
-    level(small, 20)
-    thr_small = level(small, args.pages)
-    level(big, 20)
-    thr_big = level(big, args.pages)
+    level(small, 20, pin=pin)
+    thr_small = level(small, args.pages, pin=pin)
+    level(big, 20, pin=pin)
+    thr_big = level(big, args.pages, pin=pin)
     print(
         json.dumps(
             {

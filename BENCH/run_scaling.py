@@ -13,14 +13,20 @@ Measurement hygiene (the sandbox host shows ±10% time-varying noise):
   ``mapInPandas`` pinned to one partition per core — AQE would otherwise
   coalesce the warm-up and leave workers cold) plus a full-pipeline
   warm-up, both excluded from timing;
+* **core pinning**: each level's whole process tree (JVM + Python
+  workers) runs under ``taskset -c 0-(cpus-1)`` — an N-core "cluster"
+  cannot borrow spare cores for GC/shuffle threads, making the two
+  levels faithful stand-ins for two cluster sizes;
 * levels are interleaved ABBA-style across ``--repeats`` cycles so slow
-  host phases hit both levels equally; best-of per level is kept;
+  host phases hit both levels equally; the **median** per level is the
+  headline (all runs reported);
 * ``BENCH/hardware_ceiling.py`` measures the same kernels under plain
-  multiprocessing — the host's own scaling ceiling (memory bandwidth),
-  reported alongside so the Spark efficiency can be read against it.
+  multiprocessing with the same pinning — the host's own scaling ceiling
+  (memory bandwidth), reported alongside so the Spark efficiency can be
+  read against it.
 
-Usage: python BENCH/run_scaling.py [--docs 8000] [--n 8] [--repeats 3]
-Writes BENCH/BASELINE.md and prints one JSON line.
+Usage: python BENCH/run_scaling.py [--docs 64000] [--n 8] [--repeats 5]
+Writes BENCH/LAST_RUN.md and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -69,11 +75,15 @@ spark.stop()
 """
 
 
-def run_once(cpus: int, corpus: str) -> float:
+def run_once(cpus: int, corpus: str, pin: bool = True) -> float:
     code = _CHILD.format(repo=REPO, cpus=cpus, corpus=corpus)
+    cmd = [sys.executable, "-c", code]
+    if pin:
+        # confine the whole tree (JVM + forked Python workers) to exactly
+        # `cpus` cores — the faithful N-core-cluster stand-in
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        check=True, cwd=REPO,
+        cmd, capture_output=True, text=True, check=True, cwd=REPO,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -83,10 +93,13 @@ def run_once(cpus: int, corpus: str) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=8000)
+    ap.add_argument("--docs", type=int, default=64000)
     ap.add_argument("--n", type=int, default=8, help="small level N (big = 4N)")
-    ap.add_argument("--repeats", type=int, default=3, help="ABBA cycles")
+    ap.add_argument("--repeats", type=int, default=5, help="ABBA cycles")
+    ap.add_argument("--no-pin", action="store_true")
+    ap.add_argument("--skip-ceiling", action="store_true")
     args = ap.parse_args()
+    pin = not args.no_pin
 
     sys.path.insert(0, REPO)
     from bench import _corpus_dir
@@ -99,18 +112,24 @@ def main() -> None:
         .column("page_count").to_pandas().sum()
     )
 
-    # host ceiling for the same kernels (no Spark), for context in the report
+    # host ceiling for the same kernels (no Spark), same pinning, for
+    # context in the report
     ceiling = {}
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "BENCH", "hardware_ceiling.py"),
-             "--n", str(args.n)],
-            capture_output=True, text=True, check=True, cwd=REPO, timeout=600,
-        )
-        ceiling = json.loads(out.stdout.strip().splitlines()[-1])
-        print(f"hardware ceiling: {ceiling}", flush=True)
-    except Exception as e:  # pragma: no cover - report still useful without
-        print(f"hardware ceiling measurement failed: {e}", flush=True)
+    if not args.skip_ceiling:
+        try:
+            cmd = [sys.executable,
+                   os.path.join(REPO, "BENCH", "hardware_ceiling.py"),
+                   "--n", str(args.n)]
+            if not pin:
+                cmd.append("--no-pin")
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, check=True, cwd=REPO,
+                timeout=600,
+            )
+            ceiling = json.loads(out.stdout.strip().splitlines()[-1])
+            print(f"hardware ceiling: {ceiling}", flush=True)
+        except Exception as e:  # pragma: no cover - report useful without
+            print(f"hardware ceiling measurement failed: {e}", flush=True)
 
     small, big = args.n, 4 * args.n
     times: dict[int, list[float]] = {small: [], big: []}
@@ -118,11 +137,13 @@ def main() -> None:
     for cycle in range(args.repeats):
         order = [small, big] if cycle % 2 == 0 else [big, small]
         for lvl in order:
-            dt = run_once(lvl, corpus)
+            dt = run_once(lvl, corpus, pin=pin)
             times[lvl].append(dt)
             print(f"cycle {cycle} local[{lvl}]: {dt:.2f}s", flush=True)
 
-    t_small, t_big = min(times[small]), min(times[big])
+    from statistics import median
+
+    t_small, t_big = median(times[small]), median(times[big])
     thr_small, thr_big = args.docs / t_small, args.docs / t_big
     eff = thr_big / (4 * thr_small)
     result = {
@@ -130,6 +151,8 @@ def main() -> None:
         "pages": pages,
         "n_small": small,
         "n_big": big,
+        "pinned": pin,
+        "stat": "median",
         "runs_small": [round(t, 2) for t in times[small]],
         "runs_big": [round(t, 2) for t in times[big]],
         "wall_s_small": round(t_small, 2),
@@ -151,10 +174,11 @@ def main() -> None:
 Same extraction job, same corpus ({args.docs} heavy-tail docs,
 {pages} pages), two parallelism levels standing in for cluster sizes
 (no real cluster in this sandbox; see BASELINE.md protocol). Fresh JVM
-per timed run, Python workers pre-warmed, ABBA-interleaved runs, best
-of {args.repeats} per level.
+per timed run, whole process tree pinned with ``taskset -c 0-(cpus-1)``
+(pin={pin}), Python workers pre-warmed, ABBA-interleaved runs,
+**median** of {args.repeats} per level.
 
-| level | runs (s) | best s | docs/sec | pages/sec |
+| level | runs (s) | median s | docs/sec | pages/sec |
 |---|---|---|---|---|
 | local[{small}] | {result['runs_small']} | {result['wall_s_small']} | {result['docs_per_sec_small']} | {result['pages_per_sec_small']} |
 | local[{big}] | {result['runs_big']} | {result['wall_s_big']} | {result['docs_per_sec_big']} | {result['pages_per_sec_big']} |
@@ -187,7 +211,7 @@ both levels; the residual gap is fixed job overhead (~4–5 s: scan, two
 small shuffles, scheduling) that amortizes with corpus size and is
 independent of cluster size. Host wall-time noise here is ±10–40%
 between runs minutes apart (see `runs_*` above) — levels are interleaved
-ABBA and best-of is reported for that reason.
+ABBA and the per-level median is reported for that reason.
 
 Raw: `{json.dumps(result)}`
 """
