@@ -16,10 +16,10 @@ Replaces the reference's HTTP/Redis/Postgres/S3 process hops
                                     │   recognize → trim → blocks           │
                                     │ window rank (y1, x1, emission)        │
                                     └──────────────┬─────────────────────────┘
-                                                   union
+                                                   union (+1 sentinel/doc)
                                     window order (offset, page, rank)
                                     groupBy(doc_id) → sort_array(collect_list)
-                                    left-join back to all doc_ids
+                                    drop sentinel tail (no re-join needed)
 
 Scale rationale (100 TB / 10^12 docs):
 
@@ -281,7 +281,26 @@ def assemble_spans(documents: DataFrame, blocks: DataFrame) -> DataFrame:
         "doc_id", "offset", "page_index", "y1", "x1", "block_index",
         "text", "media_ref",
     )
-    all_spans = text_spans.unionByName(ocr_spans)
+    # One SENTINEL row per input document (offset = int32 max sorts
+    # strictly after every real span) rides through the same window +
+    # groupBy and is dropped from the tail of the assembled array. This
+    # keeps media-only docs with zero blocks (and fully empty docs) in
+    # the output WITHOUT a final documents⋈grouped join — the join cost
+    # an extra exchange + sort of the documents side at every corpus
+    # size, pure fixed overhead on the critical tail (doc_ids are unique
+    # per the input contract, so one sentinel == one group member).
+    _imax = 2**31 - 1
+    sentinel = documents.select(
+        "doc_id",
+        F.lit(_imax).cast("int").alias("offset"),
+        F.lit(_imax).cast("int").alias("page_index"),
+        F.lit(_imax).cast("int").alias("y1"),
+        F.lit(_imax).cast("int").alias("x1"),
+        F.lit(_imax).cast("int").alias("block_index"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+    all_spans = text_spans.unionByName(ocr_spans).unionByName(sentinel)
     w = Window.partitionBy("doc_id").orderBy(
         "offset", "page_index", "y1", "x1", "block_index"
     )
@@ -297,14 +316,13 @@ def assemble_spans(documents: DataFrame, blocks: DataFrame) -> DataFrame:
                 s["media_ref"].alias("media_ref"),
                 s["ord"].cast("int").alias("offset"),
             ),
-        ).alias("spans")
+        ).alias("spans_all")
     )
-    # keep every input document, media-only docs with zero blocks included
-    return documents.select("doc_id").join(grouped, "doc_id", "left").select(
+    return grouped.select(
         "doc_id",
-        F.coalesce("spans", F.array().cast(f"array<{SPAN.simpleString()}>")).alias(
-            "spans"
-        ),
+        F.expr("slice(spans_all, 1, size(spans_all) - 1)")
+        .cast(f"array<{SPAN.simpleString()}>")
+        .alias("spans"),
     )
 
 
