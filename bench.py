@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "value_range_bins",
     "session_json",
     "zip_align_events",
+    "coord_convert",
     "token_stats",
     "quality_scores",
     "lang_id",
