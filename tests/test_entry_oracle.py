@@ -58,6 +58,8 @@ def test_query_matches_oracle(name, spark, duck):
         # rows-only contract: runs, stable non-empty schema
         assert len(sdf.schema.fields) > 0
         return
+    if callable(sql):  # lazy oracle (mirrors __spark_entry__.oracle_sql)
+        sql = sql()
     res = duck.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
