@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "simhash",
     "lsh_buckets",
+    "repetition_scores",
+    "pii_scrub",
+    "stratified_sample",
+    "curated_corpus",
+    "pack_sequences",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "payload_stats",

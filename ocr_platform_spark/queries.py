@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from . import corpus as corpus_mod
 from . import multimodal, schemas
-from .functions import dedup, html_extract, similarity, textstats
+from .functions import curation, dedup, html_extract, similarity, textstats
 from .functions.common import fxp
 from .operators import extract, source_map
 
@@ -684,6 +684,21 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
     # HTML main-content extraction (north_rule: boilerplate strip + DOM
     # heuristics); tag-strip tier is fully oracle-checked, the density
     # heuristic is pinned against its Python oracle in pytest
+    # corpus-curation tier: group resolution, vocab, repetition,
+    # PII scrub, deterministic sampling, the composite filter, packing
+    "dedup_groups": (curation.dedup_groups, curation.DEDUP_GROUPS_SQL),
+    "vocab_topk": (curation.vocab_topk, curation.VOCAB_TOPK_SQL),
+    "repetition_scores": (
+        curation.repetition_scores,
+        curation.REPETITION_SCORES_SQL,
+    ),
+    "pii_scrub": (curation.pii_scrub, curation.PII_SCRUB_SQL),
+    "stratified_sample": (
+        curation.stratified_sample,
+        curation.STRATIFIED_SAMPLE_SQL,
+    ),
+    "curated_corpus": (curation.curated_corpus, curation.CURATED_CORPUS_SQL),
+    "pack_sequences": (curation.pack_sequences, curation.PACK_SEQUENCES_SQL),
     "html_text": (html_extract.html_text, html_extract.HTML_TEXT_SQL),
     "html_main_content": (html_extract.main_content, None),
     # multimodal binary plumbing
