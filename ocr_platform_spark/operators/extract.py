@@ -197,20 +197,25 @@ def exploded_spans(documents: DataFrame) -> DataFrame:
 def decode_pages(documents: DataFrame, media: DataFrame) -> DataFrame:
     """Media spans ⋈ payloads -> per-page descriptor rows (stage 1).
 
-    The explicit repartition before the decode UDF matters: the joined
-    payload rows are only a few MB, so AQE's byte-based coalescing would
-    squash them into ~1 partition and serialize the container parsing —
-    like the OCR stage, decode cost is per-*row* CPU (zlib + JSON), not
-    bytes (see :func:`ocr_blocks`).
+    Both join sides are explicitly hash-repartitioned on ``media_ref`` to
+    the same partition count, so (a) the join itself adds no exchange and
+    the payload bytes cross the wire exactly ONCE (a post-join
+    repartition would move them a second time), and (b) AQE's byte-based
+    coalescing cannot squash the decode stage into ~1 partition — like
+    the OCR stage, decode cost is per-*row* CPU (zlib + JSON), not bytes
+    (see :func:`ocr_blocks`). Residual decode skew (one media_ref
+    referenced by very many spans) is bounded: decode output is
+    re-spread per page by :func:`ocr_blocks` before the heavy stage.
     """
+    n = 2 * documents.sparkSession.sparkContext.defaultParallelism
     media_spans = (
         exploded_spans(documents)
         .filter(F.col("kind") != "text")
         .select("doc_id", "offset", "media_ref")
-        .join(media.select("media_ref", "data"), "media_ref")
+        .repartition(n, "media_ref")
     )
-    n = 2 * documents.sparkSession.sparkContext.defaultParallelism
-    return media_spans.repartition(n, "doc_id", "offset").mapInPandas(
+    payloads = media.select("media_ref", "data").repartition(n, "media_ref")
+    return media_spans.join(payloads, "media_ref").mapInPandas(
         _decode_batches, schema=PAGE_TASK
     )
 
@@ -301,28 +306,37 @@ def assemble_spans(documents: DataFrame, blocks: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("media_ref"),
     )
     all_spans = text_spans.unionByName(ocr_spans).unionByName(sentinel)
-    w = Window.partitionBy("doc_id").orderBy(
-        "offset", "page_index", "y1", "x1", "block_index"
-    )
-    ranked = all_spans.withColumn("ord", F.row_number().over(w) - F.lit(1))
-    grouped = ranked.groupBy("doc_id").agg(
-        F.transform(
-            F.sort_array(
-                F.collect_list(F.struct("ord", "text", "media_ref"))
-            ),
-            lambda s: F.struct(
-                F.lit("text").alias("kind"),
-                s["text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
-                s["ord"].cast("int").alias("offset"),
-            ),
+    # The document-global emission order is computed WITHOUT a window:
+    # collect each doc's spans with their full sort key, sort_array once
+    # (the key prefix (offset, page_index, y1, x1, block_index) is a
+    # strict total order per doc, so the trailing text/media_ref fields
+    # are never consulted), and let the indexed ``transform`` lambda
+    # assign ord = array position. A row_number window would first sort
+    # every shuffle partition whole (WindowExec, breaking whole-stage
+    # codegen) and then sort_array would re-sort per doc anyway — one
+    # full sort pass of pure fixed overhead on the critical tail.
+    grouped = all_spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "offset", "page_index", "y1", "x1", "block_index",
+                    "text", "media_ref",
+                )
+            )
         ).alias("spans_all")
+    )
+    spans = F.transform(
+        F.expr("slice(spans_all, 1, size(spans_all) - 1)"),  # drop sentinel
+        lambda s, i: F.struct(
+            F.lit("text").alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
     )
     return grouped.select(
         "doc_id",
-        F.expr("slice(spans_all, 1, size(spans_all) - 1)")
-        .cast(f"array<{SPAN.simpleString()}>")
-        .alias("spans"),
+        spans.cast(f"array<{SPAN.simpleString()}>").alias("spans"),
     )
 
 
