@@ -33,6 +33,7 @@ from ocr_platform_spark.session import get_spark
 BENCH_QUERIES = [
     "pricing_summary",
     "orders_per_nation",
+    "nation_parttype_profit",
     "topk_recent_orders",
     "reading_order_events",
     "session_spans",

@@ -149,6 +149,49 @@ GROUP BY n_name
 """
 
 
+def nation_parttype_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-style profit rollup: lineitem ⋈ supplier ⋈ part ⋈ nation, PROMO
+    parts only, by supplier nation and ship year. The fact table joins
+    three broadcast dims and shuffles once, for the final aggregation;
+    decimal-exact profit sums (no float accumulation order dependence).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    profit = (price * (F.lit(1).cast("decimal(18,2)") - disc)).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            (F.sum(profit) * 10000).cast("long").alias("profit_c"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+NATION_PARTTYPE_PROFIT_SQL = """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      AS DECIMAL(28,4))) * 10000 AS BIGINT) AS profit_c,
+  count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+"""
+
+
 # --- J3: anti-join (resume semantics) ----------------------------------------
 
 
@@ -629,6 +672,10 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "orders_per_nation": (orders_per_nation, ORDERS_PER_NATION_SQL),
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
+    "nation_parttype_profit": (
+        nation_parttype_profit,
+        NATION_PARTTYPE_PROFIT_SQL,
+    ),
     "event_type_stats": (event_type_stats, EVENT_TYPE_STATS_SQL),
     "customers_without_orders": (
         customers_without_orders,
