@@ -215,7 +215,10 @@ def decode_pages(documents: DataFrame, media: DataFrame) -> DataFrame:
         .repartition(n, "media_ref")
     )
     payloads = media.select("media_ref", "data").repartition(n, "media_ref")
-    return media_spans.join(payloads, "media_ref").mapInPandas(
+    # shuffle-hash hint (build = the 3-column spans side): without it a
+    # non-broadcast plan degrades to sort-merge, locally sorting the
+    # payload rows — pure CPU on KB-size rows for nothing
+    return media_spans.hint("shuffle_hash").join(payloads, "media_ref").mapInPandas(
         _decode_batches, schema=PAGE_TASK
     )
 
