@@ -91,7 +91,15 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
         .persist()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("g")).localCheckpoint()
+    # only vertices incident to an edge enter the iteration — at corpus
+    # scale the overwhelming non-duplicate majority never joins the loop;
+    # singletons are unioned back at the end as their own group
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("g"))
+        .localCheckpoint()
+    )
     try:
         for _ in range(CC_MAX_ROUNDS):
             nbr = (
@@ -100,33 +108,34 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("doc_id")
                 .agg(F.min("g").alias("ng"))
             )
-            new = labels.join(nbr, "doc_id", "left").select(
+            stepped = labels.join(nbr, "doc_id", "left").select(
                 "doc_id",
+                F.col("g").alias("g0"),
                 F.least("g", F.coalesce("ng", F.col("g"))).alias("g"),
             )
             # pointer jump: g <- min(g, label(g)) — halves chain depth
-            hop = new.select(
+            hop = stepped.select(
                 F.col("doc_id").alias("h_id"), F.col("g").alias("hg")
             )
             new = (
-                new.join(hop, new["g"] == hop["h_id"], "left")
+                stepped.join(hop, stepped["g"] == hop["h_id"], "left")
                 .select(
                     "doc_id",
+                    "g0",
                     F.least("g", F.coalesce("hg", F.col("g"))).alias("g"),
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.g") != F.col("o.g"))
-                .count()
-            )
-            labels = new
+            changed = new.filter(F.col("g") != F.col("g0")).count()
+            labels = new.select("doc_id", "g")
             if changed == 0:
                 break
     finally:
         edges.unpersist()
+    singletons = docs.join(labels.select("doc_id"), "doc_id", "anti").select(
+        "doc_id", F.col("doc_id").alias("g")
+    )
+    labels = labels.union(singletons)
     sizes = labels.groupBy("g").agg(F.count("*").alias("group_size"))
     return labels.join(sizes, "g").select(
         "doc_id",

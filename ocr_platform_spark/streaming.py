@@ -146,6 +146,53 @@ def sessionize_events(
     )
 
 
+def stream_dedup_docs(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str = "doc_id long, text string",
+):
+    """Streaming exact-dedup: emit each distinct document fingerprint the
+    FIRST time it is seen across the whole stream, suppress every later
+    arrival — the online twin of :func:`functions.dedup.dedup_exact`
+    (same md5-of-normalized-text fingerprint, same min-doc_id survivor
+    within a batch).
+
+    Custom stateful operator (``applyInPandasWithState`` keyed by the
+    fingerprint): state is one row per distinct fp ever seen. State is
+    keyed and partitioned by fp, so at 10^12 docs it shards across
+    executors with the shuffle and lives in the state store (RocksDB in
+    production config); a TTL timeout can bound it when the dedup window
+    is finite. Returns the unstarted streaming DataFrame of surviving
+    ``(doc_id, fp)`` rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .functions.common import tokens
+
+    def fn(key, pdfs, state: GroupState):
+        (fp,) = key
+        if state.exists:
+            return  # fp already emitted in an earlier batch: suppress
+        doc_ids = [int(d) for pdf in pdfs for d in pdf["doc_id"]]
+        if not doc_ids:
+            return
+        state.update((1,))
+        yield pd.DataFrame({"doc_id": [min(doc_ids)], "fp": [fp]})
+
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    with_fp = stream.select(
+        "doc_id", F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp")
+    )
+    return with_fp.groupBy("fp").applyInPandasWithState(
+        fn,
+        outputStructType="doc_id long, fp string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     landing_dir: str,

@@ -222,3 +222,63 @@ def test_sessionize_events_stateful(spark, tmp_path):
     assert gotset <= oset
     assert (oset - set(tails.values())) <= gotset
     assert len(gotset) > 0
+
+
+def test_stream_dedup_first_occurrence_wins(spark, tmp_path):
+    """Exact-dedup over the stream: within-batch dups resolve to the min
+    doc_id; repeats arriving in a LATER drain are suppressed by the
+    checkpointed state (the state store survives query restarts);
+    output matches the batch dedup_exact semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tmp_path / "dedup_landing"
+    landing.mkdir()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    sink = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    def drain():
+        q = (
+            streaming.stream_dedup_docs(spark, str(landing))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.doc_id for r in spark.read.parquet(sink).collect()}
+
+    # drain 1: docs 0..4; 0 and 1 share normalized text ("Alpha,  BETA"
+    # tokenizes to "alpha beta"); 2 and 4 share "gamma"
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": 0, "text": "alpha beta"},
+                {"doc_id": 1, "text": "Alpha,  BETA"},
+                {"doc_id": 2, "text": "gamma"},
+                {"doc_id": 3, "text": "delta"},
+                {"doc_id": 4, "text": "gamma"},
+            ],
+            schema=schema,
+        ),
+        str(landing / "part-0.parquet"),
+    )
+    assert drain() == {0, 2, 3}
+
+    # drain 2 (same checkpoint): repeats must be suppressed by state,
+    # only the genuinely new text survives
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": 5, "text": "alpha beta"},
+                {"doc_id": 6, "text": "epsilon"},
+                {"doc_id": 7, "text": "delta"},
+            ],
+            schema=schema,
+        ),
+        str(landing / "part-1.parquet"),
+    )
+    assert drain() == {0, 2, 3, 6}
