@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "stratified_sample",
     "curated_corpus",
+    "source_mix_weights",
     "pack_sequences",
     "ann_bruteforce_topk",
     "ann_ivf_topk",

@@ -427,6 +427,55 @@ WHERE q.quality_fxp4 >= {CURATE_MIN_QUALITY_FXP4}
 """
 
 
+# --- source_mix_weights: temperature-rebalanced mixture weights --------------
+
+
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) mixture weights for training-data sampling:
+    temperature rebalancing w ∝ n^0.5 (head strata damped, tail strata
+    boosted — the standard multilingual mixing rule).
+
+    Cross-engine determinism: the raw weight sqrt(n) is fixed-point
+    integerized per stratum FIRST, then summed exactly as integers — a
+    double sum over strata would depend on accumulation order, which
+    neither engine guarantees. The total is a 1-row broadcast join.
+    """
+    docs = _docs(spark, sf_dir)
+    strata = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    w = fxp(F.sqrt(F.col("n_docs").cast("double")), 6)
+    strata = strata.select("lang", "source", "n_docs", w.alias("w_fxp6"))
+    total = strata.agg(
+        F.sum("w_fxp6").alias("w_total"), F.sum("n_docs").alias("n_total")
+    )
+    return strata.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        fxp(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias(
+            "share_fxp6"
+        ),
+        fxp(F.col("w_fxp6").cast("double") / F.col("w_total"), 6).alias(
+            "weight_fxp6"
+        ),
+    )
+
+
+SOURCE_MIX_WEIGHTS_SQL = f"""
+WITH strata AS (
+  SELECT lang, source, count(*) AS n_docs,
+         {sql_fxp('sqrt(CAST(count(*) AS DOUBLE))', 6)} AS w_fxp6
+  FROM documents GROUP BY 1, 2
+),
+total AS (
+  SELECT sum(w_fxp6) AS w_total, sum(n_docs) AS n_total FROM strata
+)
+SELECT lang, source, n_docs,
+  {sql_fxp('CAST(n_docs AS DOUBLE) / n_total', 6)} AS share_fxp6,
+  {sql_fxp('CAST(w_fxp6 AS DOUBLE) / w_total', 6)} AS weight_fxp6
+FROM strata, total
+"""
+
+
 # --- pack_sequences: token-budget greedy packing -----------------------------
 
 

@@ -746,6 +746,10 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
     ),
     "curated_corpus": (curation.curated_corpus, curation.CURATED_CORPUS_SQL),
     "pack_sequences": (curation.pack_sequences, curation.PACK_SEQUENCES_SQL),
+    "source_mix_weights": (
+        curation.source_mix_weights,
+        curation.SOURCE_MIX_WEIGHTS_SQL,
+    ),
     "html_text": (html_extract.html_text, html_extract.HTML_TEXT_SQL),
     "html_main_content": (html_extract.main_content, None),
     # multimodal binary plumbing

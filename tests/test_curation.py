@@ -271,3 +271,22 @@ def test_vocab_topk_order_and_counts(spark):
         for d in docs
     )
     assert rows[0].cnt == cnt0
+
+
+# --- source_mix_weights invariants -------------------------------------------
+
+
+def test_source_mix_weights_rebalances(spark):
+    from ocr_platform_spark.functions import curation
+
+    rows = curation.source_mix_weights(spark, SF_DIR).collect()
+    assert rows
+    # shares and weights each sum to ~1 (fxp6 rounding slack per stratum)
+    assert abs(sum(r.share_fxp6 for r in rows) - 10**6) <= len(rows)
+    assert abs(sum(r.weight_fxp6 for r in rows) - 10**6) <= len(rows)
+    # temperature damping: the largest stratum is down-weighted relative
+    # to its share, the smallest boosted
+    biggest = max(rows, key=lambda r: r.n_docs)
+    smallest = min(rows, key=lambda r: r.n_docs)
+    assert biggest.weight_fxp6 < biggest.share_fxp6
+    assert smallest.weight_fxp6 > smallest.share_fxp6
