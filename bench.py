@@ -110,13 +110,22 @@ def main() -> None:
         # JVM/codegen warm-up, excluded from timings
         _run_noop(extract.extract_documents(docs.limit(8), media))
 
+    # best-of-N per query: the sandbox host stalls in multi-second phases
+    # (BENCH/BASELINE.md documents identical jobs swinging 2x minutes
+    # apart), and a single draw records the lottery, not the plan
+    reps = int(os.environ.get("BENCH_REPEATS", "2"))
+
     timings: dict[str, float] = {}
-    t_ex = _run_noop(extract.extract_documents(docs, media))
+    t_ex = min(
+        _run_noop(extract.extract_documents(docs, media)) for _ in range(reps)
+    )
     timings["extract_documents"] = round(t_ex, 3)
 
     for name in BENCH_QUERIES:
         fn, _sql = REGISTRY[name]
-        timings[name] = round(_run_noop(fn(spark, sf_dir)), 3)
+        timings[name] = round(
+            min(_run_noop(fn(spark, sf_dir)) for _ in range(reps)), 3
+        )
 
     total = round(sum(timings.values()), 3)
     print(
