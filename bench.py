@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "quality_scores",
     "lang_id",
     "doc_fingerprints",
+    "tfidf_top_terms",
     "dedup_exact",
     "minhash_signatures",
     "simhash",

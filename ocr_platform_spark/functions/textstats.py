@@ -284,3 +284,83 @@ def doc_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_CHECKSUMS_SQL = "SELECT doc_id, sha256(text) AS checksum FROM documents"
+
+
+# --- tfidf_top_terms ---------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} characteristic terms per document by tf·idf.
+
+    idf is the smoothed RATIONAL variant (N+1)/(df+1) rather than its
+    log: the ranking is identical (log is monotonic) but a single IEEE
+    division is bit-equal across engines, while ln() implementations
+    differ in the last ulp between the JVM and C libm — which would make
+    the fixed-point score a cross-engine lottery at tie boundaries.
+    Ranking ties break on the integerized score, then term text.
+
+    Shape at scale: one shuffle to (doc, term) counts, one shuffle for
+    document frequencies, a key join, and a per-doc window (partitioned
+    by doc_id — no global sort).
+    """
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    n_docs = docs.count()  # scalar N, read once (drives the idf literal)
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.col("tf").cast("double") * (
+        F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double")
+    )
+    scored = tf.join(df_t, "term").select(
+        "doc_id", "term", "tf", fxp(score, 6).alias("score_fxp6")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fxp6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id", F.col("rank").cast("long").alias("rank"),
+            "term", "tf", "score_fxp6",
+        )
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, u.term, count(*) AS tf
+  FROM tok, unnest(t) AS u(term)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    {sql_fxp('CAST(tf.tf AS DOUBLE)'
+             ' * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE))',
+             6)} AS score_fxp6
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, score_fxp6,
+    row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_fxp6 DESC, term
+    ) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score_fxp6
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""

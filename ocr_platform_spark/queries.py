@@ -698,6 +698,10 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
         textstats.DOC_FINGERPRINTS_SQL,
     ),
     "doc_checksums": (textstats.doc_checksums, textstats.DOC_CHECKSUMS_SQL),
+    "tfidf_top_terms": (
+        textstats.tfidf_top_terms,
+        textstats.TFIDF_TOP_TERMS_SQL,
+    ),
     "bpe_token_count": (
         textstats.bpe_token_count,
         textstats.BPE_TOKEN_COUNT_SQL,

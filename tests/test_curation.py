@@ -290,3 +290,50 @@ def test_source_mix_weights_rebalances(spark):
     smallest = min(rows, key=lambda r: r.n_docs)
     assert biggest.weight_fxp6 < biggest.share_fxp6
     assert smallest.weight_fxp6 > smallest.share_fxp6
+
+
+# --- tfidf_top_terms vs pure-Python oracle -----------------------------------
+
+
+def test_tfidf_top_terms_matches_python(spark):
+    from ocr_platform_spark.functions import textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    N = len(docs)
+    tf: dict[int, dict[str, int]] = {}
+    for d in docs:
+        toks = [t for t in re.split("[^a-z0-9]+", d.text.lower()) if t]
+        m: dict[str, int] = {}
+        for t in toks:
+            m[t] = m.get(t, 0) + 1
+        tf[d.doc_id] = m
+    df: dict[str, int] = {}
+    for m in tf.values():
+        for t in m:
+            df[t] = df.get(t, 0) + 1
+
+    def fxp6(x: float) -> int:
+        return math.floor(x * 10**6 + 0.5)
+
+    expected: dict[int, list[tuple[int, str, int, int]]] = {}
+    for doc_id, m in tf.items():
+        scored = [
+            (fxp6(c * ((N + 1) / (df[t] + 1))), t, c) for t, c in m.items()
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        expected[doc_id] = [
+            (rank + 1, t, c, s)
+            for rank, (s, t, c) in enumerate(
+                scored[: textstats.TFIDF_TOP_K]
+            )
+        ]
+
+    rows = textstats.tfidf_top_terms(spark, SF_DIR).collect()
+    got: dict[int, list[tuple[int, str, int, int]]] = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.rank, r.term, r.tf, r.score_fxp6)
+        )
+    for doc_id in got:
+        got[doc_id].sort()
+    assert got == {d: v for d, v in expected.items() if v}
