@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "curated_corpus",
     "source_mix_weights",
     "pack_sequences",
+    "contamination_check",
+    "chunk_dedup",
+    "length_histogram",
+    "semdedup_clusters",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "payload_stats",

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from . import corpus as corpus_mod
 from . import multimodal, schemas
-from .functions import curation, dedup, html_extract, similarity, textstats
+from .functions import curation, dedup, html_extract, pretrain, similarity, textstats
 from .functions.common import fxp
 from .operators import extract, source_map
 
@@ -754,6 +754,22 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
         curation.source_mix_weights,
         curation.SOURCE_MIX_WEIGHTS_SQL,
     ),
+    # pretraining-corpus analysis tier: decontamination, chunk dedup,
+    # length histograms, SemDeDup clustering + pruning
+    "contamination_check": (
+        pretrain.contamination_check,
+        pretrain.CONTAMINATION_CHECK_SQL,
+    ),
+    "chunk_dedup": (pretrain.chunk_dedup, pretrain.CHUNK_DEDUP_SQL),
+    "length_histogram": (
+        pretrain.length_histogram,
+        pretrain.LENGTH_HISTOGRAM_SQL,
+    ),
+    "semdedup_clusters": (
+        pretrain.semdedup_clusters,
+        pretrain.SEMDEDUP_CLUSTERS_SQL,
+    ),
+    "semdedup_prune": (pretrain.semdedup_prune, pretrain.SEMDEDUP_PRUNE_SQL),
     "html_text": (html_extract.html_text, html_extract.HTML_TEXT_SQL),
     "html_main_content": (html_extract.main_content, None),
     # multimodal binary plumbing
