@@ -45,6 +45,27 @@ sections.append(("Top-k (TakeOrderedAndProject)",
   "orderBy+limit compiles to TakeOrderedAndProject — no global sort.",
   plan_of(fn(spark, sf))))
 
+# 4b. pretraining tier: broadcast decontamination + single-shuffle chunk dedup
+fn, _ = REGISTRY["contamination_check"]
+sections.append(("Decontamination (contamination_check)",
+  "The benchmark shingle set (small by construction) broadcasts; the corpus"
+  " side's only exchange is the per-doc partial/final aggregate — at 10^12"
+  " docs the big side never shuffles for the overlap join itself.",
+  plan_of(fn(spark, sf))))
+
+fn, _ = REGISTRY["chunk_dedup"]
+sections.append(("Chunk-level exact dedup (chunk_dedup)",
+  "One exchange keyed on the 60-bit chunk hash feeds the ownership window;"
+  " the per-doc rollup joins back broadcast. No pair explosion anywhere.",
+  plan_of(fn(spark, sf))))
+
+fn, _ = REGISTRY["semdedup_clusters"]
+sections.append(("Relational k-means (semdedup_clusters)",
+  "Each Lloyd iteration = broadcast-centroid assignment (the vectors side"
+  " never shuffles for the join) + a tiny (cluster, dim)-cell aggregate;"
+  " the fixed-point int64 centroid sums keep the reduction order-independent.",
+  plan_of(fn(spark, sf))))
+
 # 5. extraction pipeline
 from ocr_platform_spark import corpus as cm, schemas
 docs, media = cm.generate(8, max_pages=4)
