@@ -82,8 +82,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     The benchmark shingle set is broadcast — the corpus side never
     shuffles (cf. the eval-overlap pass in GPT-3 appendix C; public
     methodology, re-expressed relationally)."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", shingles(tokens(F.col("text")), CONTAM_N).alias("sh")
+    # tokens materialized in their own projection: inlining tokens() into
+    # the shingle lambda would re-run the tokenizer per element_at call
+    # (measured ~25x slower at sf0.1)
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", shingles(F.col("t"), CONTAM_N).alias("sh"))
     )
     corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     doc_g = corpus.select(
@@ -269,6 +274,113 @@ SELECT source, {_bucket_sql('n')} AS bucket,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n) AS BIGINT) AS total_tokens
 FROM d GROUP BY source, bucket
+"""
+
+
+# --- bpe_pair_counts ----------------------------------------------------------
+
+BPE_PAIR_TOPK = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration, relationally: corpus-wide counts of
+    adjacent character pairs inside tokens, top-{BPE_PAIR_TOPK} by count
+    (ties by pair text). explode + count = map-side partial agg + one
+    shuffle of (pair, count) cells; top-k is TakeOrdered, never a full
+    sort. This is the inner loop of tokenizer training — each merge
+    round is this same query over a re-segmented corpus."""
+    docs = _docs(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("tok") - 1),
+        lambda i: F.col("tok").substr(i, F.lit(2)),
+    )
+    return (
+        docs.filter(F.length("tok") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_PAIR_TOPK)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH tok AS (
+  SELECT u.tok FROM (SELECT {sql_tokens('text')} AS t FROM documents),
+       unnest(t) AS u(tok)
+),
+pairs AS (
+  SELECT p.pair
+  FROM (SELECT tok FROM tok WHERE len(tok) >= 2),
+       unnest(list_transform(range(1, len(tok)), i -> substr(tok, i, 2))) AS p(pair)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT {BPE_PAIR_TOPK}
+"""
+
+
+# --- unigram_scores -----------------------------------------------------------
+
+
+def unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean corpus unigram frequency — the rational (no-log)
+    analog of mean word log-probability used for fluency filtering.
+    ``sum_freq`` = Σ over token occurrences of the corpus count of that
+    token (int64, order-independent); ``familiarity_fxp6`` =
+    sum_freq / (n_tokens · corpus_total). The count table is broadcast —
+    the corpus side shuffles only for its own per-doc aggregate."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    occ = docs.select("doc_id", F.explode("t").alias("tok"))
+    counts = occ.groupBy("tok").agg(F.count("*").alias("c"))
+    total = occ.agg(F.count("*").alias("tt"))
+    agg = (
+        occ.join(F.broadcast(counts), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum("c").alias("s"))
+    )
+    n = F.coalesce("n", F.lit(0)).cast("long")
+    s = F.coalesce("s", F.lit(0)).cast("long")
+    score = F.col("s").cast("double") / (
+        F.col("n").cast("double") * F.col("tt").cast("double")
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            s.alias("sum_freq"),
+            F.when(n > 0, fxp(score, 6))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("familiarity_fxp6"),
+        )
+    )
+
+
+UNIGRAM_SCORES_SQL = f"""
+WITH tok AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+occ AS (SELECT doc_id, u.tok FROM tok, unnest(t) AS u(tok)),
+counts AS (SELECT tok, count(*) AS c FROM occ GROUP BY tok),
+total AS (SELECT count(*) AS tt FROM occ),
+agg AS (
+  SELECT o.doc_id, count(*) AS n, sum(c.c) AS s
+  FROM occ o JOIN counts c ON o.tok = c.tok
+  GROUP BY o.doc_id
+)
+SELECT t.doc_id,
+  CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(a.s, 0) AS BIGINT) AS sum_freq,
+  CASE WHEN coalesce(a.n, 0) > 0 THEN
+    {sql_fxp('CAST(a.s AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(total.tt AS DOUBLE))', 6)}
+  ELSE 0 END AS familiarity_fxp6
+FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id, total
 """
 
 

@@ -770,6 +770,11 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
         pretrain.SEMDEDUP_CLUSTERS_SQL,
     ),
     "semdedup_prune": (pretrain.semdedup_prune, pretrain.SEMDEDUP_PRUNE_SQL),
+    "bpe_pair_counts": (
+        pretrain.bpe_pair_counts,
+        pretrain.BPE_PAIR_COUNTS_SQL,
+    ),
+    "unigram_scores": (pretrain.unigram_scores, pretrain.UNIGRAM_SCORES_SQL),
     "html_text": (html_extract.html_text, html_extract.HTML_TEXT_SQL),
     "html_main_content": (html_extract.main_content, None),
     # multimodal binary plumbing

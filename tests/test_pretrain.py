@@ -95,6 +95,39 @@ def test_length_histogram_totals(spark):
         assert r.bucket in pretrain.LEN_BUCKETS
 
 
+def test_bpe_pair_counts_matches_python(spark):
+    from collections import Counter
+
+    docs = _docs_rows(spark)
+    c: Counter = Counter()
+    for text in docs.values():
+        for tok in _py_tokens(text):
+            for i in range(len(tok) - 1):
+                c[tok[i : i + 2]] += 1
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = pretrain.bpe_pair_counts(spark, SF_DIR).collect()
+    assert [(r.pair, r.cnt) for r in out] == expect[: pretrain.BPE_PAIR_TOPK]
+
+
+def test_unigram_scores_matches_python(spark):
+    from collections import Counter
+
+    docs = _docs_rows(spark)
+    c: Counter = Counter()
+    for text in docs.values():
+        c.update(_py_tokens(text))
+    total = sum(c.values())
+    out = {r.doc_id: r for r in pretrain.unigram_scores(spark, SF_DIR).collect()}
+    assert set(out) == set(docs)
+    for d, r in out.items():
+        t = _py_tokens(docs[d])
+        s = sum(c[x] for x in t)
+        assert (r.n_tokens, r.sum_freq) == (len(t), s)
+        if t:
+            expect = int(s / (len(t) * total) * 10**6 + 0.5)
+            assert r.familiarity_fxp6 == expect
+
+
 def test_semdedup_cluster_count_and_prune_rule(spark):
     clusters = pretrain.semdedup_clusters(spark, SF_DIR).collect()
     assert len({r.cluster for r in clusters}) <= pretrain.SEM_K
