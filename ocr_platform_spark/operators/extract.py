@@ -197,28 +197,31 @@ def exploded_spans(documents: DataFrame) -> DataFrame:
 def decode_pages(documents: DataFrame, media: DataFrame) -> DataFrame:
     """Media spans ⋈ payloads -> per-page descriptor rows (stage 1).
 
-    Both join sides are explicitly hash-repartitioned on ``media_ref`` to
-    the same partition count, so (a) the join itself adds no exchange and
-    the payload bytes cross the wire exactly ONCE (a post-join
-    repartition would move them a second time), and (b) AQE's byte-based
-    coalescing cannot squash the decode stage into ~1 partition — like
-    the OCR stage, decode cost is per-*row* CPU (zlib + JSON), not bytes
-    (see :func:`ocr_blocks`). Residual decode skew (one media_ref
-    referenced by very many spans) is bounded: decode output is
-    re-spread per page by :func:`ocr_blocks` before the heavy stage.
+    Join first, repartition after: the spans side is 3 narrow columns, so
+    the join plans as a broadcast (spans build side) and the payload
+    bytes never move for the join itself — they cross the wire exactly
+    once, in the explicit repartition on ``(doc_id, offset)`` that
+    spreads the decode work. That repartition matters: the joined payload
+    rows are only a few MB, so AQE's byte-based coalescing would squash
+    them into ~1 partition and serialize the container parsing — like the
+    OCR stage, decode cost is per-*row* CPU (zlib + JSON), not bytes (see
+    :func:`ocr_blocks`). An alternative "pre-partition both sides on
+    media_ref + shuffle-hash join" shape was measured WORSE (median 9.5s
+    vs 6.2s at the 8k-doc bench corpus, with 2-4x straggler outliers): it
+    trades the broadcast for a payload shuffle keyed on media_ref, whose
+    heavy-tail key distribution leaves unbalanced decode partitions.
+    At true 10^12 scale, where the spans side outgrows broadcast, Spark
+    degrades this join to shuffle-hash on its own — that decision is
+    AQE's to make per stage, not ours to hard-code.
     """
-    n = 2 * documents.sparkSession.sparkContext.defaultParallelism
     media_spans = (
         exploded_spans(documents)
         .filter(F.col("kind") != "text")
         .select("doc_id", "offset", "media_ref")
-        .repartition(n, "media_ref")
+        .join(media.select("media_ref", "data"), "media_ref")
     )
-    payloads = media.select("media_ref", "data").repartition(n, "media_ref")
-    # shuffle-hash hint (build = the 3-column spans side): without it a
-    # non-broadcast plan degrades to sort-merge, locally sorting the
-    # payload rows — pure CPU on KB-size rows for nothing
-    return media_spans.hint("shuffle_hash").join(payloads, "media_ref").mapInPandas(
+    n = 2 * documents.sparkSession.sparkContext.defaultParallelism
+    return media_spans.repartition(n, "doc_id", "offset").mapInPandas(
         _decode_batches, schema=PAGE_TASK
     )
 
