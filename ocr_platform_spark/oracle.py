@@ -170,6 +170,55 @@ def extract_media(raw: bytes) -> list[Page]:
     return run_ocr_with_boxes("oracle", pages, detect_pages)
 
 
+def run_ocr_fused(doc_id: str, pages: list[np.ndarray]) -> list[Page]:
+    """Exact port of the one-shot fused ``run_ocr``
+    (``libs/ocr_core/ocr_core/pipeline/orchestrator.py:34-113``).
+
+    Distinct semantics vs the production two-phase flow
+    (:func:`run_ocr_with_boxes`):
+
+    * preprocess runs **before** detect (``orchestrator.py:42-48``), so
+      detection sees the resized page;
+    * output boxes are in **preprocessed-image** coordinates — there is no
+      scale-back to original page space (``orchestrator.py:82``: ``box =
+      boxes[i]`` verbatim), and the emitted page ``width``/``height`` are the
+      preprocessed dims (``orchestrator.py:44``, ``:101``);
+    * ``recognize(img, boxes)`` passes no ``original_heights``
+      (``orchestrator.py:59-64``), so the tall-box strip split keys off the
+      **crop height only** (``vietocr_engine.py:89-100`` else-branch).
+
+    Dead code in the reference API (only ``run_ocr_with_boxes`` is reachable
+    from ``ocr_tasks.py``) but the cleanest statement of the fused semantics
+    (SURVEY.md §3.3); exposed here so both coordinate conventions are
+    available (VERDICT round 1, "What's missing" #4).
+    """
+    ocr_pages: list[Page] = []
+    for page_index, img in enumerate(pages):
+        img = raster.preprocess_image(img)  # orchestrator.py:43
+        h, w = img.shape[:2]  # PIL .size convention -> (w, h) emitted below
+        boxes = kernels.detect_text_boxes(img)  # on the PREPROCESSED page
+        rec = recognize(img, boxes)  # original_heights=None
+        texts = postprocess_texts([t for t, _ in rec])
+        n = min(len(boxes), len(rec), len(texts))  # orchestrator.py:75
+        blocks = tuple(
+            Block(
+                block_id=f"{page_index}-{i}",
+                box=boxes[i],  # preprocessed coords, verbatim
+                score=1.0,
+                text=texts[i],
+                conf=rec[i][1],
+            )
+            for i in range(n)
+        )
+        ocr_pages.append(Page(page_index, w, h, blocks))
+    return ocr_pages
+
+
+def extract_media_fused(raw: bytes) -> list[Page]:
+    """One media payload through the fused one-shot pipeline."""
+    return run_ocr_fused("oracle", raw_to_pages(raw))
+
+
 def reading_order(blocks: tuple[Block, ...]) -> list[Block]:
     """Reading-order sort: ``y1`` asc, ``x1`` asc
     (``json-editor.component.ts:157-161``), then emission index (stable)."""
@@ -178,9 +227,15 @@ def reading_order(blocks: tuple[Block, ...]) -> list[Block]:
 
 
 def extract_document(
-    spans: list[dict], media_bytes: dict[str, bytes]
+    spans: list[dict], media_bytes: dict[str, bytes], fused: bool = False
 ) -> list[OutSpan]:
-    """Emit the output span sequence for one document (module docstring rules)."""
+    """Emit the output span sequence for one document (module docstring rules).
+
+    ``fused=True`` runs each media payload through the one-shot
+    :func:`run_ocr_fused` coordinate semantics instead of the production
+    two-phase flow; the span-emission rules are identical (the reading-order
+    sort applies to whichever coordinate space the blocks carry)."""
+    extract = extract_media_fused if fused else extract_media
     out: list[OutSpan] = []
     order = 0
     for span in sorted(spans, key=lambda s: s["offset"]):
@@ -189,7 +244,7 @@ def extract_document(
             order += 1
             continue
         ref = span["media_ref"]
-        for page in extract_media(media_bytes[ref]):
+        for page in extract(media_bytes[ref]):
             for block in reading_order(page.blocks):
                 out.append(OutSpan("text", block.text, ref, order))
                 order += 1

@@ -574,6 +574,26 @@ def extract_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extract_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot fused ``run_ocr`` semantics (``orchestrator.py:34-113``):
+    preprocess before detect, blocks in preprocessed coordinates, strip
+    split keyed on crop height only — the reference's alternative
+    coordinate convention, exposed alongside the production two-phase flow
+    (tests/test_fused.py pins it against the fused oracle)."""
+    docs_df, media_df = _corpus_dfs(spark)
+    out = extract.extract_documents_fused(docs_df, media_df)
+    return out.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
 def media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-payload quarantine path: two payloads deterministically
     corrupted; the errors table must surface exactly those, while
@@ -795,6 +815,7 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
     "extract_spans": (extract_spans, None),
     "extract_detect_boxes": (extract_detect_boxes, None),
     "extract_two_phase": (extract_two_phase, None),
+    "extract_fused": (extract_fused, None),
     "media_quarantine": (media_quarantine, None),
     "media_metadata": (media_metadata_q, None),
     "page_features": (page_features_q, None),
