@@ -68,7 +68,9 @@ def level(nproc: int, pages_per_proc: int, pin: bool = True) -> float:
     must not borrow spare cores for anything."""
     prev = os.sched_getaffinity(0)
     if pin:
-        os.sched_setaffinity(0, set(range(nproc)))
+        # cap at the CPUs that exist so a small host degrades to all-cores
+        # instead of OSError (mirrors run_scaling.run_once's taskset cap)
+        os.sched_setaffinity(0, set(range(min(nproc, os.cpu_count() or 1))))
     try:
         with mp.get_context("fork").Pool(nproc) as pool:
             res = pool.map(

@@ -80,8 +80,13 @@ def run_once(cpus: int, corpus: str, pin: bool = True) -> float:
     cmd = [sys.executable, "-c", code]
     if pin:
         # confine the whole tree (JVM + forked Python workers) to exactly
-        # `cpus` cores — the faithful N-core-cluster stand-in
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        # `cpus` cores — the faithful N-core-cluster stand-in. Cap the mask
+        # at the cores that actually exist: on a host with fewer than
+        # `cpus` CPUs taskset would otherwise fail the whole run (the level
+        # then degrades to "all cores", which the report's cpu count makes
+        # visible rather than hiding behind a crash).
+        ncpu = os.cpu_count() or 1
+        cmd = ["taskset", "-c", f"0-{min(cpus, ncpu) - 1}"] + cmd
     out = subprocess.run(
         cmd, capture_output=True, text=True, check=True, cwd=REPO,
     )

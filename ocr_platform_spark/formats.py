@@ -32,6 +32,13 @@ import json
 import zlib
 from dataclasses import dataclass, field
 
+# Sentinel media_kind for quarantined payloads (container parse failed).
+# Canonical definition — operators.extract and multimodal re-export it so
+# the producer (decode UDFs) and every downstream filter compare the same
+# string (cf. the reference's FAILED status + error column,
+# apps/worker/app/tasks/ocr_tasks.py:125-128).
+MEDIA_KIND_ERROR = "error"
+
 MAGIC_PDF = b"SPDF1"
 MAGIC_IMG = b"SIMG1"
 

@@ -308,15 +308,21 @@ def scrub_expr(col: F.Column) -> F.Column:
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the events property blobs: replace emails and
-    digit runs, count each. Narrow per-row map — no shuffle."""
+    digit runs, count each. Narrow per-row map — no shuffle.
+
+    ``n_nums`` counts digit runs on the EMAIL-SCRUBBED text (matching the
+    redaction order in :func:`scrub_expr`), so it equals the number of
+    ``<NUM>`` tokens actually inserted — counting on the raw props would
+    also count digits inside emails that the email pass already consumed."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    email_scrubbed = F.regexp_replace(F.col("props"), PII_EMAIL_RE, "<EMAIL>")
     return ev.select(
         "event_id",
         scrub_expr(F.col("props")).alias("scrubbed"),
         F.size(F.regexp_extract_all("props", F.lit(PII_EMAIL_RE), 0))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all("props", F.lit(PII_NUM_RE), 0))
+        F.size(F.regexp_extract_all(email_scrubbed, F.lit(PII_NUM_RE), 0))
         .cast("long")
         .alias("n_nums"),
     )
@@ -329,7 +335,9 @@ SELECT
     regexp_replace(props, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
     '{PII_NUM_RE}', '<NUM>', 'g') AS scrubbed,
   CAST(len(regexp_extract_all(props, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(props, '{PII_NUM_RE}')) AS BIGINT) AS n_nums
+  CAST(len(regexp_extract_all(
+    regexp_replace(props, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+    '{PII_NUM_RE}')) AS BIGINT) AS n_nums
 FROM events
 """
 

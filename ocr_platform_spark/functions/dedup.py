@@ -508,11 +508,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity
 
     emb = similarity._vectors(spark, sf_dir)
-    n = emb.count()
+    # bounded guard scan: limit(N+1).count() decides over-limit without
+    # scanning the whole table the guard exists to protect against
+    n = emb.limit(EXACT_NEAR_DUP_MAX_ROWS + 1).count()
     if n > EXACT_NEAR_DUP_MAX_ROWS:
         raise ValueError(
             f"embedding_near_dup is the exact O(n^2) verify tier and got "
-            f"{n} rows (> {EXACT_NEAR_DUP_MAX_ROWS}); use "
+            f"> {EXACT_NEAR_DUP_MAX_ROWS} rows; use "
             f"similarity.embedding_near_dup_lsh for large inputs"
         )
     a = emb.select(

@@ -410,17 +410,21 @@ def _cos_cols(qe: str, qn: str, ce: str, cn: str) -> F.Column:
     return dot / (F.col(qn) * F.col(cn))
 
 
-def _assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign(v: DataFrame, cent: DataFrame, keep_cos: bool = False) -> DataFrame:
     """Nearest-centroid assignment: broadcast centroids, argmax by
-    (cos desc, cluster asc). Returns (vec_id, e, nrm, cluster)."""
+    (cos desc, cluster asc). Returns (vec_id, e, nrm, cluster[, cos]) —
+    the single implementation of the assignment step, shared by the Lloyd
+    iterations and the final labelled assignment so a tie-break or cosine
+    change can never diverge between them."""
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster"))
-    return (
+    out = (
         v.crossJoin(F.broadcast(cent))
         .withColumn("cos", _cos_cols("e", "nrm", "ce", "cn"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "nrm", "cluster")
     )
+    cols = ["vec_id", "e", "nrm", "cluster"] + (["cos"] if keep_cos else [])
+    return out.select(*cols)
 
 
 def _update(assigned: DataFrame) -> DataFrame:
@@ -468,14 +472,7 @@ def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(SEM_ITERS):
         cent = _update(_assign(v, cent))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster"))
-    return (
-        v.crossJoin(F.broadcast(cent))
-        .withColumn("cos", _cos_cols("e", "nrm", "ce", "cn"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "nrm", "cluster", "cos")
-    )
+    return _assign(v, cent, keep_cos=True)
 
 
 def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,7 +489,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep/drop flags: drop a vector when a same-cluster
     neighbour with pairwise cosine ≥ {SEM_DUP_THRESHOLD} and a smaller
     vec_id exists. Pair join keyed by cluster — bounded cells."""
-    a = _final_assignment(spark, sf_dir)
+    # persist: the assignment is referenced three times below (both pair
+    # sides + the final keep-join); without a cache Spark would rebuild and
+    # execute the full SEM_ITERS Lloyd DAG once per reference
+    a = _final_assignment(spark, sf_dir).persist()
     left = a.select(
         "cluster",
         F.col("vec_id").alias("b_id"),

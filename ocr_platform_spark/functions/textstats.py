@@ -292,14 +292,20 @@ TFIDF_TOP_K = 3
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TFIDF_TOP_K} characteristic terms per document by tf·idf.
+    """Top-{TFIDF_TOP_K} characteristic terms per document by tf·idf,
+    with the LINEAR smoothed idf ``(N+1)/(df+1)`` (no log).
 
-    idf is the smoothed RATIONAL variant (N+1)/(df+1) rather than its
-    log: the ranking is identical (log is monotonic) but a single IEEE
-    division is bit-equal across engines, while ln() implementations
-    differ in the last ulp between the JVM and C libm — which would make
-    the fixed-point score a cross-engine lottery at tie boundaries.
-    Ranking ties break on the integerized score, then term text.
+    The linear variant is a deliberate cross-engine-determinism choice: a
+    single IEEE division is bit-equal across engines, while ln()
+    implementations differ in the last ulp between the JVM and C libm —
+    which would make the fixed-point score a cross-engine lottery at tie
+    boundaries. Note this is a DIFFERENT ranking from classic log-idf
+    tf·idf, not a monotone rewrite of it: log only commutes with the
+    per-term comparison when tf is equal, so across terms the linear
+    score weights rarity more steeply (e.g. tf=100/df=99 outranks
+    tf=1/df=1 linearly but not under log-idf). The output contract is
+    the linear score, mirrored exactly in the DuckDB oracle. Ranking
+    ties break on the integerized score, then term text.
 
     Shape at scale: one shuffle to (doc, term) counts, one shuffle for
     document frequencies, a key join, and a per-doc window (partitioned

@@ -54,7 +54,7 @@ FRAME_SAMPLE_SCHEMA = (
     "media_ref string, frame_index int, width int, height int, n_bands int"
 )
 
-MEDIA_KIND_ERROR = "error"  # quarantined: payload failed container parse
+MEDIA_KIND_ERROR = formats.MEDIA_KIND_ERROR  # quarantined payloads (shared sentinel)
 
 
 def _fxp6(v: float) -> int:
@@ -95,7 +95,11 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
         scale = formats.RENDER_DPI / formats.PDF_POINT_DPI  # dpi=150
         pages = []
         for page in doc:
-            bitmap = page.render(scale=scale)
+            # rev_byteorder: pdfium's native pixel order is BGR(A); request
+            # the reversed byte order so the numpy view is true RGB like the
+            # PIL branch's convert("RGB") — without it a red region decodes
+            # as blue on the PDF path only.
+            bitmap = page.render(scale=scale, rev_byteorder=True)
             arr = bitmap.to_numpy()
             if arr.ndim == 2:  # grayscale -> RGB
                 arr = np.stack([arr] * 3, axis=-1)

@@ -61,7 +61,7 @@ from ..schemas import BLOCK, PAGE_TASK, SPAN
 
 # --- stage 1: decode (cheap page explode) ------------------------------------
 
-MEDIA_KIND_ERROR = "error"  # quarantined: payload failed container parse
+MEDIA_KIND_ERROR = formats.MEDIA_KIND_ERROR  # quarantined payloads (shared sentinel)
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

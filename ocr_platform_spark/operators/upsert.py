@@ -158,13 +158,19 @@ def upsert_results(
     import shutil
 
     if sink is not None:
+        # same return contract as the parquet path: the number of hash
+        # buckets the edited docs fall into (Iceberg rewrites per-file,
+        # but callers key monitoring/assertions on the bucket count)
         target = edits.select("doc_id").distinct()
         current = spark.table(sink.qualified).join(
             F.broadcast(target), "doc_id"
         )
         merged = apply_span_edits(current, edits)
         sink.merge(merged)
-        return target.count()
+        return (
+            with_partition_id(target, num_buckets)
+            .select("partition_id").distinct().count()
+        )
 
     recover_pending_upsert(spark, out_dir)
     data_dir = os.path.join(out_dir, "data")

@@ -153,6 +153,14 @@ def test_pii_scrub_counts_nonzero(spark):
     out = curation.pii_scrub(spark, SF_DIR)
     assert out.filter("n_nums > 0").count() > 0
     assert out.filter("scrubbed LIKE '%<NUM>%'").count() > 0
+    # the counts reconcile against the scrubbed text: n_emails/n_nums equal
+    # the number of <EMAIL>/<NUM> tokens actually inserted (digit runs
+    # inside emails are consumed by the email pass, not double-counted)
+    bad = out.filter(
+        "n_nums != size(regexp_extract_all(scrubbed, '<NUM>', 0)) OR "
+        "n_emails != size(regexp_extract_all(scrubbed, '<EMAIL>', 0))"
+    ).count()
+    assert bad == 0
 
 
 # --- stratified_sample: determinism + python oracle --------------------------
