@@ -112,8 +112,13 @@ def main() -> None:
     )
 
     if not os.environ.get("BENCH_SKIP_WARMUP"):
-        # JVM/codegen warm-up, excluded from timings
+        # JVM/codegen warm-up, excluded from timings: the extraction path
+        # AND one decimal-aggregate relational query, so the first timed
+        # relational rep doesn't pay whole-stage-codegen/class-load costs
+        # (measured ~5 s once per JVM) that belong to no plan
         _run_noop(extract.extract_documents(docs.limit(8), media))
+        fn, _sql = REGISTRY["pricing_summary"]
+        _run_noop(fn(spark, sf_dir).limit(1))
 
     # best-of-N per query: the sandbox host stalls in multi-second phases
     # (BENCH/BASELINE.md documents identical jobs swinging 2x minutes

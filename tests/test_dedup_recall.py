@@ -55,6 +55,25 @@ def test_embedding_lsh_pairs_subset_of_exact_with_recall(spark):
     assert recall >= 0.5, f"banded recall collapsed: {recall:.2f}"
 
 
+def test_minhash_lsh_pairs_subset_of_exact_jaccard_with_recall(spark):
+    """The third banded path: minhash_lsh_pairs verifies candidates with
+    exact Jaccard on the same shingle sets ngram_jaccard_pairs scans, so
+    its pairs are a subset with identical jaccard values — banding only
+    trades recall, measured here."""
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard_fxp4"]
+        for r in dedup.ngram_jaccard_pairs(spark, SF).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]): r["jaccard_fxp4"]
+        for r in dedup.minhash_lsh_pairs(spark, SF).collect()
+    }
+    for pair, jac in lsh.items():
+        assert pair in exact and exact[pair] == jac, pair
+    recall = len(lsh) / len(exact) if exact else 1.0
+    assert recall >= 0.5, f"banded recall collapsed: {recall:.2f}"
+
+
 def test_exact_near_dup_tier_is_guarded(spark, monkeypatch):
     monkeypatch.setattr(dedup, "EXACT_NEAR_DUP_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
