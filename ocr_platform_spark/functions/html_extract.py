@@ -132,25 +132,39 @@ _WS_RE = re.compile(r"\s+")
 KEEP_FRACTION = 0.5  # keep blocks scoring >= this fraction of the best
 
 
+def _innermost_blocks(html: str, base: int = 0):
+    """Yield ``(document_position, inner_html)`` for every INNERMOST block
+    element, recursing into containers. Recursion matters: ``finditer``
+    consumes a container match whole, so without descending into it the
+    blocks nested inside (e.g. the ``<p>`` inside ``<div class="content">``)
+    would never be visited at all — the exact bug the analytic DuckDB
+    oracle (MAIN_CONTENT_SQL below) caught: the heuristic returned only the
+    footer and dropped the article text it exists to extract."""
+    for m in _BLOCK_RE.finditer(html):
+        inner = m.group(2)
+        if _BLOCK_RE.search(inner):
+            yield from _innermost_blocks(inner, base + m.start(2))
+        else:
+            yield base + m.start(), inner
+
+
 def extract_main_content(html: str) -> str:
     """Pure-Python density heuristic (shared by the UDF and the pytest
     oracle): innermost block elements scored by
     ``text_len * (1 - link_density)``; keep high-scoring blocks in
     document order."""
     blocks = []
-    for m in _BLOCK_RE.finditer(html):
-        inner = m.group(2)
-        if _BLOCK_RE.search(inner):
-            continue  # only innermost blocks
+    for pos, inner in _innermost_blocks(html):
         link_text = "".join(l for l in _LINK_RE.findall(inner))
         text = _WS_RE.sub(" ", _TAG_RE.sub(" ", inner)).strip()
         if not text:
             continue
         link_len = len(_WS_RE.sub(" ", _TAG_RE.sub(" ", link_text)).strip())
         density = link_len / len(text) if text else 1.0
-        blocks.append((m.start(), text, len(text) * (1.0 - density)))
+        blocks.append((pos, text, len(text) * (1.0 - density)))
     if not blocks:
         return ""
+    blocks.sort(key=lambda b: b[0])
     best = max(s for _, _, s in blocks)
     kept = [t for pos, t, s in blocks if s >= KEEP_FRACTION * best and s > 0]
     return " ".join(kept)
@@ -174,3 +188,33 @@ def main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(_extract, schema="doc_id bigint, main_text string")
+
+
+# Analytic DuckDB oracle for the heuristic tier. The synthesized page has
+# exactly four innermost block elements with closed-form scores
+# (score = text_len x (1 - link_density) on ws-collapsed text):
+#
+#   nav      "home about contact"             18 chars, 16 linked -> 2.0
+#   sidebar  "related more links"             18 chars, 11 linked -> 7.0
+#   <p>      the document text, L chars, 0 linked              -> L
+#   footer   "terms privacy copyright site"   28 chars, 12 linked -> 16.0
+#
+# With KEEP_FRACTION = 0.5 and best >= 16 always (footer), nav (2) and
+# sidebar (7) can never reach 0.5*best = 8; the <p> survives iff L >= 8
+# (when L < 16 the best is the footer's 16), and the footer survives iff
+# 16 >= 0.5*max(16, L), i.e. L <= 32. Kept blocks join in document order.
+# This derivation is *independent* of the UDF's block-parsing code path —
+# the oracle checks the heuristic's outcome, not its implementation.
+# (Assumes the corpus text contains no '<'/'>' and only ASCII whitespace,
+# both true of the synthetic documents tables.)
+_T = "trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))"
+_FOOTER_TEXT = "terms privacy copyright site"
+MAIN_CONTENT_SQL = f"""
+SELECT doc_id,
+  CASE
+    WHEN strlen({_T}) > 32 THEN {_T}
+    WHEN strlen({_T}) >= 8 THEN {_T} || ' {_FOOTER_TEXT}'
+    ELSE '{_FOOTER_TEXT}'
+  END AS main_text
+FROM documents
+"""

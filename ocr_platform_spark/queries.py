@@ -796,7 +796,7 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
     ),
     "unigram_scores": (pretrain.unigram_scores, pretrain.UNIGRAM_SCORES_SQL),
     "html_text": (html_extract.html_text, html_extract.HTML_TEXT_SQL),
-    "html_main_content": (html_extract.main_content, None),
+    "html_main_content": (html_extract.main_content, html_extract.MAIN_CONTENT_SQL),
     # multimodal binary plumbing
     "payload_stats": (
         multimodal.documents_payload_stats,

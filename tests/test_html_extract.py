@@ -25,6 +25,29 @@ def test_extract_main_content_drops_boilerplate():
     assert "one" not in out
 
 
+def test_extract_main_content_recurses_into_containers():
+    """Regression: a <p> nested inside a container div must be visited.
+    finditer consumes the container match whole, so without recursion the
+    nested article text was silently dropped and only the footer survived
+    (caught by the analytic DuckDB oracle MAIN_CONTENT_SQL)."""
+    html = (
+        '<body><nav><a href="/">home</a> <a href="/a">about</a></nav>'
+        '<div class="content"><p>the nested article text with many words '
+        "goes here and keeps going for a while</p></div>"
+        '<footer><a href="/t">terms</a> copyright</footer></body>'
+    )
+    out = html_extract.extract_main_content(html)
+    assert "nested article text" in out
+    assert "copyright" not in out
+    # deeper nesting too, and document order across siblings
+    html2 = (
+        '<div><section><p>first piece of the story text here</p></section>'
+        "<div><p>second piece of the story text here</p></div></div>"
+    )
+    out2 = html_extract.extract_main_content(html2)
+    assert out2.index("first piece") < out2.index("second piece")
+
+
 def test_extract_main_content_empty_and_plain():
     assert html_extract.extract_main_content("") == ""
     assert html_extract.extract_main_content("no blocks at all") == ""
