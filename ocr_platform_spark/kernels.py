@@ -199,10 +199,7 @@ def detect_text_boxes(img: np.ndarray, max_side: int = 0) -> list[tuple[int, int
         scale = max(h0, w0) / max_side
         if scale > 1:
             np_img = _resize_by_max_side(np_img, max_side)
-    raw = _detect_polygons(np_img)
-    if raw is None:
-        return []
-    arr = np.asarray(raw, dtype=np.float32)
+    arr = _detect_polygons(np_img)  # (N, 4, 2) float32, N may be 0
     if arr.size == 0:
         return []
     xs = arr[..., 0]

@@ -68,31 +68,52 @@ def span_checksum_per_doc(out: DataFrame) -> DataFrame:
     return out.withColumn("doc_hash", F.sha2(canon, 256))
 
 
-def bucket_lineage(out_with_pid: DataFrame, run_id: str, wall_time_s: float) -> DataFrame:
-    """One lineage row per bucket from a chunk's output."""
+def bucket_lineage(
+    out_with_pid: DataFrame,
+    run_id: str,
+    wall_time_s: float,
+    all_buckets: list[int] | None = None,
+) -> DataFrame:
+    """One lineage row per bucket from a chunk's output.
+
+    ``all_buckets``: the chunk's full bucket list. Buckets with zero output
+    documents still get a (doc_count=0) lineage row — without it an empty
+    bucket never commits, ``completed_buckets`` never includes it, and
+    every re-run of a finished job re-executes full chunks for it forever
+    (resume would not converge on any corpus sparser than its bucket
+    count). The empty checksum is sha256 of the empty string — exactly what
+    the aggregate would produce for an empty sorted doc-hash list."""
     hashed = span_checksum_per_doc(out_with_pid)
-    return (
-        hashed.groupBy("partition_id")
-        .agg(
-            F.count("*").alias("doc_count"),
-            F.sha2(
-                F.concat_ws(
-                    _CANON_SPAN_SEP,
-                    F.sort_array(
-                        F.collect_list(F.concat_ws(":", "doc_id", "doc_hash"))
-                    ),
+    agg = hashed.groupBy("partition_id").agg(
+        F.count("*").alias("doc_count"),
+        F.sha2(
+            F.concat_ws(
+                _CANON_SPAN_SEP,
+                F.sort_array(
+                    F.collect_list(F.concat_ws(":", "doc_id", "doc_hash"))
                 ),
-                256,
-            ).alias("span_checksum"),
+            ),
+            256,
+        ).alias("span_checksum"),
+    )
+    if all_buckets is not None:
+        base = out_with_pid.sparkSession.createDataFrame(
+            [(int(b),) for b in all_buckets], "partition_id int"
         )
-        .select(
-            F.lit(run_id).alias("run_id"),
+        agg = base.join(agg, "partition_id", "left").select(
             "partition_id",
-            "doc_count",
-            "span_checksum",
-            F.lit(float(wall_time_s)).alias("wall_time_s"),
-            F.current_timestamp().alias("completed_at"),
+            F.coalesce("doc_count", F.lit(0).cast("long")).alias("doc_count"),
+            F.coalesce("span_checksum", F.sha2(F.lit(""), 256)).alias(
+                "span_checksum"
+            ),
         )
+    return agg.select(
+        F.lit(run_id).alias("run_id"),
+        "partition_id",
+        "doc_count",
+        "span_checksum",
+        F.lit(float(wall_time_s)).alias("wall_time_s"),
+        F.current_timestamp().alias("completed_at"),
     )
 
 
@@ -157,7 +178,12 @@ def run_extract_job(
         # chunk's own partitions, so a crashed half-written chunk heals on
         # re-run (reference analog: rerun/requeue, routes_jobs.py:119-175)
         if sink is not None:
+            # persist across the two actions: without it the lineage
+            # aggregate below would re-execute the whole decode+OCR DAG a
+            # second time per chunk
+            out_pid = out_pid.persist()
             sink.write_chunk(out_pid)
+            lineage_src = out_pid
         else:
             (
                 out_pid.write.mode("overwrite")
@@ -165,9 +191,30 @@ def run_extract_job(
                 .partitionBy("partition_id")
                 .parquet(data_dir)
             )
+            # lineage from the data READ BACK, not from the lazy plan: the
+            # read is output-sized (partition-pruned to the chunk's own
+            # dirs) where re-evaluating out_pid would re-run the heavy OCR
+            # DAG a second time — and the checksum then covers what
+            # actually landed on disk, not what the plan would recompute
+            landed = [
+                f"{data_dir}/partition_id={b}"
+                for b in chunk
+                if os.path.isdir(f"{data_dir}/partition_id={b}")
+            ]
+            lineage_src = (
+                spark.read.schema(out_pid.schema)
+                .option("basePath", data_dir)
+                .parquet(*landed)
+                if landed
+                else out_pid  # whole chunk produced zero docs
+            )
         wall = time.perf_counter() - t0
         # lineage commit AFTER the data commit — the commit point of the chunk
-        bucket_lineage(out_pid, run_id, wall).write.mode("append").parquet(lineage_dir)
+        bucket_lineage(lineage_src, run_id, wall, all_buckets=chunk).write.mode(
+            "append"
+        ).parquet(lineage_dir)
+        if sink is not None:
+            out_pid.unpersist()
         executed += 1
     return executed
 

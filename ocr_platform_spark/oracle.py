@@ -76,12 +76,19 @@ def raw_to_pages(raw: bytes) -> list[np.ndarray]:
     return [raster.render_page(p, scale) for p in pages]
 
 
-def detect_document(raw: bytes) -> list[dict]:
+def detect_document(
+    raw: bytes, pages: "list[np.ndarray] | None" = None
+) -> list[dict]:
     """Detect phase (``ocr_tasks.py:108-118``): per page, boxes from the
     detector on the raw rendered page; returns the ``detect_result`` pages
-    payload shape ``{page_index, width, height, boxes:[{x1,y1,x2,y2}]}``."""
+    payload shape ``{page_index, width, height, boxes:[{x1,y1,x2,y2}]}``.
+
+    ``pages``: pass already-rendered rasters to skip the second
+    decode+render (the render is the expensive step on multi-page PDFs)."""
+    if pages is None:
+        pages = raw_to_pages(raw)
     detect_pages = []
-    for i, img in enumerate(raw_to_pages(raw)):
+    for i, img in enumerate(pages):
         boxes = kernels.detect_text_boxes(img)
         h, w = img.shape[:2]
         detect_pages.append(
@@ -164,9 +171,10 @@ def run_ocr_with_boxes(
 
 
 def extract_media(raw: bytes) -> list[Page]:
-    """Full two-phase pipeline for one media payload: detect then recognize."""
+    """Full two-phase pipeline for one media payload: detect then recognize
+    (decode+render happens once; both phases share the rasters)."""
     pages = raw_to_pages(raw)
-    detect_pages = detect_document(raw)
+    detect_pages = detect_document(raw, pages=pages)
     return run_ocr_with_boxes("oracle", pages, detect_pages)
 
 

@@ -192,7 +192,15 @@ class LazyCropView:
         rows_in = self._y2 - self._y1
         if i < 0:
             i += self.shape[0]
-        if i >= rows_in:  # bottom black padding
+        if i < 0 or i >= self.shape[0]:
+            # match ndarray indexing: out-of-range must raise, not
+            # fabricate black rows a caller bug would silently decode
+            raise IndexError(
+                f"row {i} out of bounds for crop of height {self.shape[0]}"
+            )
+        if i >= rows_in or self._x2 <= self._x1:
+            # bottom padding rows, or a fully out-of-page crop whose inner
+            # window is empty (every pixel is PIL-style black padding)
             return np.zeros(self.shape[1], dtype=np.uint8)
         out = area_resize_window(
             self._img, self._w, self._h,
@@ -222,13 +230,14 @@ class LazyCropView:
     def __array__(self, dtype=None, copy=None):
         """Full materialization fallback (tests / debugging)."""
         rows_in = self._y2 - self._y1
-        if rows_in > 0:
+        if rows_in > 0 and self._x2 > self._x1:
             body = area_resize_window(
                 self._img, self._w, self._h,
                 self._x1, self._y1, self._x2, self._y2,
             )
         else:
-            body = np.zeros((0, self._x2 - self._x1), dtype=np.uint8)
+            body = np.zeros((max(rows_in, 0), max(self._x2 - self._x1, 0)),
+                            dtype=np.uint8)
         out = np.pad(body, ((0, self._pad_b), (0, self._pad_r)),
                      constant_values=0)
         return out.astype(dtype) if dtype is not None else out
@@ -281,9 +290,16 @@ class PrepView:
                 out = np.pad(out, ((0, pad_b), (0, pad_r)), constant_values=0)
             return out
         # resized path: per-row lazy evaluation (recognizer reads ~1 row
-        # per strip; materializing the full crop is ~30x wasted resampling)
+        # per strip; materializing the full crop is ~30x wasted resampling).
+        # The inner rect must clamp on BOTH axes: a box lying fully right
+        # of the page (x1 >= w) otherwise reaches LazyCropView with
+        # x1 > ix2 (negative inner width) and crashes the resampler where
+        # the eager path returns the black-padded crop (an edited-boxes
+        # input can place boxes anywhere on a >max_side page).
+        nx1, ny1 = min(x1, w), min(y1, h)
         return LazyCropView(
-            self._img, w, h, x1, y1, ix2, max(iy2, y1), pad_r, pad_b
+            self._img, w, h, nx1, ny1, max(ix2, nx1), max(iy2, ny1),
+            pad_r, pad_b
         )
 
 

@@ -193,6 +193,57 @@ def stream_dedup_docs(
     )
 
 
+def process_extract_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    media: DataFrame,
+    data_dir: str,
+    lineage_dir: str,
+    num_partitions: int | None = None,
+    on_batch: Callable[[int, int], None] | None = None,
+) -> None:
+    """One micro-batch through the extraction pipeline — the foreachBatch
+    body, module-level so the retry semantics are directly testable.
+
+    foreachBatch is AT-LEAST-ONCE: if the driver dies after the data write
+    but before the streaming checkpoint commits, the batch re-runs on
+    restart. Both writes are therefore keyed on ``batch_id`` with dynamic
+    partition overwrite — a retry replaces exactly its own partition
+    instead of appending duplicates (the same idempotent-commit shape as
+    ``lineage.run_extract_job``'s chunks)."""
+    t0 = time.perf_counter()
+    # count once on the raw source batch (column-pruned parquet scan),
+    # recorded in lineage AND handed to the callback — on_batch must
+    # not trigger a second pass over the micro-batch
+    n_docs = batch_df.count()
+    out = extract_documents(batch_df, media, num_partitions=num_partitions)
+    (
+        out.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(data_dir)
+    )
+    wall = time.perf_counter() - t0
+    lineage = batch_df.sparkSession.createDataFrame(
+        [(int(n_docs), float(wall))],
+        "doc_count long, wall_time_s double",
+    ).select(
+        F.lit(int(batch_id)).alias("batch_id"),
+        "doc_count",
+        "wall_time_s",
+        F.current_timestamp().alias("completed_at"),
+    )
+    (
+        lineage.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(lineage_dir)
+    )
+    if on_batch is not None:
+        on_batch(batch_id, n_docs)
+
+
 def stream_extract(
     spark: SparkSession,
     landing_dir: str,
@@ -222,21 +273,10 @@ def stream_extract(
     lineage_dir = os.path.join(out_dir, "lineage")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        t0 = time.perf_counter()
-        # count once on the raw source batch (column-pruned parquet scan),
-        # recorded in lineage AND handed to the callback — on_batch must
-        # not trigger a second pass over the micro-batch
-        n_docs = batch_df.count()
-        out = extract_documents(batch_df, media, num_partitions=num_partitions)
-        out.write.mode("append").parquet(data_dir)
-        wall = time.perf_counter() - t0
-        lineage = batch_df.sparkSession.createDataFrame(
-            [(int(batch_id), int(n_docs), float(wall))],
-            "batch_id long, doc_count long, wall_time_s double",
-        ).withColumn("completed_at", F.current_timestamp())
-        lineage.write.mode("append").parquet(lineage_dir)
-        if on_batch is not None:
-            on_batch(batch_id, n_docs)
+        process_extract_batch(
+            batch_df, batch_id, media, data_dir, lineage_dir,
+            num_partitions=num_partitions, on_batch=on_batch,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_process)

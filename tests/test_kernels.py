@@ -206,3 +206,33 @@ def test_media_container_roundtrip():
     assert page_count(raw) == 2
     kind, decoded = decode_media(encode_image(pages[0]))
     assert kind == "image" and len(decoded) == 1
+
+
+def test_prepview_crop_out_of_page_boxes_match_eager():
+    """Regression: boxes fully right of / below the preprocessed page used
+    to reach LazyCropView with a negative inner width and crash the
+    resampler; the contract is the eager path's black-padded crop."""
+    import numpy as np
+
+    from ocr_platform_spark import raster
+
+    img = np.full((1400, 1500), 255, dtype=np.uint8)
+    img[100:130, 200:400] = 0
+    pv = raster.PrepView(img)
+    full = raster.area_resize(img, pv.width, pv.height)
+    for box in [
+        (1125, 10, 1160, 30),      # fully right of the 1120-wide prep page
+        (1122, 1202, 1129, 1209),  # fully below-right
+        (-5, -5, 10, 10),          # negative corner
+        (0, 1300, 20, 1320),       # fully below
+        (1100, 10, 1160, 30),      # straddling the right edge
+    ]:
+        got = np.asarray(pv.crop(box))
+        want = raster.crop(full, box)
+        assert got.shape == want.shape, box
+        assert np.array_equal(got, want), box
+    # ndarray indexing fidelity: out-of-range raises instead of
+    # fabricating black rows
+    view = pv.crop((10, 10, 40, 40))
+    with pytest.raises(IndexError):
+        view[999]

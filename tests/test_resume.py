@@ -84,3 +84,26 @@ def test_checksums_stable_across_runs(io):
         for r in spark.read.parquet(f"{b}/lineage").collect()
     }
     assert ca == cb
+
+
+def test_sparse_corpus_converges_with_empty_buckets(io):
+    """Regression: with more buckets than occupied ones, empty buckets must
+    still commit (doc_count=0) lineage rows — previously they never did,
+    so a completed run re-executed chunks for them on every re-invocation
+    and resume never converged."""
+    spark, docs, media, tmp = io
+    few = docs.limit(5)
+    out_dir = tmp.mktemp("sparse_run")
+    lineage.run_extract_job(
+        spark, few, media, str(out_dir), "run-s", num_buckets=64, chunk_buckets=16
+    )
+    lin = spark.read.parquet(f"{out_dir}/lineage").filter(F.col("run_id") == "run-s")
+    # every bucket committed exactly once, occupied or not
+    assert lin.select("partition_id").distinct().count() == 64
+    assert lin.count() == 64
+    assert lin.agg(F.sum("doc_count")).first()[0] == 5
+    # re-run is a true no-op
+    executed = lineage.run_extract_job(
+        spark, few, media, str(out_dir), "run-s", num_buckets=64, chunk_buckets=16
+    )
+    assert executed == 0

@@ -282,3 +282,28 @@ def test_stream_dedup_first_occurrence_wins(spark, tmp_path):
         str(landing / "part-1.parquet"),
     )
     assert drain() == {0, 2, 3, 6}
+
+
+def test_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-processing the same micro-batch
+    (same batch_id) must replace its own output, not duplicate it."""
+    from ocr_platform_spark import corpus, schemas, streaming
+
+    docs, media = corpus.generate(12, seed=7, max_pages=4)
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(
+        [{"media_ref": k, **v} for k, v in sorted(media.items())],
+        schema=schemas.MEDIA,
+    )
+    data_dir = str(tmp_path / "data")
+    lineage_dir = str(tmp_path / "lineage")
+    for _ in range(2):  # second call = the crash-retry of batch 0
+        streaming.process_extract_batch(
+            docs_df, 0, media_df, data_dir, lineage_dir
+        )
+    out = spark.read.parquet(data_dir)
+    assert out.count() == len(docs)
+    assert out.select("doc_id").distinct().count() == len(docs)
+    lin = spark.read.parquet(lineage_dir)
+    assert lin.count() == 1  # one lineage row per batch, not per attempt
+    assert lin.first()["doc_count"] == len(docs)
