@@ -8,9 +8,11 @@ Python in the hot path); each has a DuckDB oracle SQL built from the same
 formula snippets (:mod:`.common`), so the driver's value-hash compare is
 exact.
 
-Scale notes: every operator here is a narrow per-row ``select`` — no
-shuffle at all; at 100 TB these run as a single map stage with full
-column pruning (only ``doc_id, text`` read from parquet).
+Scale notes: most operators here are narrow per-row ``select``s that run
+as a single map stage with full column pruning (only ``doc_id, text``
+read from parquet). The exceptions shuffle deliberately and narrowly:
+``doc_fingerprints`` exchanges ``(doc_id, md5)`` + a 64-bit partial min
+(never the text), and ``tfidf_top_terms`` shuffles term counts.
 """
 
 from __future__ import annotations
@@ -203,11 +205,16 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh5 = shingles(F.col("t"), 5)
     basis = F.when(F.size(sh5) > 0, sh5).otherwise(F.array(F.col("norm")))
-    rows = docs.select("doc_id", "norm", F.explode(basis).alias("s"))
+    # group on (doc_id, md5) — the only text-derived value the output
+    # needs — so the exchange and partial-agg hash map carry 32 hex chars
+    # per doc instead of the full normalized corpus text
+    rows = docs.select(
+        "doc_id", F.md5("norm").alias("fp"), F.explode(basis).alias("s")
+    )
     return (
-        rows.groupBy("doc_id", "norm")
+        rows.groupBy("doc_id", "fp")
         .agg(F.min(hash60(F.col("s"))).alias("winnow_min"))
-        .select("doc_id", F.md5("norm").alias("fp"), "winnow_min")
+        .select("doc_id", "fp", "winnow_min")
     )
 
 

@@ -214,16 +214,33 @@ def decode_pages(documents: DataFrame, media: DataFrame) -> DataFrame:
     degrades this join to shuffle-hash on its own — that decision is
     AQE's to make per stage, not ours to hard-code.
     """
-    media_spans = (
+    span_refs = (
         exploded_spans(documents)
         .filter(F.col("kind") != "text")
         .select("doc_id", "offset", "media_ref")
-        .join(media.select("media_ref", "data"), "media_ref")
     )
+    media_spans = span_refs.join(media.select("media_ref", "data"), "media_ref")
     n = 2 * documents.sparkSession.sparkContext.defaultParallelism
-    return media_spans.repartition(n, "doc_id", "offset").mapInPandas(
+    decoded = media_spans.repartition(n, "doc_id", "offset").mapInPandas(
         _decode_batches, schema=PAGE_TASK
     )
+    # A span whose media_ref has NO payload row must surface as a
+    # quarantine row, not vanish: the inner join above would silently drop
+    # it (and a left join would force the payload onto the build side,
+    # breaking the measured-best broadcast plan). The anti-join is narrow
+    # — only (doc_id, offset, media_ref) keys move — and feeds the same
+    # media_kind=error contract media_errors() reads.
+    missing = span_refs.join(
+        media.select("media_ref"), "media_ref", "left_anti"
+    ).select(
+        "doc_id",
+        "offset",
+        "media_ref",
+        F.lit(MEDIA_KIND_ERROR).alias("media_kind"),
+        F.lit(-1).cast("int").alias("page_index"),
+        F.lit("missing media payload").alias("page_desc"),
+    )
+    return decoded.unionByName(missing)
 
 
 def ocr_blocks(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -436,8 +453,12 @@ def detect_boxes_table(pages: DataFrame, num_partitions: int | None = None) -> D
     ``detect_result`` column analog (``apps/worker/app/db/models.py:26``),
     for workflows that checkpoint detect output before recognition."""
     pages = pages.filter(F.col("media_kind") != MEDIA_KIND_ERROR)
-    if num_partitions:
-        pages = pages.repartition(num_partitions, "doc_id", "offset", "page_index")
+    # same default page-key skew spread as ocr_blocks/recognize_with_boxes:
+    # without it the stage inherits decode's (doc_id, offset) partitioning
+    # and one heavy-tail PDF's render+detect serializes on a single task
+    if num_partitions is None:
+        num_partitions = 3 * pages.sparkSession.sparkContext.defaultParallelism
+    pages = pages.repartition(num_partitions, "doc_id", "offset", "page_index")
 
     def _detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -530,13 +530,10 @@ def _corpus_dfs(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     return docs_df, media_df
 
 
-def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship OCR extraction end-to-end (non-SQL; oracle = pytest
-    single-node pipeline equality)."""
-    docs_df, media_df = _corpus_dfs(spark)
-    out = extract.extract_documents(docs_df, media_df)
-    # flatten for the driver's stable-schema check (arrays of structs stay
-    # engine-internal)
+def _flatten_spans(out: DataFrame) -> DataFrame:
+    """Flatten ``(doc_id, spans)`` for the driver's stable-schema check
+    (arrays of structs stay engine-internal). Single definition — the
+    driver's flatten contract must not drift between the gate queries."""
     return out.select(
         "doc_id", F.posexplode("spans").alias("pos", "span")
     ).select(
@@ -547,6 +544,13 @@ def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     )
+
+
+def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship OCR extraction end-to-end (non-SQL; oracle = pytest
+    single-node pipeline equality)."""
+    docs_df, media_df = _corpus_dfs(spark)
+    return _flatten_spans(extract.extract_documents(docs_df, media_df))
 
 
 def extract_detect_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,16 +565,8 @@ def extract_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     workflow; output equals the fused pipeline (tests/test_two_phase.py
     also pins the edited-boxes replay against the oracle)."""
     docs_df, media_df = _corpus_dfs(spark)
-    out = extract.extract_documents_two_phase(docs_df, media_df)
-    return out.select(
-        "doc_id", F.posexplode("spans").alias("pos", "span")
-    ).select(
-        "doc_id",
-        "pos",
-        F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"),
-        F.col("span.media_ref").alias("media_ref"),
-        F.col("span.offset").alias("offset"),
+    return _flatten_spans(
+        extract.extract_documents_two_phase(docs_df, media_df)
     )
 
 
@@ -581,17 +577,7 @@ def extract_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordinate convention, exposed alongside the production two-phase flow
     (tests/test_fused.py pins it against the fused oracle)."""
     docs_df, media_df = _corpus_dfs(spark)
-    out = extract.extract_documents_fused(docs_df, media_df)
-    return out.select(
-        "doc_id", F.posexplode("spans").alias("pos", "span")
-    ).select(
-        "doc_id",
-        "pos",
-        F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"),
-        F.col("span.media_ref").alias("media_ref"),
-        F.col("span.offset").alias("offset"),
-    )
+    return _flatten_spans(extract.extract_documents_fused(docs_df, media_df))
 
 
 def media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,8 +628,8 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tmp = tempfile.mkdtemp(prefix="stream_win_")
     try:
-        tmp = tempfile.mkdtemp(prefix="stream_win_")
         landing = os.path.join(tmp, "ev")
         os.makedirs(landing)
         shutil.copy(
@@ -667,6 +653,10 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     finally:
+        # the memory sink holds the drained result on the driver, so the
+        # landing copy + checkpoint are dead weight once the query stops;
+        # without this every invocation leaks a full events.parquet copy
+        shutil.rmtree(tmp, ignore_errors=True)
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 

@@ -56,3 +56,28 @@ def test_clean_corpus_has_no_errors(spark):
     docs, media = corpus.generate(8, seed=22, max_pages=3)
     docs_df, media_df = _dfs(spark, docs, media)
     assert extract.media_errors(extract.decode_pages(docs_df, media_df)).count() == 0
+
+
+def test_missing_media_ref_quarantined_not_dropped(spark):
+    """A span whose media_ref has no payload row must surface in the
+    errors table (media_kind=error quarantine row), not silently vanish
+    through the decode join."""
+    docs, media = corpus.generate(10, seed=23, max_pages=3)
+    # delete one payload outright: the ref is still in the span list
+    gone = sorted(media)[0]
+    del media[gone]
+    docs_df, media_df = _dfs(spark, docs, media)
+
+    pages = extract.decode_pages(docs_df, media_df)
+    errors = extract.media_errors(pages).collect()
+    assert {e["media_ref"] for e in errors} == {gone}
+    assert all("missing" in e["error"] for e in errors)
+
+    # extraction still succeeds for every document; the missing span's
+    # doc keeps its other spans and emits nothing for the missing ref
+    out = extract.extract_documents(docs_df, media_df)
+    assert out.count() == len(docs)
+    leaked = out.select(F.explode("spans").alias("s")).filter(
+        F.col("s.media_ref") == gone
+    )
+    assert leaked.count() == 0
