@@ -206,14 +206,16 @@ def main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 # This derivation is *independent* of the UDF's block-parsing code path —
 # the oracle checks the heuristic's outcome, not its implementation.
 # (Assumes the corpus text contains no '<'/'>' and only ASCII whitespace,
-# both true of the synthetic documents tables.)
+# both true of the synthetic documents tables. length() = character count,
+# matching Python len() code points even for non-ASCII corpora — byte-count
+# strlen() would silently diverge near the L=8/L=32 boundaries.)
 _T = "trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))"
 _FOOTER_TEXT = "terms privacy copyright site"
 MAIN_CONTENT_SQL = f"""
 SELECT doc_id,
   CASE
-    WHEN strlen({_T}) > 32 THEN {_T}
-    WHEN strlen({_T}) >= 8 THEN {_T} || ' {_FOOTER_TEXT}'
+    WHEN length({_T}) > 32 THEN {_T}
+    WHEN length({_T}) >= 8 THEN {_T} || ' {_FOOTER_TEXT}'
     ELSE '{_FOOTER_TEXT}'
   END AS main_text
 FROM documents

@@ -489,10 +489,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep/drop flags: drop a vector when a same-cluster
     neighbour with pairwise cosine ≥ {SEM_DUP_THRESHOLD} and a smaller
     vec_id exists. Pair join keyed by cluster — bounded cells."""
-    # persist: the assignment is referenced three times below (both pair
-    # sides + the final keep-join); without a cache Spark would rebuild and
-    # execute the full SEM_ITERS Lloyd DAG once per reference
-    a = _final_assignment(spark, sf_dir).persist()
+    # lazy localCheckpoint, NOT persist(): the assignment is referenced
+    # three times below (both pair sides + the final keep-join), so without
+    # materialization Spark would re-execute the full SEM_ITERS Lloyd DAG
+    # once per reference. A persist() would pin the blocks in the session's
+    # CacheManager forever (no caller ever unpersists a registry query);
+    # the checkpointed RDD is held only by this DataFrame's plan, so the
+    # ContextCleaner frees its blocks once the result is unreachable.
+    a = _final_assignment(spark, sf_dir).localCheckpoint(eager=False)
     left = a.select(
         "cluster",
         F.col("vec_id").alias("b_id"),

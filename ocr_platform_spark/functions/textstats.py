@@ -323,7 +323,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("t")
     )
-    n_docs = docs.count()  # scalar N, read once (drives the idf literal)
+    # scalar N folded INTO the plan as a broadcast 1-row aggregate (no
+    # separate driver count() job — that was one extra full scan of the
+    # documents table per call, real I/O at 100 TB); (N+1) is an exact
+    # integer, so the double division is bit-identical to the old literal
+    n = F.broadcast(
+        docs.agg((F.count("*") + F.lit(1)).alias("n_plus_1"))
+    )
     tf = (
         docs.select("doc_id", F.explode("t").alias("term"))
         .groupBy("doc_id", "term")
@@ -331,9 +337,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     score = F.col("tf").cast("double") * (
-        F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double")
+        F.col("n_plus_1").cast("double") / (F.col("df") + F.lit(1)).cast("double")
     )
-    scored = tf.join(df_t, "term").select(
+    scored = tf.join(df_t, "term").crossJoin(n).select(
         "doc_id", "term", "tf", fxp(score, 6).alias("score_fxp6")
     )
     w = Window.partitionBy("doc_id").orderBy(

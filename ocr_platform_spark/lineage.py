@@ -29,6 +29,7 @@ filtering prunes on the hash without reading payloads.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -185,6 +186,18 @@ def run_extract_job(
             sink.write_chunk(out_pid)
             lineage_src = out_pid
         else:
+            # clear the chunk's own partition dirs first: dynamic overwrite
+            # only replaces partitions that receive new rows, so when
+            # out_dir is reused across run_ids a bucket that lands ZERO
+            # rows in this run would keep a stale dir from the prior run —
+            # and the read-back below would checksum the stale rows into
+            # this run's lineage. These buckets are not in `done` for this
+            # run_id, so anything on disk for them is a prior run's data
+            # or a crashed half-write; both must go.
+            for b in chunk:
+                stale = f"{data_dir}/partition_id={b}"
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
             (
                 out_pid.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -107,3 +107,37 @@ def test_sparse_corpus_converges_with_empty_buckets(io):
         spark, few, media, str(out_dir), "run-s", num_buckets=64, chunk_buckets=16
     )
     assert executed == 0
+
+
+def test_out_dir_reuse_across_run_ids_no_stale_rows(io):
+    """A bucket that lands rows in run A but ZERO rows in run B (same
+    out_dir) must not leak run-A rows into run B's output or lineage:
+    dynamic overwrite alone leaves the stale partition dir in place, so
+    run_extract_job clears each chunk's dirs before the write."""
+    spark, docs, media, tmp = io
+    out_dir = tmp.mktemp("reuse_run")
+    lineage.run_extract_job(
+        spark, docs, media, str(out_dir), "run-a", num_buckets=4, chunk_buckets=4
+    )
+    full = _collect_result(spark, out_dir)
+
+    # run B: keep only the docs of ONE bucket -> the other 3 buckets land
+    # zero rows and their run-A dirs must be cleared, not re-checksummed
+    pid = lineage.with_partition_id(docs, 4)
+    keep_bucket = pid.select("partition_id").first()[0]
+    subset = pid.filter(F.col("partition_id") == keep_bucket).drop("partition_id")
+    lineage.run_extract_job(
+        spark, subset, media, str(out_dir), "run-b", num_buckets=4, chunk_buckets=4
+    )
+
+    got = _collect_result(spark, out_dir)
+    expected_ids = {r["doc_id"] for r in subset.select("doc_id").collect()}
+    assert set(got) == expected_ids  # no stale run-A docs survive
+    assert {k: v for k, v in full.items() if k in expected_ids} == got
+
+    lin = spark.read.parquet(f"{out_dir}/lineage").filter(F.col("run_id") == "run-b")
+    by_bucket = {r["partition_id"]: r["doc_count"] for r in lin.collect()}
+    assert by_bucket[keep_bucket] == len(expected_ids)
+    for b, n in by_bucket.items():
+        if b != keep_bucket:
+            assert n == 0  # empty-bucket sentinel, not stale run-A counts
