@@ -107,8 +107,16 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
         return "pdf", pages
     if kind in ("png", "jpeg"):
         if _PILImage is None:
+            if kind == "png":
+                # pure-stdlib fallback (zlib + struct): a GENUINE PNG
+                # decodes everywhere, so the real-codec seam has live
+                # in-sandbox test coverage (VERDICT r2 #3). Same
+                # convert("RGB") semantics (ocr_tasks.py:54-55).
+                from . import pngcodec
+
+                return "image", [pngcodec.decode_png(raw)]
             raise NotImplementedError(
-                "real image decode requires PIL (not installed here); "
+                "real JPEG decode requires PIL (not installed here); "
                 "use SIMG1 containers (ocr_platform_spark.formats) instead"
             )
         img = _PILImage.open(io.BytesIO(raw)).convert("RGB")
