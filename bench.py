@@ -95,6 +95,24 @@ def _run_noop(df) -> float:
     return time.time() - t0
 
 
+def _ceiling_probe(procs: int = 8, pages: int = 240) -> float:
+    """~1 s bare-kernel multiprocessing probe (no Spark): aggregate
+    pages/sec of the extraction kernels on ``procs`` pinned cores.
+
+    Taken before AND after the timed suite so round-over-round per-query
+    comparisons are self-adjudicating — the sandbox host swings 1.5-2x in
+    multi-minute phases (BENCH/BASELINE.md), and without an in-window
+    hardware number a bench regression is indistinguishable from a host
+    phase (the r1→r2 extract_documents confusion)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"))
+    from hardware_ceiling import level
+
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    level(procs, 10)  # pool warm-up (import + corpus gen), excluded
+    return round(level(procs, pages), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
@@ -103,6 +121,7 @@ def main() -> None:
     n_docs = int(
         os.environ.get("BENCH_CORPUS_DOCS", max(100, int(8000 * sf / 0.1)))
     )
+    probe_before = _ceiling_probe()
     spark = get_spark("bench")
     corpus_dir = _corpus_dir(n_docs, 200)
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
@@ -125,6 +144,7 @@ def main() -> None:
     # apart), and a single draw records the lottery, not the plan
     reps = int(os.environ.get("BENCH_REPEATS", "2"))
 
+    cpus = spark.sparkContext.defaultParallelism
     timings: dict[str, float] = {}
     t_ex = min(
         _run_noop(extract.extract_documents(docs, media)) for _ in range(reps)
@@ -138,6 +158,8 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    spark.stop()  # before the closing probe so the probe sees bare cores
+    probe_after = _ceiling_probe()
     print(
         json.dumps(
             {
@@ -150,11 +172,15 @@ def main() -> None:
                 "extract_pages": int(n_pages),
                 "docs_per_sec": round(n_docs / t_ex, 2),
                 "pages_per_sec": round(n_pages / t_ex, 2),
-                "cpus": spark.sparkContext.defaultParallelism,
+                "cpus": cpus,
+                # bare-kernel mp throughput (8 pinned cores, no Spark)
+                # before/after the suite: the host-normalization metadata
+                # for round-over-round comparisons
+                "ceiling_probe_before_pps": probe_before,
+                "ceiling_probe_after_pps": probe_after,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -20,6 +20,8 @@ Signature computation itself is a narrow map (no shuffle).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,6 +81,24 @@ FROM tok GROUP BY 2
 # --- n-gram Jaccard ----------------------------------------------------------
 
 
+def _materialized(df: DataFrame, checkpoint_dir: str | None, name: str) -> DataFrame:
+    """Optional write-once parquet materialization of an index frame.
+
+    ``checkpoint_dir=None`` keeps the pure-DAG behavior (each consumer
+    recomputes the frame — right for one-shot gate/bench sessions where a
+    cache would pin executor memory for the session lifetime). At real
+    scale pass a durable dir: the index is computed ONCE, lands as a
+    partitioned parquet table, and every consumer (sizes, intersections,
+    band joins) scans the materialized table instead of re-running
+    tokenize + shingle + stop-filter per reference — this is the
+    "checkpointed table at real scale" story, executable."""
+    if checkpoint_dir is None:
+        return df
+    path = os.path.join(checkpoint_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct rows, stop-shingles dropped."""
     docs = _docs_tokens(spark, sf_dir)
@@ -110,15 +130,18 @@ sh AS (
 """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard >= threshold.
 
-    The shingle index is deliberately *not* cached: these builders run in
-    long-lived sessions (bench, driver gate) where a cache would pin
-    executor memory for the session's lifetime; at real scale the index
-    is a checkpointed table instead.
+    The shingle index is recomputed per consumer by default (these
+    builders run in long-lived sessions — bench, driver gate — where a
+    cache would pin executor memory for the session's lifetime); pass
+    ``checkpoint_dir`` to materialize it once as a parquet table (the
+    real-scale shape; see :func:`_materialized`).
     """
-    sh = _shingle_rows(spark, sf_dir)
+    sh = _materialized(_shingle_rows(spark, sf_dir), checkpoint_dir, "shingles")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -265,13 +288,20 @@ FROM dsig
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """LSH candidate pairs (band-hash equi-join) verified by exact Jaccard.
 
     Banding: {LSH_BANDS} bands x {MINHASH_K // LSH_BANDS} rows; candidates
     share at least one full band. Verification recomputes exact Jaccard on
     the distinct-shingle sets (same CTE as :func:`ngram_jaccard_pairs`), so
     LSH only controls recall — precision is exact.
+
+    ``checkpoint_dir``: materialize the shingle index once (consumed by
+    both the sizes aggregate and the intersection join) instead of
+    recomputing tokenize+shingle+stop-filter per consumer — the
+    real-scale shape (see :func:`_materialized`).
     """
     docs = _signature_cols(spark, sf_dir)
     rows_per_band = MINHASH_K // LSH_BANDS
@@ -301,7 +331,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = _shingle_rows(spark, sf_dir)
+    sh = _materialized(_shingle_rows(spark, sf_dir), checkpoint_dir, "shingles")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("a_id"), "s"), "a_id")

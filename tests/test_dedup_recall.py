@@ -78,3 +78,23 @@ def test_exact_near_dup_tier_is_guarded(spark, monkeypatch):
     monkeypatch.setattr(dedup, "EXACT_NEAR_DUP_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
         dedup.embedding_near_dup(spark, SF)
+
+
+def test_checkpoint_dir_output_identical(spark, tmp_path):
+    """The optional shingle-index materialization (``checkpoint_dir``) is
+    a pure execution-shape change: both pair builders must return exactly
+    the same rows with and without it, and the index must actually land
+    as a parquet table in the given dir."""
+    import os
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ck = str(tmp_path / "dedup_ck")
+    assert rows(dedup.ngram_jaccard_pairs(spark, SF)) == rows(
+        dedup.ngram_jaccard_pairs(spark, SF, checkpoint_dir=ck)
+    )
+    assert os.path.isdir(os.path.join(ck, "shingles"))
+    assert rows(dedup.minhash_lsh_pairs(spark, SF)) == rows(
+        dedup.minhash_lsh_pairs(spark, SF, checkpoint_dir=ck)
+    )

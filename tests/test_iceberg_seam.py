@@ -79,3 +79,43 @@ def test_run_extract_job_routes_chunks_through_sink(spark, tmp_path):
         for r in read_result(spark, out_b).collect()
     }
     assert a == b
+
+
+def test_write_chunk_builds_overwrite_partitions_plan(spark):
+    """Plan-level coverage of the chunk-commit seam method (the catalog
+    itself can't run here). Two layers:
+
+    (a) call shape — write_chunk must route through
+        DataFrame.writeTo(<qualified>).overwritePartitions(), nothing else;
+    (b) real plan construction — invoking it on a real DataFrame builds
+        the V2 OverwritePartitionsDynamic plan and reaches the ANALYZER,
+        failing only at catalog resolution (the `ice` catalog is not
+        configured in-sandbox), not at plan construction.
+    """
+    sink = IcebergSink("ice", "prod", "documents_out")
+
+    calls = {}
+
+    class FakeWriter:
+        def overwritePartitions(self):
+            calls["overwrite"] = True
+
+    class FakeDF:
+        def writeTo(self, table):
+            calls["table"] = table
+            return FakeWriter()
+
+    sink.write_chunk(FakeDF())
+    assert calls == {"table": "ice.prod.documents_out", "overwrite": True}
+
+    from pyspark.errors import AnalysisException
+
+    df = spark.range(3).selectExpr(
+        "cast(id as string) as doc_id", "cast(id as int) as partition_id"
+    )
+    with pytest.raises(AnalysisException) as ei:
+        sink.write_chunk(df)
+    # failure is catalog RESOLUTION (unconfigured `ice` falls through to
+    # spark_catalog's single-part-namespace rule) — proving the analyzer
+    # consumed the constructed overwritePartitions plan
+    assert "ice" in str(ei.value)
