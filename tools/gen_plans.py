@@ -74,8 +74,53 @@ media_df = spark.createDataFrame([{"media_ref": k, **v} for k, v in sorted(media
 sections.append(("Extraction pipeline (end-to-end)",
   "Two MapInPandas stages with explicit repartitions between them; a single"
   " window + partial/final aggregate tail; whole-stage codegen spans the"
-  " relational glue. No raster bytes appear in any exchange.",
+  " relational glue. No raster bytes appear in any exchange. Round 3: the"
+  " documents table is scanned ONCE for span content (shared lazy"
+  " localCheckpoint of the exploded frame) plus one doc_id-only pruned"
+  " scan for the sentinel — the Scan ExistingRDD nodes below are the"
+  " checkpointed exploded spans.",
   plan_of(extract.extract_documents(docs_df, media_df))))
+
+# static (non-regenerated) evidence sections, preserved across regens
+STATIC_TAIL = """
+## Round 3: extract_documents single-scan rewrite (A/B evidence)
+
+VERDICT r2 #1: the flagship scanned the `documents` table 4 times (media-span
+refs, missing-payload anti-join, text passthrough, sentinel), each re-reading
+and re-exploding the `spans` column. Round 3 explodes once and lazily
+`localCheckpoint`s the narrow exploded frame (`shared_exploded_spans`,
+`operators/extract.py`); the three span consumers read the checkpointed
+blocks, and the only remaining `documents` file scan is the sentinel build,
+column-pruned to `doc_id`:
+
+```
+NEW plan: documents FileScan count = 1
+  FileScan parquet [doc_id#0]  ReadSchema: struct<doc_id:string>   <- sentinel only
+OLD plan: documents FileScan count = 4 (3 reading the full spans column)
+```
+
+The spans-side broadcast in `decode_pages` is now pinned with `F.broadcast`
+(ADVICE r2 #3): the checkpointed RDD has no size statistics, so an unhinted
+plan would estimate-degrade to sort-merge and re-introduce the payload sort.
+`broadcast_spans=False` hands the decision back to AQE at scales where the
+spans side outgrows executor memory.
+
+Interleaved same-JVM A/B (`BENCH/ab_extract_r3.py`, 8000 docs / 48120 pages,
+local[32], ABBA ordering, bare-kernel ceiling probes before/after):
+
+```
+old_sec [6.45, 27.68, 7.72]  median 7.72  best 6.45   (27.68 = host stall)
+new_sec [7.24,  6.59, 8.59]  median 7.24  best 6.59
+speedup_median 1.067x; ceiling probe 5598 -> 5142 pages/s (mildly degraded window)
+```
+
+Parity-to-better at sf0.1 where the corpus is small enough that re-scans were
+cheap; the win is structural — at 100 TB the old plan re-reads ~3x the input
+bytes from remote storage, the new plan reads them once and serves the two
+re-uses from executor-local storage. `extract_documents_two_phase` gets the
+same treatment plus a shared `pages` checkpoint (detect and recognize both
+consume the decode output; previously each re-ran the payload join + decode).
+"""
 
 with open("/root/repo/docs/PLANS.md", "w") as f:
     f.write("# Physical plan evidence (`.explain(\"formatted\")`)\n\n")
@@ -83,5 +128,6 @@ with open("/root/repo/docs/PLANS.md", "w") as f:
             "`python tools/gen_plans.py`.\n")
     for title, note, plan in sections:
         f.write(f"\n## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
+    f.write(STATIC_TAIL)
 print("written")
 spark.stop()
