@@ -4,10 +4,14 @@ plan, alternating reps on the SAME warm JVM so host phases hit both arms,
 with a bare-kernel multiprocessing ceiling probe before and after the
 suite to adjudicate host drift.
 
-OLD arm = the pre-change plan reconstructed from the same building
-blocks (``decode_pages(..., spans=None)`` + ``assemble_spans(...,
-spans=None)``), which re-derives ``exploded_spans(documents)`` per
-consumer exactly as round 2 shipped it.
+OLD arm = the 4-scan plan reconstructed from the same building blocks
+(``decode_pages(..., spans=None)`` + ``assemble_spans(..., spans=None)``),
+re-deriving ``exploded_spans(documents)`` per consumer. NOTE on
+attribution: BOTH arms carry the round-3 pinned ``F.broadcast`` hint
+(decode_pages applies it regardless of the spans source), so this A/B
+isolates the SCAN-SHARING change alone — it does not measure the
+broadcast-pinning component of the r2->r3 delta, which is justified
+separately as estimate-robustness (ADVICE r2 #3), not as a speedup.
 
 Usage: python BENCH/ab_extract_r3.py [--reps 4] [--docs 8000]
 Prints one JSON line.

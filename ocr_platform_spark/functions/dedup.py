@@ -20,6 +20,7 @@ Signature computation itself is a narrow map (no shuffle).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,7 +82,9 @@ FROM tok GROUP BY 2
 # --- n-gram Jaccard ----------------------------------------------------------
 
 
-def _materialized(df: DataFrame, checkpoint_dir: str | None, name: str) -> DataFrame:
+def _materialized(
+    df: DataFrame, checkpoint_dir: str | None, name: str, source_key: str
+) -> DataFrame:
     """Optional write-once parquet materialization of an index frame.
 
     ``checkpoint_dir=None`` keeps the pure-DAG behavior (each consumer
@@ -91,11 +94,22 @@ def _materialized(df: DataFrame, checkpoint_dir: str | None, name: str) -> DataF
     partitioned parquet table, and every consumer (sizes, intersections,
     band joins) scans the materialized table instead of re-running
     tokenize + shingle + stop-filter per reference — this is the
-    "checkpointed table at real scale" story, executable."""
+    "checkpointed table at real scale" story, executable.
+
+    The path is keyed by ``source_key`` (the corpus dir) and the write is
+    WRITE-ONCE (skipped when a committed table already exists): a second
+    builder sharing the dir must not overwrite the files underneath a
+    DataFrame the first builder already returned (an eager re-overwrite
+    was reproduced to fail later reads with FAILED_READ_FILE), and two
+    corpora sharing one dir must not serve each other's shingles. Delete
+    the subdir to force a recompute; concurrent first-writes to one new
+    path are not coordinated (single-driver usage)."""
     if checkpoint_dir is None:
         return df
-    path = os.path.join(checkpoint_dir, name)
-    df.write.mode("overwrite").parquet(path)
+    key = hashlib.md5(source_key.encode()).hexdigest()[:10]
+    path = os.path.join(checkpoint_dir, f"{name}-{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
 
@@ -141,7 +155,9 @@ def ngram_jaccard_pairs(
     ``checkpoint_dir`` to materialize it once as a parquet table (the
     real-scale shape; see :func:`_materialized`).
     """
-    sh = _materialized(_shingle_rows(spark, sf_dir), checkpoint_dir, "shingles")
+    sh = _materialized(
+        _shingle_rows(spark, sf_dir), checkpoint_dir, "shingles", sf_dir
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -331,7 +347,9 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = _materialized(_shingle_rows(spark, sf_dir), checkpoint_dir, "shingles")
+    sh = _materialized(
+        _shingle_rows(spark, sf_dir), checkpoint_dir, "shingles", sf_dir
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("a_id"), "s"), "a_id")

@@ -57,6 +57,20 @@ class IcebergSink:
         """Atomic partition replacement for one chunk's buckets."""
         out_pid.writeTo(self.qualified).overwritePartitions()
 
+    def delete_partitions_sql(self, buckets: list[int]) -> str:
+        """DELETE for buckets that landed zero rows this run:
+        ``overwritePartitions`` only replaces partitions present in the
+        written chunk, so on a reused table an empty bucket would
+        otherwise keep a prior run's rows (the Iceberg analog of the
+        parquet fallback's stale-dir rmtree in ``lineage.run_extract_job``).
+        Partition-predicate DELETEs are metadata-only in Iceberg."""
+        ids = ", ".join(str(int(b)) for b in buckets)
+        return f"DELETE FROM {self.qualified} WHERE partition_id IN ({ids})"
+
+    def delete_partitions(self, spark, buckets: list[int]) -> None:
+        if buckets:
+            spark.sql(self.delete_partitions_sql(buckets))
+
     # --- result-edit merge (upsert_results' publish) --------------------------
 
     def merge_sql(self, updates_view: str) -> str:

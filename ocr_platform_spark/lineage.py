@@ -144,8 +144,13 @@ def run_extract_job(
     max_chunks: int | None = None,
     num_partitions: int | None = None,
     sink=None,
+    broadcast_spans: bool = True,
 ) -> int:
     """Resumable extraction run. Returns the number of chunks executed.
+
+    ``broadcast_spans`` is forwarded to :func:`extract_documents` — set
+    False when a chunk's media-span key set outgrows executor memory so
+    the payload-join strategy is AQE's to pick.
 
     ``max_chunks`` is the kill-injection hook for the resume test: stop after
     N chunks as if the driver died; a later call with the same ``out_dir`` +
@@ -172,8 +177,25 @@ def run_extract_job(
         if max_chunks is not None and executed >= max_chunks:
             break
         t0 = time.perf_counter()
-        subset = docs_pid.filter(F.col("partition_id").isin(chunk)).drop("partition_id")
-        out = extract_documents(subset, media, num_partitions=num_partitions)
+        chunk_docs = docs_pid.filter(F.col("partition_id").isin(chunk))
+        # Buckets that will land ZERO rows this run: extraction emits
+        # exactly one output row per input document (sentinel contract,
+        # assemble_spans), so empty-output buckets == buckets with no
+        # input docs — computable from a doc_id-pruned scan, no action on
+        # the heavy OCR DAG. Their stale partitions (prior run_id on a
+        # reused out_dir) must be dropped explicitly, because both commit
+        # paths (dynamic overwrite / Iceberg overwritePartitions) only
+        # replace partitions that receive new rows.
+        have_docs = {
+            r["partition_id"]
+            for r in chunk_docs.select("partition_id").distinct().collect()
+        }
+        empty = [b for b in chunk if b not in have_docs]
+        subset = chunk_docs.drop("partition_id")
+        out = extract_documents(
+            subset, media, num_partitions=num_partitions,
+            broadcast_spans=broadcast_spans,
+        )
         out_pid = with_partition_id(out, num_buckets)
         # idempotent data commit: dynamic overwrite replaces exactly the
         # chunk's own partitions, so a crashed half-written chunk heals on
@@ -184,17 +206,23 @@ def run_extract_job(
             # second time per chunk
             out_pid = out_pid.persist()
             sink.write_chunk(out_pid)
+            if empty:
+                # same stale-partition rule as the parquet branch:
+                # overwritePartitions leaves partitions that receive no
+                # new rows untouched, so a reused table keeps prior-run
+                # rows in this run's empty buckets unless deleted
+                sink.delete_partitions(spark, empty)
             lineage_src = out_pid
         else:
-            # clear the chunk's own partition dirs first: dynamic overwrite
-            # only replaces partitions that receive new rows, so when
-            # out_dir is reused across run_ids a bucket that lands ZERO
-            # rows in this run would keep a stale dir from the prior run —
-            # and the read-back below would checksum the stale rows into
-            # this run's lineage. These buckets are not in `done` for this
-            # run_id, so anything on disk for them is a prior run's data
-            # or a crashed half-write; both must go.
-            for b in chunk:
+            # clear ONLY the zero-row buckets' partition dirs: dynamic
+            # overwrite replaces every bucket that receives rows with its
+            # usual commit-time atomicity (old files stay visible until
+            # the job commits), but a bucket landing ZERO rows this run
+            # keeps a stale dir from a prior run_id on a reused out_dir —
+            # the read-back below would checksum the stale rows into this
+            # run's lineage. Restricting the rmtree to `empty` keeps the
+            # non-empty buckets' crash window unchanged.
+            for b in empty:
                 stale = f"{data_dir}/partition_id={b}"
                 if os.path.isdir(stale):
                     shutil.rmtree(stale)

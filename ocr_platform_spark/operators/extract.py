@@ -414,16 +414,23 @@ def assemble_spans(
 
 
 def extract_documents(
-    documents: DataFrame, media: DataFrame, num_partitions: int | None = None
+    documents: DataFrame,
+    media: DataFrame,
+    num_partitions: int | None = None,
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """End-to-end: documents + media -> documents_out with extracted spans.
 
     The ``documents`` table is read ONCE for span content (shared lazy
     localCheckpoint of the exploded frame, :func:`shared_exploded_spans`)
     plus one doc_id-only pruned scan for the sentinel — down from 4 full
-    scans (VERDICT r2 #1)."""
+    scans (VERDICT r2 #1). ``broadcast_spans=False`` releases the pinned
+    spans-side broadcast hint in the payload join to AQE — required when
+    one job's media-span key set outgrows executor memory (see
+    :func:`decode_pages`); threaded here so whole-corpus callers have the
+    escape hatch without recomposing the stages."""
     sp = shared_exploded_spans(documents)
-    pages = decode_pages(documents, media, spans=sp)
+    pages = decode_pages(documents, media, spans=sp, broadcast_spans=broadcast_spans)
     blocks = ocr_blocks(pages, num_partitions=num_partitions)
     return assemble_spans(documents, blocks, spans=sp)
 
@@ -492,7 +499,10 @@ def ocr_blocks_fused(pages: DataFrame, num_partitions: int | None = None) -> Dat
 
 
 def extract_documents_fused(
-    documents: DataFrame, media: DataFrame, num_partitions: int | None = None
+    documents: DataFrame,
+    media: DataFrame,
+    num_partitions: int | None = None,
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """End-to-end extraction under the one-shot fused ``run_ocr`` semantics:
     blocks carry preprocessed-image coordinates and crop-height-keyed strip
@@ -500,7 +510,7 @@ def extract_documents_fused(
     assembly) is shared with :func:`extract_documents` — only the in-UDF
     per-page kernel differs, so every 100-TB posture argument carries over."""
     sp = shared_exploded_spans(documents)
-    pages = decode_pages(documents, media, spans=sp)
+    pages = decode_pages(documents, media, spans=sp, broadcast_spans=broadcast_spans)
     blocks = ocr_blocks_fused(pages, num_partitions=num_partitions)
     return assemble_spans(documents, blocks, spans=sp)
 
@@ -661,6 +671,7 @@ def extract_documents_two_phase(
     media: DataFrame,
     edited_boxes: DataFrame | None = None,
     num_partitions: int | None = None,
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """The reference's two-phase workflow (detect → [human edit] →
     recognize), end-to-end: with ``edited_boxes=None`` the detect phase
@@ -671,7 +682,7 @@ def extract_documents_two_phase(
     phases both consume it, and without the share each re-runs the full
     payload join + container decode."""
     sp = shared_exploded_spans(documents)
-    pages = decode_pages(documents, media, spans=sp)
+    pages = decode_pages(documents, media, spans=sp, broadcast_spans=broadcast_spans)
     if edited_boxes is None:
         pages = pages.localCheckpoint(eager=False)
         boxes = detect_boxes_table(pages, num_partitions=num_partitions)

@@ -116,8 +116,12 @@ def decode_png(raw: bytes) -> np.ndarray:
         return np.repeat(px, 3, axis=2)
     if ctype == 4:
         return np.repeat(px[:, :, :1], 3, axis=2)
-    # ctype == 3: palette lookup
-    return np.ascontiguousarray(palette[px[:, :, 0]])
+    # ctype == 3: palette lookup (bounds-checked so a malformed index
+    # raises the module's ValueError family, not numpy IndexError)
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("PNG palette index out of range")
+    return np.ascontiguousarray(palette[idx])
 
 
 def _chunk(typ: bytes, data: bytes) -> bytes:

@@ -201,6 +201,7 @@ def process_extract_batch(
     lineage_dir: str,
     num_partitions: int | None = None,
     on_batch: Callable[[int, int], None] | None = None,
+    broadcast_spans: bool = True,
 ) -> None:
     """One micro-batch through the extraction pipeline — the foreachBatch
     body, module-level so the retry semantics are directly testable.
@@ -216,7 +217,12 @@ def process_extract_batch(
     # recorded in lineage AND handed to the callback — on_batch must
     # not trigger a second pass over the micro-batch
     n_docs = batch_df.count()
-    out = extract_documents(batch_df, media, num_partitions=num_partitions)
+    # micro-batches are bounded, so the pinned spans broadcast is safe by
+    # construction here; the flag is still threaded for contract parity
+    out = extract_documents(
+        batch_df, media, num_partitions=num_partitions,
+        broadcast_spans=broadcast_spans,
+    )
     (
         out.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -254,6 +260,7 @@ def stream_extract(
     available_now: bool = True,
     num_partitions: int | None = None,
     on_batch: Callable[[int, int], None] | None = None,
+    broadcast_spans: bool = True,
 ):
     """Stream documents parquet from ``landing_dir`` through the extraction
     pipeline into ``out_dir`` (append), micro-batch lineage into
@@ -276,6 +283,7 @@ def stream_extract(
         process_extract_batch(
             batch_df, batch_id, media, data_dir, lineage_dir,
             num_partitions=num_partitions, on_batch=on_batch,
+            broadcast_spans=broadcast_spans,
         )
 
     writer = (

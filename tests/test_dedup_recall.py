@@ -91,10 +91,14 @@ def test_checkpoint_dir_output_identical(spark, tmp_path):
         return sorted(tuple(r) for r in df.collect())
 
     ck = str(tmp_path / "dedup_ck")
-    assert rows(dedup.ngram_jaccard_pairs(spark, SF)) == rows(
-        dedup.ngram_jaccard_pairs(spark, SF, checkpoint_dir=ck)
-    )
-    assert os.path.isdir(os.path.join(ck, "shingles"))
-    assert rows(dedup.minhash_lsh_pairs(spark, SF)) == rows(
-        dedup.minhash_lsh_pairs(spark, SF, checkpoint_dir=ck)
-    )
+    # build BOTH lazy frames against the shared dir BEFORE collecting
+    # either: the materialization is write-once, so the second builder
+    # must reuse the committed table, not overwrite the files underneath
+    # the first frame (an eager overwrite made p1.collect() fail with
+    # FAILED_READ_FILE)
+    p1 = dedup.ngram_jaccard_pairs(spark, SF, checkpoint_dir=ck)
+    p2 = dedup.minhash_lsh_pairs(spark, SF, checkpoint_dir=ck)
+    assert rows(dedup.ngram_jaccard_pairs(spark, SF)) == rows(p1)
+    assert rows(dedup.minhash_lsh_pairs(spark, SF)) == rows(p2)
+    shingle_dirs = [d for d in os.listdir(ck) if d.startswith("shingles-")]
+    assert len(shingle_dirs) == 1  # one source-keyed table, shared

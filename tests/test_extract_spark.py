@@ -80,3 +80,17 @@ def test_detect_boxes_table(spark, corpus_dir):
             else:
                 assert key not in got
     assert checked > 10
+
+
+def test_broadcast_spans_off_identical(spark, corpus_dir, spark_result):
+    """The broadcast_spans=False escape hatch (spans-side join strategy
+    delegated to AQE instead of the pinned hint) is a pure execution-shape
+    change: end-to-end output must be identical."""
+    from ocr_platform_spark.operators.extract import extract_documents
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    out = extract_documents(docs, media, broadcast_spans=False).collect()
+    got = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in out}
+    want = {k: [tuple(s) for s in v] for k, v in spark_result.items()}
+    assert got == want

@@ -58,6 +58,15 @@ def test_run_extract_job_routes_chunks_through_sink(spark, tmp_path):
                 .parquet(self.data_dir)
             )
 
+        def delete_partitions(self, spark, buckets):
+            import shutil
+
+            self.deleted = getattr(self, "deleted", []) + list(buckets)
+            for b in buckets:
+                d = os.path.join(self.data_dir, f"partition_id={b}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+
     out_a = str(tmp_path / "default")
     out_b = str(tmp_path / "sinked")
     run_extract_job(
@@ -119,3 +128,67 @@ def test_write_chunk_builds_overwrite_partitions_plan(spark):
     # spark_catalog's single-part-namespace rule) — proving the analyzer
     # consumed the constructed overwritePartitions plan
     assert "ice" in str(ei.value)
+
+
+def test_merge_and_delete_sql_shapes():
+    sink = IcebergSink("ice", "prod", "documents_out")
+    assert sink.delete_partitions_sql([3, 1]) == (
+        "DELETE FROM ice.prod.documents_out WHERE partition_id IN (3, 1)"
+    )
+
+
+def test_sink_reuse_across_run_ids_deletes_empty_buckets(spark, tmp_path):
+    """Iceberg-path twin of test_resume's out_dir-reuse test: a bucket
+    that lands zero rows in run B must have its prior-run partition
+    DELETEd (overwritePartitions alone leaves it in the table)."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.lineage import with_partition_id
+
+    docs, media = corpus.generate(16, seed=45, max_pages=3)
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(
+        [{"media_ref": k, **v} for k, v in sorted(media.items())],
+        schema=schemas.MEDIA,
+    )
+
+    class FakeSink:
+        def __init__(self, data_dir):
+            self.data_dir = data_dir
+            self.deleted = []
+
+        def write_chunk(self, out_pid):
+            (
+                out_pid.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("partition_id")
+                .parquet(self.data_dir)
+            )
+
+        def delete_partitions(self, spark, buckets):
+            import shutil
+
+            self.deleted += list(buckets)
+            for b in buckets:
+                d = os.path.join(self.data_dir, f"partition_id={b}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+
+    out = str(tmp_path / "sink_reuse")
+    sink = FakeSink(os.path.join(out, "data"))
+    run_extract_job(
+        spark, docs_df, media_df, out_dir=out, run_id="ra", num_buckets=4,
+        chunk_buckets=4, sink=sink,
+    )
+    assert sink.deleted == []  # full corpus: every bucket has docs
+
+    pid = with_partition_id(docs_df, 4)
+    keep = pid.select("partition_id").first()[0]
+    subset = pid.filter(F.col("partition_id") == keep).drop("partition_id")
+    run_extract_job(
+        spark, subset, media_df, out_dir=out, run_id="rb", num_buckets=4,
+        chunk_buckets=4, sink=sink,
+    )
+    assert sorted(sink.deleted) == sorted(b for b in range(4) if b != keep)
+    got = {r["doc_id"] for r in read_result(spark, out).collect()}
+    assert got == {r["doc_id"] for r in subset.select("doc_id").collect()}

@@ -177,3 +177,21 @@ def test_real_pdf_decode_at_150dpi():
     h, w = pages[0].shape[:2]
     # 72x72 pt page rendered at 150 dpi -> 150x150 px (+-1 rounding)
     assert abs(w - 150) <= 1 and abs(h - 150) <= 1
+
+
+def test_png_palette_index_out_of_range_raises_valueerror():
+    import struct
+    import zlib
+
+    from ocr_platform_spark import pngcodec
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    raw = (
+        pngcodec.SIGNATURE
+        + pngcodec._chunk(b"IHDR", ihdr)
+        + pngcodec._chunk(b"PLTE", bytes([10, 20, 30]))  # 1 entry
+        + pngcodec._chunk(b"IDAT", zlib.compress(b"\x00\x05"))  # index 5
+        + pngcodec._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        pngcodec.decode_png(raw)

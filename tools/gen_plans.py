@@ -106,7 +106,10 @@ plan would estimate-degrade to sort-merge and re-introduce the payload sort.
 spans side outgrows executor memory.
 
 Interleaved same-JVM A/B (`BENCH/ab_extract_r3.py`, 8000 docs / 48120 pages,
-local[32], ABBA ordering, bare-kernel ceiling probes before/after):
+local[32], ABBA ordering, bare-kernel ceiling probes before/after). Both
+arms carry the pinned broadcast hint, so the measured delta attributes to
+the scan-sharing change alone (the pinning is an estimate-robustness fix,
+not a claimed speedup):
 
 ```
 old_sec [6.45, 27.68, 7.72]  median 7.72  best 6.45   (27.68 = host stall)
