@@ -72,3 +72,61 @@ def test_cli_rejects_missing_args(tmp_path):
     )
     assert out.returncode == 2
     assert "--documents" in out.stderr
+
+
+def _spark_submit_bin():
+    import pyspark
+
+    p = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    return p if os.path.exists(p) else None
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(_spark_submit_bin() is None, reason="no spark-submit")
+def test_spark_submit_py_files_end_to_end(tmp_path, spark):
+    """LIVE north-rule deployment shape: `spark-submit --py-files
+    <zip> run_extract.py ...` in a clean subprocess (PYTHONPATH unset —
+    the zip is the only source of the engine), then the landed output is
+    verified span-for-span against the single-node oracle."""
+    from ocr_platform_spark import corpus, oracle
+
+    corpus_dir = str(tmp_path / "corpus")
+    corpus.write_parquet(corpus_dir, 24, max_pages=4, n_files=2)
+    zpath, script = package.build(str(tmp_path / "dist"))
+    out_dir = str(tmp_path / "out")
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    res = subprocess.run(
+        [
+            _spark_submit_bin(), "--master", "local[4]",
+            "--py-files", zpath, script,
+            "--documents", f"{corpus_dir}/documents.parquet",
+            "--media", f"{corpus_dir}/media.parquet",
+            "--out", out_dir, "--run-id", "submit-smoke",
+            "--buckets", "4", "--chunk-buckets", "2",
+        ],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "chunks executed: 2" in res.stdout
+
+    docs, media = corpus.generate(24, max_pages=4)
+    mb = {k: v["data"] for k, v in media.items()}
+    want = {
+        d["doc_id"]: [
+            (s.kind, s.text, s.media_ref, s.order)
+            for s in oracle.extract_document(d["spans"], mb)
+        ]
+        for d in docs
+    }
+    rows = spark.read.parquet(f"{out_dir}/data").collect()
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans"]
+        ]
+        for r in rows
+    }
+    assert got == want
