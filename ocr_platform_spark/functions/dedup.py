@@ -96,21 +96,51 @@ def _materialized(
     tokenize + shingle + stop-filter per reference — this is the
     "checkpointed table at real scale" story, executable.
 
-    The path is keyed by ``source_key`` (the corpus dir) and the write is
-    WRITE-ONCE (skipped when a committed table already exists): a second
-    builder sharing the dir must not overwrite the files underneath a
-    DataFrame the first builder already returned (an eager re-overwrite
-    was reproduced to fail later reads with FAILED_READ_FILE), and two
-    corpora sharing one dir must not serve each other's shingles. Delete
-    the subdir to force a recompute; concurrent first-writes to one new
-    path are not coordinated (single-driver usage)."""
+    The path is keyed by a fingerprint of the SOURCE — the corpus dir
+    plus, for local paths, the (name, size, mtime) of its parquet parts —
+    and the write is WRITE-ONCE (skipped when a committed table already
+    exists): a second builder sharing the dir must not overwrite the
+    files underneath a DataFrame the first builder already returned (an
+    eager re-overwrite was reproduced to fail later reads with
+    FAILED_READ_FILE), two corpora sharing one dir must not serve each
+    other's shingles, and an in-place regenerated corpus gets a NEW key
+    instead of silently serving stale shingles. The _SUCCESS probe goes
+    through the Hadoop FileSystem API, so durable dirs (hdfs://, s3a://)
+    resolve correctly — a driver-local os.path probe would always miss
+    there and re-overwrite every call. Delete the subdir to force a
+    recompute; concurrent first-writes to one new path are not
+    coordinated (single-driver usage)."""
     if checkpoint_dir is None:
         return df
     key = hashlib.md5(source_key.encode()).hexdigest()[:10]
     path = os.path.join(checkpoint_dir, f"{name}-{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_SUCCESS"))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return spark.read.parquet(path)
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cache key for a corpus dir: path + (relname, size, mtime_ns) of the
+    local parquet parts of the documents table when statable (remote URIs
+    fall back to the path alone — content changes there should use a new
+    path or delete the cache subdir)."""
+    parts = [sf_dir]
+    doc = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(doc):
+        st = os.stat(doc)
+        parts.append(f"documents.parquet:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isdir(doc):
+        for root, _dirs, files in sorted(os.walk(doc)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(root, f))
+                    rel = os.path.relpath(os.path.join(root, f), doc)
+                    parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    return "\x00".join(parts)
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +186,8 @@ def ngram_jaccard_pairs(
     real-scale shape; see :func:`_materialized`).
     """
     sh = _materialized(
-        _shingle_rows(spark, sf_dir), checkpoint_dir, "shingles", sf_dir
+        _shingle_rows(spark, sf_dir), checkpoint_dir, "shingles",
+        _source_fingerprint(sf_dir),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -348,7 +379,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = _materialized(
-        _shingle_rows(spark, sf_dir), checkpoint_dir, "shingles", sf_dir
+        _shingle_rows(spark, sf_dir), checkpoint_dir, "shingles",
+        _source_fingerprint(sf_dir),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (

@@ -64,6 +64,9 @@ class IcebergSink:
         otherwise keep a prior run's rows (the Iceberg analog of the
         parquet fallback's stale-dir rmtree in ``lineage.run_extract_job``).
         Partition-predicate DELETEs are metadata-only in Iceberg."""
+        if not buckets:
+            raise ValueError("delete_partitions_sql requires >= 1 bucket "
+                             "(IN () is not valid SQL)")
         ids = ", ".join(str(int(b)) for b in buckets)
         return f"DELETE FROM {self.qualified} WHERE partition_id IN ({ids})"
 

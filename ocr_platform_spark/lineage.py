@@ -172,26 +172,29 @@ def run_extract_job(
         remaining[i : i + chunk_buckets]
         for i in range(0, len(remaining), chunk_buckets)
     ]
+    # Buckets that will land ZERO rows this run: extraction emits exactly
+    # one output row per input document (sentinel contract,
+    # assemble_spans), so empty-output buckets == buckets with no input
+    # docs. Bucket membership is chunk-independent, so ONE doc_id-pruned
+    # scan before the loop covers every chunk (per-chunk distinct scans
+    # would re-read the input table once per chunk — 16 extra full scans
+    # at the 4096-bucket/256-chunk posture). Stale partitions of empty
+    # buckets (prior run_id on a reused target) must be dropped
+    # explicitly, because both commit paths (dynamic overwrite / Iceberg
+    # overwritePartitions) only replace partitions that receive new rows.
+    have_docs = {
+        r["partition_id"]
+        for r in docs_pid.select("partition_id").distinct().collect()
+    }
     executed = 0
     for chunk in chunks:
         if max_chunks is not None and executed >= max_chunks:
             break
         t0 = time.perf_counter()
-        chunk_docs = docs_pid.filter(F.col("partition_id").isin(chunk))
-        # Buckets that will land ZERO rows this run: extraction emits
-        # exactly one output row per input document (sentinel contract,
-        # assemble_spans), so empty-output buckets == buckets with no
-        # input docs — computable from a doc_id-pruned scan, no action on
-        # the heavy OCR DAG. Their stale partitions (prior run_id on a
-        # reused out_dir) must be dropped explicitly, because both commit
-        # paths (dynamic overwrite / Iceberg overwritePartitions) only
-        # replace partitions that receive new rows.
-        have_docs = {
-            r["partition_id"]
-            for r in chunk_docs.select("partition_id").distinct().collect()
-        }
         empty = [b for b in chunk if b not in have_docs]
-        subset = chunk_docs.drop("partition_id")
+        subset = docs_pid.filter(F.col("partition_id").isin(chunk)).drop(
+            "partition_id"
+        )
         out = extract_documents(
             subset, media, num_partitions=num_partitions,
             broadcast_spans=broadcast_spans,
@@ -206,12 +209,16 @@ def run_extract_job(
             # second time per chunk
             out_pid = out_pid.persist()
             sink.write_chunk(out_pid)
-            if empty:
+            delete_fn = getattr(sink, "delete_partitions", None)
+            if empty and delete_fn is not None:
                 # same stale-partition rule as the parquet branch:
                 # overwritePartitions leaves partitions that receive no
                 # new rows untouched, so a reused table keeps prior-run
-                # rows in this run's empty buckets unless deleted
-                sink.delete_partitions(spark, empty)
+                # rows in this run's empty buckets unless deleted.
+                # Optional on the seam (getattr): a write_chunk-only sink
+                # still commits correctly on fresh targets — it just
+                # cannot be reused across run_ids with sparser corpora.
+                delete_fn(spark, empty)
             lineage_src = out_pid
         else:
             # clear ONLY the zero-row buckets' partition dirs: dynamic

@@ -102,3 +102,30 @@ def test_checkpoint_dir_output_identical(spark, tmp_path):
     assert rows(dedup.minhash_lsh_pairs(spark, SF)) == rows(p2)
     shingle_dirs = [d for d in os.listdir(ck) if d.startswith("shingles-")]
     assert len(shingle_dirs) == 1  # one source-keyed table, shared
+
+
+def test_checkpoint_rekeys_on_source_change(spark, tmp_path):
+    """Regenerating the corpus in place must produce a NEW cache subdir
+    (content-fingerprint key), not silently serve the stale shingles."""
+    import os
+    import shutil
+
+    def write_flat(seed):
+        # flat (doc_id, text) table, the shape the dedup tier reads
+        rows = [(i, f"alpha beta gamma doc {seed} {i} " * 3) for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "documents.parquet")
+        )
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    write_flat(1)
+    dedup.ngram_jaccard_pairs(spark, src, checkpoint_dir=ck).collect()
+    first = set(os.listdir(ck))
+    assert len(first) == 1
+
+    shutil.rmtree(src)
+    write_flat(2)  # same path, new content
+    dedup.ngram_jaccard_pairs(spark, src, checkpoint_dir=ck).collect()
+    assert len(set(os.listdir(ck))) == 2  # a second, differently-keyed table

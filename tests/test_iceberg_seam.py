@@ -15,6 +15,35 @@ from ocr_platform_spark.iceberg import IcebergSink
 from ocr_platform_spark.lineage import read_result, run_extract_job
 
 
+class ParquetFakeSink:
+    """Duck-typed sink shared by the seam tests: commits chunks the way
+    the parquet fallback does, but through the sink interface — proving
+    run_extract_job's routing for both seam methods."""
+
+    def __init__(self, data_dir):
+        self.data_dir = data_dir
+        self.chunks = 0
+        self.deleted = []
+
+    def write_chunk(self, out_pid):
+        self.chunks += 1
+        (
+            out_pid.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_id")
+            .parquet(self.data_dir)
+        )
+
+    def delete_partitions(self, spark, buckets):
+        import shutil
+
+        self.deleted += list(buckets)
+        for b in buckets:
+            d = os.path.join(self.data_dir, f"partition_id={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+
 def test_merge_sql_shape():
     sink = IcebergSink("ice", "prod", "documents_out")
     sql = sink.merge_sql("edits_v")
@@ -41,39 +70,13 @@ def test_run_extract_job_routes_chunks_through_sink(spark, tmp_path):
         schema=schemas.MEDIA,
     )
 
-    class FakeSink:
-        """Duck-typed sink: commits chunks the way the parquet fallback
-        does, but through the sink interface — proving the routing."""
-
-        def __init__(self, data_dir):
-            self.data_dir = data_dir
-            self.chunks = 0
-
-        def write_chunk(self, out_pid):
-            self.chunks += 1
-            (
-                out_pid.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("partition_id")
-                .parquet(self.data_dir)
-            )
-
-        def delete_partitions(self, spark, buckets):
-            import shutil
-
-            self.deleted = getattr(self, "deleted", []) + list(buckets)
-            for b in buckets:
-                d = os.path.join(self.data_dir, f"partition_id={b}")
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-
     out_a = str(tmp_path / "default")
     out_b = str(tmp_path / "sinked")
     run_extract_job(
         spark, docs_df, media_df, out_dir=out_a, run_id="r", num_buckets=4,
         chunk_buckets=2,
     )
-    sink = FakeSink(os.path.join(out_b, "data"))
+    sink = ParquetFakeSink(os.path.join(out_b, "data"))
     n = run_extract_job(
         spark, docs_df, media_df, out_dir=out_b, run_id="r", num_buckets=4,
         chunk_buckets=2, sink=sink,
@@ -135,6 +138,8 @@ def test_merge_and_delete_sql_shapes():
     assert sink.delete_partitions_sql([3, 1]) == (
         "DELETE FROM ice.prod.documents_out WHERE partition_id IN (3, 1)"
     )
+    with pytest.raises(ValueError, match="bucket"):
+        sink.delete_partitions_sql([])
 
 
 def test_sink_reuse_across_run_ids_deletes_empty_buckets(spark, tmp_path):
@@ -152,30 +157,8 @@ def test_sink_reuse_across_run_ids_deletes_empty_buckets(spark, tmp_path):
         schema=schemas.MEDIA,
     )
 
-    class FakeSink:
-        def __init__(self, data_dir):
-            self.data_dir = data_dir
-            self.deleted = []
-
-        def write_chunk(self, out_pid):
-            (
-                out_pid.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("partition_id")
-                .parquet(self.data_dir)
-            )
-
-        def delete_partitions(self, spark, buckets):
-            import shutil
-
-            self.deleted += list(buckets)
-            for b in buckets:
-                d = os.path.join(self.data_dir, f"partition_id={b}")
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-
     out = str(tmp_path / "sink_reuse")
-    sink = FakeSink(os.path.join(out, "data"))
+    sink = ParquetFakeSink(os.path.join(out, "data"))
     run_extract_job(
         spark, docs_df, media_df, out_dir=out, run_id="ra", num_buckets=4,
         chunk_buckets=4, sink=sink,
