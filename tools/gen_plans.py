@@ -112,9 +112,17 @@ the scan-sharing change alone (the pinning is an estimate-robustness fix,
 not a claimed speedup):
 
 ```
+run 1:
 old_sec [6.45, 27.68, 7.72]  median 7.72  best 6.45   (27.68 = host stall)
 new_sec [7.24,  6.59, 8.59]  median 7.24  best 6.59
 speedup_median 1.067x; ceiling probe 5598 -> 5142 pages/s (mildly degraded window)
+run 2 (separate window):
+old_sec [8.07, 7.70, 6.58]   median 7.70  best 6.58
+new_sec [8.45, 14.19, 6.38]  median 8.45  best 6.38   (14.19 = host stall)
+speedup_median 0.911x; ceiling probe 4615 -> 5203 pages/s
+pooled: each arm caught exactly one stall; stall-free draws are
+old {6.45, 7.72, 8.07, 7.70, 6.58} vs new {7.24, 6.59, 8.59, 8.45, 6.38}
+— statistical parity at sf0.1.
 ```
 
 Parity-to-better at sf0.1 where the corpus is small enough that re-scans were
