@@ -63,7 +63,17 @@ class IcebergSink:
         written chunk, so on a reused table an empty bucket would
         otherwise keep a prior run's rows (the Iceberg analog of the
         parquet fallback's stale-dir rmtree in ``lineage.run_extract_job``).
-        Partition-predicate DELETEs are metadata-only in Iceberg."""
+        Partition-predicate DELETEs are metadata-only in Iceberg.
+
+        Visibility window: this DELETE is a SECOND Iceberg commit after
+        the chunk's ``overwritePartitions`` snapshot, so a reader whose
+        scan lands between the two snapshots sees run-B data in the
+        written buckets alongside prior-run rows still present in the
+        empty buckets. The chunk's lineage row commits only after both
+        (``run_extract_job``), so resume/verification never trusts the
+        intermediate state; readers needing a single atomic cut should
+        read by lineage-committed snapshot id, or time-travel to the
+        post-DELETE snapshot."""
         if not buckets:
             raise ValueError("delete_partitions_sql requires >= 1 bucket "
                              "(IN () is not valid SQL)")

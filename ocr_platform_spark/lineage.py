@@ -28,6 +28,7 @@ filtering prunes on the hash without reading payloads.
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import time
@@ -38,6 +39,8 @@ from pyspark.sql import functions as F
 from .operators.extract import extract_documents
 
 DEFAULT_BUCKETS = 64
+
+_LOG = logging.getLogger(__name__)
 
 _CANON_FIELD_SEP = ""
 _CANON_SPAN_SEP = ""
@@ -148,9 +151,12 @@ def run_extract_job(
 ) -> int:
     """Resumable extraction run. Returns the number of chunks executed.
 
-    ``broadcast_spans`` is forwarded to :func:`extract_documents` — set
-    False when a chunk's media-span key set outgrows executor memory so
-    the payload-join strategy is AQE's to pick.
+    ``broadcast_spans`` is forwarded to :func:`extract_documents`; the
+    chunked path defaults it to True (not the stats-guarded auto mode)
+    because a chunk's media-span key set is bounded by construction —
+    ``chunk_buckets``/``num_buckets`` of the corpus — so size the chunks
+    rather than dropping the hint; set False if a single chunk's key set
+    still outgrows executor memory.
 
     ``max_chunks`` is the kill-injection hook for the resume test: stop after
     N chunks as if the driver died; a later call with the same ``out_dir`` +
@@ -219,8 +225,23 @@ def run_extract_job(
                 # still commits correctly on fresh targets — it just
                 # cannot be reused across run_ids with sparser corpora.
                 delete_fn(spark, empty)
+            elif empty and delete_fn is None:
+                # lineage will record doc_count=0 for these buckets while
+                # the table may still hold a prior run's rows in them —
+                # surface the divergence instead of leaving it silent.
+                _LOG.warning(
+                    "sink %s has no delete_partitions; %d empty bucket(s) "
+                    "%s keep any prior-run rows (lineage records 0 docs "
+                    "for them)", type(sink).__name__, len(empty), empty,
+                )
             lineage_src = out_pid
         else:
+            (
+                out_pid.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("partition_id")
+                .parquet(data_dir)
+            )
             # clear ONLY the zero-row buckets' partition dirs: dynamic
             # overwrite replaces every bucket that receives rows with its
             # usual commit-time atomicity (old files stay visible until
@@ -228,17 +249,18 @@ def run_extract_job(
             # keeps a stale dir from a prior run_id on a reused out_dir —
             # the read-back below would checksum the stale rows into this
             # run's lineage. Restricting the rmtree to `empty` keeps the
-            # non-empty buckets' crash window unchanged.
+            # non-empty buckets' crash window unchanged, and running it
+            # AFTER the chunk's data commit keeps the destructive step as
+            # close to the lineage commit point as possible: a crash
+            # between write and rmtree resumes cleanly (no lineage row ->
+            # chunk re-runs, rmtree re-fires). Reader-visible window: a
+            # concurrent reader of data_dir between this rmtree and the
+            # lineage append sees the empty bucket's rows already gone
+            # while lineage still lists the prior run's row for it.
             for b in empty:
                 stale = f"{data_dir}/partition_id={b}"
                 if os.path.isdir(stale):
                     shutil.rmtree(stale)
-            (
-                out_pid.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("partition_id")
-                .parquet(data_dir)
-            )
             # lineage from the data READ BACK, not from the lazy plan: the
             # read is output-sized (partition-pruned to the chunk's own
             # dirs) where re-evaluating out_pid would re-run the heavy OCR

@@ -217,11 +217,34 @@ def shared_exploded_spans(documents: DataFrame) -> DataFrame:
     return exploded_spans(documents).localCheckpoint(eager=False)
 
 
+#: Catalyst-stats cap (bytes of the *documents input relation*) under which
+#: the auto mode of :func:`decode_pages` pins the spans-side broadcast. The
+#: broadcast side is only the 3 narrow ref columns (doc_id, offset,
+#: media_ref — ~50 B/span vs the table's full span text + descriptors), so a
+#: 32 GiB input estimate keeps the build side comfortably under Spark's 8 GB
+#: broadcast hard limit; anything bigger (or any plan whose stats are
+#: unknown) refuses the pin and leaves the strategy to AQE's runtime sizes.
+SPAN_BROADCAST_STATS_CAP = 32 << 30
+
+
+def _span_refs_fit_broadcast(documents: DataFrame) -> bool:
+    """Cheap pre-flight for the pinned spans-side broadcast: Catalyst's
+    optimized-plan size estimate for the ``documents`` relation (file-scan
+    bytes for parquet sources — no job runs). Conservative by construction:
+    unknown stats (checkpointed RDDs report ``defaultSizeInBytes`` =
+    Long.Max) or any JVM hiccup read as "too big" → no pin."""
+    try:
+        stats = documents._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes())) <= SPAN_BROADCAST_STATS_CAP
+    except Exception:
+        return False
+
+
 def decode_pages(
     documents: DataFrame,
     media: DataFrame,
     spans: DataFrame | None = None,
-    broadcast_spans: bool = True,
+    broadcast_spans: bool | None = None,
 ) -> DataFrame:
     """Media spans ⋈ payloads -> per-page descriptor rows (stage 1).
 
@@ -233,7 +256,13 @@ def decode_pages(
     than left to size estimates because the spans side may arrive as a
     checkpointed RDD scan (see :func:`shared_exploded_spans`) whose
     statistics are unknown — an unhinted plan would degrade to sort-merge
-    and re-introduce the payload sort. That repartition matters: the
+    and re-introduce the payload sort. ``broadcast_spans=None`` (the
+    default) resolves that tension with a pre-flight on the *documents*
+    relation's Catalyst stats (:func:`_span_refs_fit_broadcast`): pin only
+    when the input estimate is bounded (≤ :data:`SPAN_BROADCAST_STATS_CAP`),
+    so a whole-corpus caller at the 10^12-doc posture degrades to AQE's
+    runtime choice automatically instead of hard-failing on Spark's 8 GB
+    broadcast limit. That repartition matters: the
     joined payload rows are only a few MB, so AQE's byte-based coalescing
     would squash them into ~1 partition and serialize the container
     parsing — like the OCR stage, decode cost is per-*row* CPU (zlib +
@@ -252,6 +281,8 @@ def decode_pages(
     """
     if spans is None:
         spans = exploded_spans(documents)
+    if broadcast_spans is None:
+        broadcast_spans = _span_refs_fit_broadcast(documents)
     span_refs = (
         spans
         .filter(F.col("kind") != "text")
@@ -417,19 +448,31 @@ def extract_documents(
     documents: DataFrame,
     media: DataFrame,
     num_partitions: int | None = None,
-    broadcast_spans: bool = True,
+    broadcast_spans: bool | None = None,
+    share_spans: bool = True,
 ) -> DataFrame:
     """End-to-end: documents + media -> documents_out with extracted spans.
 
     The ``documents`` table is read ONCE for span content (shared lazy
     localCheckpoint of the exploded frame, :func:`shared_exploded_spans`)
     plus one doc_id-only pruned scan for the sentinel — down from 4 full
-    scans (VERDICT r2 #1). ``broadcast_spans=False`` releases the pinned
-    spans-side broadcast hint in the payload join to AQE — required when
-    one job's media-span key set outgrows executor memory (see
-    :func:`decode_pages`); threaded here so whole-corpus callers have the
-    escape hatch without recomposing the stages."""
-    sp = shared_exploded_spans(documents)
+    scans (VERDICT r2 #1). ``broadcast_spans`` defaults to the stats-guarded
+    auto mode: the spans-side broadcast hint in the payload join is pinned
+    only while the input relation's Catalyst estimate is bounded, and
+    released to AQE past :data:`SPAN_BROADCAST_STATS_CAP` (see
+    :func:`decode_pages`); pass True/False to force either plan.
+
+    Executor-loss caveat (``share_spans``): the lazy ``localCheckpoint``
+    truncates RDD lineage with NON-replicated executor-local blocks — on a
+    cluster with preemptible/spot executors, losing one executor mid-job
+    makes this one Spark job fail UNRECOVERABLY (no recompute path) instead
+    of recomputing the lost partitions. Inside
+    :func:`ocr_platform_spark.lineage.run_extract_job` that is absorbed by
+    per-chunk resume; a direct caller without a resume wrapper on a
+    preemptible cluster should pass ``share_spans=False`` to trade the
+    single-scan plan for plain recomputable lineage (the pre-r3 4-scan
+    shape)."""
+    sp = shared_exploded_spans(documents) if share_spans else exploded_spans(documents)
     pages = decode_pages(documents, media, spans=sp, broadcast_spans=broadcast_spans)
     blocks = ocr_blocks(pages, num_partitions=num_partitions)
     return assemble_spans(documents, blocks, spans=sp)
@@ -502,13 +545,14 @@ def extract_documents_fused(
     documents: DataFrame,
     media: DataFrame,
     num_partitions: int | None = None,
-    broadcast_spans: bool = True,
+    broadcast_spans: bool | None = None,
 ) -> DataFrame:
     """End-to-end extraction under the one-shot fused ``run_ocr`` semantics:
     blocks carry preprocessed-image coordinates and crop-height-keyed strip
     splits. The relational plan (decode explode, page repartition, sentinel
     assembly) is shared with :func:`extract_documents` — only the in-UDF
-    per-page kernel differs, so every 100-TB posture argument carries over."""
+    per-page kernel differs, so every 100-TB posture argument (incl. the
+    localCheckpoint executor-loss caveat documented there) carries over."""
     sp = shared_exploded_spans(documents)
     pages = decode_pages(documents, media, spans=sp, broadcast_spans=broadcast_spans)
     blocks = ocr_blocks_fused(pages, num_partitions=num_partitions)
@@ -671,7 +715,7 @@ def extract_documents_two_phase(
     media: DataFrame,
     edited_boxes: DataFrame | None = None,
     num_partitions: int | None = None,
-    broadcast_spans: bool = True,
+    broadcast_spans: bool | None = None,
 ) -> DataFrame:
     """The reference's two-phase workflow (detect → [human edit] →
     recognize), end-to-end: with ``edited_boxes=None`` the detect phase
@@ -680,7 +724,9 @@ def extract_documents_two_phase(
 
     ``pages`` is lazily localCheckpoint-ed: the detect and recognize
     phases both consume it, and without the share each re-runs the full
-    payload join + container decode."""
+    payload join + container decode (same executor-loss caveat as
+    :func:`extract_documents` — checkpoint blocks are not replicated, so
+    on preemptible clusters wrap with the lineage resume path)."""
     sp = shared_exploded_spans(documents)
     pages = decode_pages(documents, media, spans=sp, broadcast_spans=broadcast_spans)
     if edited_boxes is None:

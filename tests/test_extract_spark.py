@@ -82,6 +82,61 @@ def test_detect_boxes_table(spark, corpus_dir):
     assert checked > 10
 
 
+def _plan_of(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_broadcast_auto_pins_bounded_input(spark, corpus_dir):
+    """ADVICE r3 #1: the default (auto) mode pins the spans-side broadcast
+    only while the documents relation's Catalyst size estimate is bounded.
+    At fixture scale the estimate is tiny -> the hint is pinned and the
+    payload join plans as a broadcast join."""
+    from ocr_platform_spark.operators import extract
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    assert extract._span_refs_fit_broadcast(docs) is True
+    plan = _plan_of(extract.decode_pages(docs, media))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_broadcast_auto_refuses_unbounded_input(spark, corpus_dir, monkeypatch):
+    """Past the stats cap the auto mode must NOT pin the hint — the join
+    strategy is left to AQE's runtime sizes instead of hard-failing on the
+    8 GB broadcast limit at corpus scale. Contract checked at the hint
+    level (AQE may still legitimately broadcast the small *media* side at
+    fixture scale, so plan shape alone can't distinguish the two)."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators import extract
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+
+    monkeypatch.setattr(extract, "SPAN_BROADCAST_STATS_CAP", 0)
+    assert extract._span_refs_fit_broadcast(docs) is False
+
+    hints = []
+    real_broadcast = F.broadcast
+
+    def recording_broadcast(df):
+        hints.append(df)
+        return real_broadcast(df)
+
+    monkeypatch.setattr(extract.F, "broadcast", recording_broadcast)
+    extract.decode_pages(docs, media)
+    assert hints == []
+    monkeypatch.setattr(extract, "SPAN_BROADCAST_STATS_CAP", 32 << 30)
+    extract.decode_pages(docs, media)
+    assert len(hints) == 1
+
+
 def test_broadcast_spans_off_identical(spark, corpus_dir, spark_result):
     """The broadcast_spans=False escape hatch (spans-side join strategy
     delegated to AQE instead of the pinned hint) is a pure execution-shape
