@@ -82,6 +82,33 @@ def test_detect_boxes_table(spark, corpus_dir):
     assert checked > 10
 
 
+def test_reading_ordered_blocks_matches_fused_sort_key(spark, corpus_dir):
+    """VERDICT r3 #7: :func:`assemble_spans` fuses the per-page reading-order
+    rank into the document-global sort key (offset, page_index, y1, x1,
+    block_index). Pin the equivalence directly: within every page, ordering
+    blocks by the fused key reproduces reading_ordered_blocks' window rank
+    1..n exactly, so the standalone operator and the fused flagship path
+    induce the same order."""
+    from ocr_platform_spark.operators.extract import (
+        decode_pages,
+        ocr_blocks,
+        reading_ordered_blocks,
+    )
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    ranked = reading_ordered_blocks(ocr_blocks(decode_pages(docs, media))).collect()
+    pages = {}
+    for r in ranked:
+        pages.setdefault((r.doc_id, r.offset, r.page_index), []).append(r)
+    assert len(pages) > 20
+    for key, rows in pages.items():
+        by_fused_key = sorted(
+            rows, key=lambda r: (r.offset, r.page_index, r.y1, r.x1, r.block_index)
+        )
+        assert [r.rank for r in by_fused_key] == list(range(1, len(rows) + 1)), key
+
+
 def _plan_of(df):
     import contextlib
     import io

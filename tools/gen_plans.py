@@ -131,6 +131,35 @@ bytes from remote storage, the new plan reads them once and serves the two
 re-uses from executor-local storage. `extract_documents_two_phase` gets the
 same treatment plus a shared `pages` checkpoint (detect and recognize both
 consume the decode output; previously each re-ran the payload join + decode).
+
+## Round 4: broadcast hint guarded by Catalyst stats (ADVICE r3 #1)
+
+The pinned spans-side broadcast above is now the bounded-input branch of an
+auto mode: `decode_pages(broadcast_spans=None)` pins the hint only while the
+*documents* relation's optimized-plan size estimate is under
+`SPAN_BROADCAST_STATS_CAP` (32 GiB — the build side is just the 3 narrow ref
+columns, so that keeps it far below Spark's 8 GB broadcast hard limit). Past
+the cap — or whenever stats are unknown for the *input* relation — the hint
+is refused and AQE picks the strategy from runtime sizes, so a whole-corpus
+run at the 10^12-doc posture degrades gracefully instead of hard-failing in
+the driver. The pre-flight reads Catalyst statistics only (no job). Contract
+pinned by `test_broadcast_auto_pins_bounded_input` /
+`test_broadcast_auto_refuses_unbounded_input`.
+
+## Round 4: reading_ordered_blocks vs the fused flagship key (VERDICT r3 #7)
+
+`reading_ordered_blocks` (operators/extract.py) is the standalone per-page
+reading-order operator — window rank over (y1, x1, block_index) per
+(doc_id, offset, page_index). The flagship no longer calls it: assemble_spans
+fuses the rank into the single document-global sort key
+`(offset, page_index, y1, x1, block_index)`, whose restriction to one page
+(offset and page_index fixed) is exactly the window's orderBy — so ranking
+separately first would only add a second full shuffle+sort of the block rows
+for the same total order. The operator stays available as a checkpoint
+boundary / standalone query. Equivalence is pinned two ways:
+`test_reading_ordered_blocks_matches_fused_sort_key` (sorting each page's
+blocks by the fused key reproduces the window rank 1..n exactly) and the
+end-to-end span-sequence equality gate (test_extract_spark, oracle order).
 """
 
 with open("/root/repo/docs/PLANS.md", "w") as f:
