@@ -157,3 +157,33 @@ def test_png_filter_inversion_property(h, w, seed, ftype):
         + pngcodec._chunk(b"IEND", b"")
     )
     assert (pngcodec.decode_png(raw) == arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    subsampling=st.sampled_from(["444", "420"]),
+    restart=st.integers(0, 3),
+)
+def test_jpeg_roundtrip_property(h, w, seed, subsampling, restart):
+    """encode_jpeg -> decode_jpeg round-trips every HxWx3 uint8 array
+    within the all-ones-quantization error budget (coefficient rounding
+    is +-0.5 through an orthonormal IDCT; chroma adds subsample loss on
+    the 420 arm) for any geometry / subsampling / restart interval."""
+    from ocr_platform_spark import jpegcodec
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = jpegcodec.decode_jpeg(
+        jpegcodec.encode_jpeg(
+            arr, subsampling=subsampling, restart_interval=restart
+        )
+    )
+    assert out.shape == arr.shape
+    if subsampling == "444":
+        err = np.abs(out.astype(int) - arr.astype(int))
+        assert err.max() <= 6 and err.mean() <= 2.0
+    # 420 on random noise is legitimately lossy (chroma decimation); the
+    # exactness pin for 420 lives in test_jpeg_420_constant_color_exact
