@@ -146,6 +146,35 @@ the driver. The pre-flight reads Catalyst statistics only (no job). Contract
 pinned by `test_broadcast_auto_pins_bounded_input` /
 `test_broadcast_auto_refuses_unbounded_input`.
 
+## Round 4: the four r2->r3 bench regressions adjudicated (VERDICT r3 #1)
+
+BENCH_r03 showed four queries slower than BENCH_r02 under best-of-2
+(minhash_signatures 1.26->1.77s, semdedup_clusters 1.20->1.73s,
+tfidf_top_terms 1.19->1.55s, repetition_scores 0.91->1.23s), with the
+bench's own ceiling probe collapsing 5095->3471 pages/s across the run —
+the documented degraded-host signature. Two of the four had round-3 plan
+changes, so `BENCH/ab_r4.py` ran the interleaved same-JVM A/B (ABBA, 6
+reps, ceiling probes; raw JSON in `BENCH/AB_R4.json`):
+
+```
+tfidf_top_terms   OLD (r2 driver count() N)        median 0.929s
+                  NEW (r3 in-plan broadcast agg)   median 0.943s  -> parity (0.985x)
+semdedup_prune    OLD (r2 persist())               median 2.173s
+                  NEW (r3 localCheckpoint lazy)    median 1.478s  -> NEW 1.47x FASTER
+unchanged-plan queries, same window (vs BENCH_r02 / BENCH_r03):
+minhash_signatures   median 1.155s   (r2 1.264 / r3 1.769)
+semdedup_clusters    median 1.155s   (r2 1.204 / r3 1.730)
+repetition_scores    median 0.895s   (r2 0.909 / r3 1.233)
+```
+
+Verdict: all four r3 draws were host noise — at round-4 HEAD every one of
+them times at or below its round-2 number, and the two round-3 plan
+changes are respectively perf-neutral (tfidf: and strictly better at
+scale, one fewer full input scan) and a measured improvement
+(semdedup_prune: the lazy checkpoint materializes the Lloyd assignment
+once where persist()'s first action re-ran the DAG while populating the
+cache, and its blocks are GC-cleanable rather than pinned forever).
+
 ## Round 4: reading_ordered_blocks vs the fused flagship key (VERDICT r3 #7)
 
 `reading_ordered_blocks` (operators/extract.py) is the standalone per-page
