@@ -198,14 +198,20 @@ class _BitReader:
         raise ValueError("invalid JPEG Huffman code")
 
     def sync_restart(self, n: int) -> None:
-        """Byte-align and consume the expected RSTn marker (spec F.2.1.3.1)."""
+        """Byte-align and consume the expected RSTn marker (spec F.2.1.3.1);
+        0xFF fill bytes before the marker are legal and skipped."""
         self.nbits = 0  # discard pad bits to the byte boundary
-        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+        pos = self.pos
+        if pos >= len(self.data) or self.data[pos] != 0xFF:
             raise ValueError("expected JPEG restart marker")
-        got = self.data[self.pos + 1]
+        while pos < len(self.data) and self.data[pos] == 0xFF:
+            pos += 1
+        if pos >= len(self.data):
+            raise ValueError("expected JPEG restart marker")
+        got = self.data[pos]
         if got != 0xD0 + (n & 7):
             raise ValueError(f"restart marker out of sequence: 0xFF{got:02X}")
-        self.pos += 2
+        self.pos = pos + 1
 
 
 def _idct_block(coef: np.ndarray) -> np.ndarray:
@@ -231,18 +237,28 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
     restart_interval = 0
-    while pos + 4 <= len(raw):
+    while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"bad marker byte at {pos}")
-        marker = raw[pos + 1]
+        # T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+        # fill bytes — the marker id is the first non-FF byte of the run.
+        while pos < len(raw) and raw[pos] == 0xFF:
+            pos += 1
+        if pos >= len(raw):
+            break
+        marker = raw[pos]
+        pos += 1
+        if marker == 0x00:
+            raise ValueError("invalid JPEG marker 0xFF00 outside entropy data")
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
-            pos += 2
             continue
         if marker == 0xD9:  # EOI
             break
-        (seglen,) = struct.unpack(">H", raw[pos + 2:pos + 4])
-        seg = raw[pos + 4:pos + 2 + seglen]
-        pos += 2 + seglen
+        if pos + 2 > len(raw):
+            break
+        (seglen,) = struct.unpack(">H", raw[pos:pos + 2])
+        seg = raw[pos + 2:pos + seglen]
+        pos += seglen
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(seg):
@@ -305,49 +321,83 @@ def _decode_scan(raw, pos, seg, frame, qt, huff, restart_interval):
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = {}
     for cid, hs, vs, tqi in comps:
+        if hmax % hs or vmax % vs:
+            raise ValueError(
+                f"unsupported JPEG sampling ratio {hs}x{vs} "
+                f"vs max {hmax}x{vmax} (non-divisor upsampling)"
+            )
         planes[cid] = np.zeros((mcuy * 8 * vs, mcux * 8 * hs))
         if tqi not in qt:
             raise ValueError(f"JPEG missing quantization table {tqi}")
     reader = _BitReader(raw, pos)
     pred = {cid: 0 for cid, *_ in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart(mcu_count // restart_interval - 1)
-                pred = {cid: 0 for cid in pred}
-            for cid, hs, vs, tqi in comps:
-                dc_t = huff.get((0, scan_tables[cid][0]))
-                ac_t = huff.get((1, scan_tables[cid][1]))
-                if dc_t is None or ac_t is None:
-                    raise ValueError("JPEG missing Huffman table for scan")
-                for by in range(vs):
-                    for bx in range(hs):
-                        coef = np.zeros(64, np.int64)
-                        t = reader.decode_huff(dc_t)
-                        pred[cid] += _extend(reader.receive(t), t)
-                        coef[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huff(ac_t)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            coef[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        block = np.zeros(64)
-                        block[ZIGZAG] = coef * qt[tqi]
-                        px = _idct_block(block.reshape(8, 8)) + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
-            mcu_count += 1
+
+    def read_block(cid: int, tqi: int, y0: int, x0: int) -> None:
+        dc_t = huff.get((0, scan_tables[cid][0]))
+        ac_t = huff.get((1, scan_tables[cid][1]))
+        if dc_t is None or ac_t is None:
+            raise ValueError("JPEG missing Huffman table for scan")
+        coef = np.zeros(64, np.int64)
+        t = reader.decode_huff(dc_t)
+        pred[cid] += _extend(reader.receive(t), t)
+        coef[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = reader.decode_huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            coef[k] = _extend(reader.receive(s), s)
+            k += 1
+        block = np.zeros(64)
+        block[ZIGZAG] = coef * qt[tqi]
+        planes[cid][y0:y0 + 8, x0:x0 + 8] = (
+            _idct_block(block.reshape(8, 8)) + 128.0
+        )
+
+    def maybe_restart(unit_count: int) -> None:
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            reader.sync_restart(unit_count // restart_interval - 1)
+            for c in pred:
+                pred[c] = 0
+
+    if ns == 1:
+        # Non-interleaved scan (T.81 A.2.2): one 8x8 data unit per MCU,
+        # raster order over the COMPONENT's own block grid; the declared
+        # sampling factors set the component's dimensions relative to the
+        # frame but do NOT interleave blocks (fixes grayscale files that
+        # keep color-default 2x2 luma factors).
+        cid = seg[1]
+        hs, vs, tqi = next(
+            (h_, v_, t_) for c, h_, v_, t_ in comps if c == cid
+        )
+        comp_w = -(-w * hs // hmax)
+        comp_h = -(-h * vs // vmax)
+        bx_n = -(-comp_w // 8)
+        by_n = -(-comp_h // 8)
+        for bi in range(by_n * bx_n):
+            maybe_restart(bi)
+            by, bx = divmod(bi, bx_n)
+            read_block(cid, tqi, by * 8, bx * 8)
+    else:
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(mcu_count)
+                for cid, hs, vs, tqi in comps:
+                    for by in range(vs):
+                        for bx in range(hs):
+                            read_block(
+                                cid, tqi,
+                                (my * vs + by) * 8, (mx * hs + bx) * 8,
+                            )
+                mcu_count += 1
     # upsample to full resolution (block replication), crop to (h, w)
     full = []
     for cid, hs, vs, _tqi in comps:

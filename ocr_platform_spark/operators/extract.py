@@ -217,27 +217,38 @@ def shared_exploded_spans(documents: DataFrame) -> DataFrame:
     return exploded_spans(documents).localCheckpoint(eager=False)
 
 
-#: Catalyst-stats cap (bytes of the *documents input relation*) under which
-#: the auto mode of :func:`decode_pages` pins the spans-side broadcast. The
-#: broadcast side is only the 3 narrow ref columns (doc_id, offset,
-#: media_ref — ~50 B/span vs the table's full span text + descriptors), so a
-#: 32 GiB input estimate keeps the build side comfortably under Spark's 8 GB
-#: broadcast hard limit; anything bigger (or any plan whose stats are
-#: unknown) refuses the pin and leaves the strategy to AQE's runtime sizes.
+#: Catalyst-stats cap (bytes of the *documents input relation*) above which
+#: the auto mode of :func:`decode_pages` refuses the spans-side broadcast
+#: pin. The broadcast side is only the 3 narrow ref columns (doc_id,
+#: offset, media_ref — ~50 B/span vs the table's full span text +
+#: descriptors), so a 32 GiB input estimate keeps the build side
+#: comfortably under Spark's 8 GB broadcast hard limit.
 SPAN_BROADCAST_STATS_CAP = 32 << 30
+
+#: Catalyst reports ``spark.sql.defaultSizeInBytes`` (Long.Max by default)
+#: for plans it cannot size — RDD-backed frames, createDataFrame inputs,
+#: checkpointed scans. Estimates at or past this floor mean "unknown",
+#: NOT "huge": such frames are driver-materialized or bounded by
+#: construction, while a genuinely 100 TB corpus arrives as a
+#: parquet/Iceberg scan whose stats ARE known. So unknown keeps the pin
+#: (the measured-best plan) and only a known-large estimate releases it.
+_UNKNOWN_STATS_FLOOR = 1 << 62
 
 
 def _span_refs_fit_broadcast(documents: DataFrame) -> bool:
     """Cheap pre-flight for the pinned spans-side broadcast: Catalyst's
     optimized-plan size estimate for the ``documents`` relation (file-scan
-    bytes for parquet sources — no job runs). Conservative by construction:
-    unknown stats (checkpointed RDDs report ``defaultSizeInBytes`` =
-    Long.Max) or any JVM hiccup read as "too big" → no pin."""
+    bytes for parquet/Iceberg sources — no job runs). Returns False ONLY
+    for a known estimate past :data:`SPAN_BROADCAST_STATS_CAP`; unknown
+    stats (the ``defaultSizeInBytes`` sentinel, or any JVM hiccup) keep
+    the pin, preserving the measured-best broadcast plan for in-memory /
+    checkpointed inputs that Catalyst cannot size."""
     try:
         stats = documents._jdf.queryExecution().optimizedPlan().stats()
-        return int(str(stats.sizeInBytes())) <= SPAN_BROADCAST_STATS_CAP
+        size = int(str(stats.sizeInBytes()))
     except Exception:
-        return False
+        return True
+    return size >= _UNKNOWN_STATS_FLOOR or size <= SPAN_BROADCAST_STATS_CAP
 
 
 def decode_pages(
@@ -258,11 +269,13 @@ def decode_pages(
     statistics are unknown — an unhinted plan would degrade to sort-merge
     and re-introduce the payload sort. ``broadcast_spans=None`` (the
     default) resolves that tension with a pre-flight on the *documents*
-    relation's Catalyst stats (:func:`_span_refs_fit_broadcast`): pin only
-    when the input estimate is bounded (≤ :data:`SPAN_BROADCAST_STATS_CAP`),
-    so a whole-corpus caller at the 10^12-doc posture degrades to AQE's
-    runtime choice automatically instead of hard-failing on Spark's 8 GB
-    broadcast limit. That repartition matters: the
+    relation's Catalyst stats (:func:`_span_refs_fit_broadcast`): the pin
+    is released only on a KNOWN estimate past
+    :data:`SPAN_BROADCAST_STATS_CAP` — i.e. a whole-corpus parquet/Iceberg
+    caller at the 10^12-doc posture degrades to AQE's runtime choice
+    automatically instead of hard-failing on Spark's 8 GB broadcast limit
+    — while unknown-stats inputs (in-memory, RDD-backed, checkpointed)
+    keep the measured-best pinned plan. That repartition matters: the
     joined payload rows are only a few MB, so AQE's byte-based coalescing
     would squash them into ~1 partition and serialize the container
     parsing — like the OCR stage, decode cost is per-*row* CPU (zlib +
@@ -457,10 +470,11 @@ def extract_documents(
     localCheckpoint of the exploded frame, :func:`shared_exploded_spans`)
     plus one doc_id-only pruned scan for the sentinel — down from 4 full
     scans (VERDICT r2 #1). ``broadcast_spans`` defaults to the stats-guarded
-    auto mode: the spans-side broadcast hint in the payload join is pinned
-    only while the input relation's Catalyst estimate is bounded, and
-    released to AQE past :data:`SPAN_BROADCAST_STATS_CAP` (see
-    :func:`decode_pages`); pass True/False to force either plan.
+    auto mode: the spans-side broadcast hint in the payload join is
+    released to AQE only when the input relation's Catalyst estimate is
+    KNOWN to exceed :data:`SPAN_BROADCAST_STATS_CAP` (unknown stats keep
+    the pin — see :func:`decode_pages`); pass True/False to force either
+    plan.
 
     Executor-loss caveat (``share_spans``): the lazy ``localCheckpoint``
     truncates RDD lineage with NON-replicated executor-local blocks — on a

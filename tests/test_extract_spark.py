@@ -120,9 +120,9 @@ def _plan_of(df):
 
 
 def test_broadcast_auto_pins_bounded_input(spark, corpus_dir):
-    """ADVICE r3 #1: the default (auto) mode pins the spans-side broadcast
-    only while the documents relation's Catalyst size estimate is bounded.
-    At fixture scale the estimate is tiny -> the hint is pinned and the
+    """ADVICE r3 #1: the default (auto) mode releases the spans-side
+    broadcast pin only on a KNOWN Catalyst estimate past the cap. At
+    fixture scale the estimate is tiny -> the hint is pinned and the
     payload join plans as a broadcast join."""
     from ocr_platform_spark.operators import extract
 
@@ -133,18 +133,35 @@ def test_broadcast_auto_pins_bounded_input(spark, corpus_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_broadcast_auto_refuses_unbounded_input(spark, corpus_dir, monkeypatch):
-    """Past the stats cap the auto mode must NOT pin the hint — the join
-    strategy is left to AQE's runtime sizes instead of hard-failing on the
-    8 GB broadcast limit at corpus scale. Contract checked at the hint
-    level (AQE may still legitimately broadcast the small *media* side at
-    fixture scale, so plan shape alone can't distinguish the two)."""
+def test_broadcast_auto_keeps_pin_for_unknown_stats(spark):
+    """Unknown Catalyst stats (createDataFrame/RDD-backed inputs report the
+    defaultSizeInBytes sentinel) mean bounded-by-construction, not huge —
+    the pin must survive, preserving the measured-best plan (r4 review
+    finding: the first auto heuristic dropped it here, and the flagship
+    exhibit regressed to a payload-shuffling SortMergeJoin)."""
+    from ocr_platform_spark import corpus as corpus_mod
+    from ocr_platform_spark import schemas
+    from ocr_platform_spark.operators import extract
+
+    docs, _media = corpus_mod.generate(6, max_pages=2)
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    assert extract._span_refs_fit_broadcast(docs_df) is True
+
+
+def test_broadcast_auto_refuses_known_large_input(spark, corpus_dir, monkeypatch):
+    """On a KNOWN estimate past the stats cap the auto mode must NOT pin
+    the hint — the join strategy is left to AQE's runtime sizes instead of
+    hard-failing on the 8 GB broadcast limit at corpus scale. Contract
+    checked at the hint level (AQE may still legitimately broadcast the
+    small *media* side at fixture scale, so plan shape alone can't
+    distinguish the two)."""
     from pyspark.sql import functions as F
 
     from ocr_platform_spark.operators import extract
 
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
     media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    saved_cap = extract.SPAN_BROADCAST_STATS_CAP
 
     monkeypatch.setattr(extract, "SPAN_BROADCAST_STATS_CAP", 0)
     assert extract._span_refs_fit_broadcast(docs) is False
@@ -159,7 +176,7 @@ def test_broadcast_auto_refuses_unbounded_input(spark, corpus_dir, monkeypatch):
     monkeypatch.setattr(extract.F, "broadcast", recording_broadcast)
     extract.decode_pages(docs, media)
     assert hints == []
-    monkeypatch.setattr(extract, "SPAN_BROADCAST_STATS_CAP", 32 << 30)
+    monkeypatch.setattr(extract, "SPAN_BROADCAST_STATS_CAP", saved_cap)
     extract.decode_pages(docs, media)
     assert len(hints) == 1
 

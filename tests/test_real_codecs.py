@@ -292,6 +292,97 @@ def test_jpeg_rejects_progressive_and_truncated():
         jpegcodec.decode_jpeg(raw[: len(raw) // 2])
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any marker may be preceded by any number of 0xFF fill
+    bytes — real encoders emit them; the decoder must skip the run (r4
+    review finding: the first parser consumed the marker id as a length
+    byte and lost the stream)."""
+    import numpy as np
+
+    from ocr_platform_spark import jpegcodec
+
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 256, size=(10, 11, 3), dtype=np.uint8)
+    raw = jpegcodec.encode_jpeg(arr)
+    plain = jpegcodec.decode_jpeg(raw)
+    # insert fill bytes before the SOF0 and SOS markers
+    padded = raw.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    padded = padded.replace(b"\xff\xda", b"\xff\xff\xda", 1)
+    assert (jpegcodec.decode_jpeg(padded) == plain).all()
+
+
+def test_jpeg_noninterleaved_grayscale_with_22_sampling():
+    """A single-component scan is NON-interleaved (T.81 A.2.2): one data
+    unit per MCU in raster order over the component's own block grid,
+    sampling factors notwithstanding. Some encoders keep the color-default
+    2x2 luma factors on grayscale files; libjpeg decodes them fine, so
+    must we (r4 review finding). Built by re-tagging a 1x1-sampled
+    grayscale stream — for a single-component frame the entropy stream is
+    identical under either declaration."""
+    import struct
+
+    import numpy as np
+
+    from ocr_platform_spark import jpegcodec
+
+    # hand-build a 16x24 grayscale JPEG (6 blocks), 1x1 declared
+    rng = np.random.default_rng(17)
+    y_plane = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    q = np.ones(64, np.int64)
+    blocks = jpegcodec._fdct_quant(y_plane.astype(np.float64), q)
+    dc = jpegcodec._encode_codes(*jpegcodec._STD_DC_LUMA)
+    ac = jpegcodec._encode_codes(*jpegcodec._STD_AC_LUMA)
+    wtr = jpegcodec._BitWriter()
+    pred = 0
+    for by in range(blocks.shape[0]):
+        for bx in range(blocks.shape[1]):
+            pred = jpegcodec._encode_block(wtr, blocks[by, bx], pred, dc, ac)
+    wtr.pad()
+
+    def build(hv):
+        dqt = b"\x00" + bytes(int(v) for v in q)
+        sof = struct.pack(">BHHB", 8, 16, 24, 1) + bytes([1, hv, 0])
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+        return (
+            b"\xff\xd8"
+            + b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+            + jpegcodec._dht_segment(0, 0, jpegcodec._STD_DC_LUMA)
+            + jpegcodec._dht_segment(1, 0, jpegcodec._STD_AC_LUMA)
+            + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            + bytes(wtr.out)
+            + b"\xff\xd9"
+        )
+
+    out_11 = jpegcodec.decode_jpeg(build(0x11))
+    out_22 = jpegcodec.decode_jpeg(build(0x22))
+    assert out_11.shape == out_22.shape == (16, 24, 3)
+    # both declarations decode the same raster-ordered block stream
+    assert (out_11 == out_22).all()
+    # and match the source within FDCT/IDCT rounding
+    assert np.abs(out_11[:, :, 0].astype(int) - y_plane.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_nondivisor_sampling():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ocr_platform_spark import jpegcodec
+
+    raw = jpegcodec.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    # re-declare luma 3x1 against chroma 2x1: 3 % 2 != 0
+    sof_at = raw.index(b"\xff\xc0")
+    body = bytearray(raw)
+    # SOF body: marker(2) len(2) prec(1) h(2) w(2) nc(1) then comp triples
+    body[sof_at + 11] = 0x31  # comp 1 sampling 3x1
+    body[sof_at + 14] = 0x21  # comp 2 sampling 2x1
+    body[sof_at + 17] = 0x21  # comp 3 sampling 2x1
+    with _pytest.raises(ValueError, match="sampling ratio"):
+        jpegcodec.decode_jpeg(bytes(body))
+
+
 def test_jpeg_matches_pil_when_available():
     """libjpeg's islow IDCT is an integer approximation of the float
     transform here, so parity is +-2 levels on a 4:4:4 stream (no chroma
