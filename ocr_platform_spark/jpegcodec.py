@@ -229,7 +229,18 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(raw: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> HxWx3 uint8 RGB (PIL ``convert("RGB")`` parity)."""
+    """Baseline JPEG bytes -> HxWx3 uint8 RGB (PIL ``convert("RGB")`` parity).
+
+    Contract: every malformed/truncated/unsupported input raises
+    ``ValueError`` (the quarantine path keys on it), never a low-level
+    ``struct.error``/``IndexError``."""
+    try:
+        return _decode_jpeg(raw)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or malformed JPEG: {e}") from e
+
+
+def _decode_jpeg(raw: bytes) -> np.ndarray:
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -257,6 +268,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         if pos + 2 > len(raw):
             break
         (seglen,) = struct.unpack(">H", raw[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(raw):
+            raise ValueError(
+                f"JPEG segment 0xFF{marker:02X} length {seglen} out of bounds"
+            )
         seg = raw[pos + 2:pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT

@@ -225,30 +225,41 @@ def shared_exploded_spans(documents: DataFrame) -> DataFrame:
 #: comfortably under Spark's 8 GB broadcast hard limit.
 SPAN_BROADCAST_STATS_CAP = 32 << 30
 
-#: Catalyst reports ``spark.sql.defaultSizeInBytes`` (Long.Max by default)
-#: for plans it cannot size — RDD-backed frames, createDataFrame inputs,
-#: checkpointed scans. Estimates at or past this floor mean "unknown",
-#: NOT "huge": such frames are driver-materialized or bounded by
-#: construction, while a genuinely 100 TB corpus arrives as a
-#: parquet/Iceberg scan whose stats ARE known. So unknown keeps the pin
-#: (the measured-best plan) and only a known-large estimate releases it.
-_UNKNOWN_STATS_FLOOR = 1 << 62
-
-
 def _span_refs_fit_broadcast(documents: DataFrame) -> bool:
-    """Cheap pre-flight for the pinned spans-side broadcast: Catalyst's
-    optimized-plan size estimate for the ``documents`` relation (file-scan
-    bytes for parquet/Iceberg sources — no job runs). Returns False ONLY
-    for a known estimate past :data:`SPAN_BROADCAST_STATS_CAP`; unknown
-    stats (the ``defaultSizeInBytes`` sentinel, or any JVM hiccup) keep
-    the pin, preserving the measured-best broadcast plan for in-memory /
-    checkpointed inputs that Catalyst cannot size."""
+    """Cheap pre-flight for the pinned spans-side broadcast (no job runs).
+
+    The decision is made from the optimized plan's LEAF relations, not the
+    root estimate: Catalyst's size-only stats arithmetic inflates a join
+    root to the PRODUCT of its children and scales a projection by column
+    widths, so the root number can read "huge" for a small input (or
+    scale an unknown sentinel below any floor) — leaf stats are the only
+    numbers that still mean bytes. Rules:
+
+    * a leaf whose estimate is the ``spark.sql.defaultSizeInBytes``
+      sentinel (RDD-backed / checkpointed scans) means UNKNOWN, i.e.
+      driver-materialized and bounded by construction — keep the pin (a
+      genuinely 100 TB corpus arrives as a parquet/Iceberg scan whose
+      leaf stats ARE known file bytes);
+    * otherwise pin iff the summed known leaf bytes fit
+      :data:`SPAN_BROADCAST_STATS_CAP`;
+    * any JVM/py4j failure refuses the pin (fail closed: the unhinted
+      plan is at worst slower; a wrongly pinned multi-TB broadcast is a
+      hard job failure)."""
     try:
-        stats = documents._jdf.queryExecution().optimizedPlan().stats()
-        size = int(str(stats.sizeInBytes()))
+        spark = documents.sparkSession
+        sentinel = int(spark.conf.get(
+            "spark.sql.defaultSizeInBytes", str((1 << 63) - 1)
+        ))
+        leaves = documents._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            size = int(str(leaves.apply(i).stats().sizeInBytes()))
+            if size >= sentinel:
+                return True  # unknown-stats leaf: bounded by construction
+            total += size
     except Exception:
-        return True
-    return size >= _UNKNOWN_STATS_FLOOR or size <= SPAN_BROADCAST_STATS_CAP
+        return False
+    return total <= SPAN_BROADCAST_STATS_CAP
 
 
 def decode_pages(

@@ -146,6 +146,32 @@ def test_broadcast_auto_keeps_pin_for_unknown_stats(spark):
     docs, _media = corpus_mod.generate(6, max_pages=2)
     docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
     assert extract._span_refs_fit_broadcast(docs_df) is True
+    # the decision reads LEAF stats, so Catalyst's derived arithmetic
+    # can't fool it: a projection over an RDD-backed frame scales the
+    # ROOT sentinel below any magnitude floor (still unknown -> pin),
+    # and checkpointed frames report the sentinel directly
+    rdd_backed = spark.createDataFrame(docs_df.rdd, schema=schemas.DOCUMENTS)
+    assert extract._span_refs_fit_broadcast(rdd_backed) is True
+    assert extract._span_refs_fit_broadcast(
+        rdd_backed.select("doc_id", "spans")
+    ) is True
+    assert extract._span_refs_fit_broadcast(
+        docs_df.localCheckpoint(eager=False)
+    ) is True
+
+
+def test_broadcast_auto_join_root_not_product_inflated(spark, corpus_dir, monkeypatch):
+    """Catalyst estimates a join root as the PRODUCT of its children —
+    astronomically large for tiny inputs. The leaf-walk must classify a
+    small parquet self-join as known-small (pin), and still refuse a
+    known-large leaf sum under a tiny cap."""
+    from ocr_platform_spark.operators import extract
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert extract._span_refs_fit_broadcast(joined) is True
+    monkeypatch.setattr(extract, "SPAN_BROADCAST_STATS_CAP", 0)
+    assert extract._span_refs_fit_broadcast(joined) is False
 
 
 def test_broadcast_auto_refuses_known_large_input(spark, corpus_dir, monkeypatch):

@@ -290,6 +290,15 @@ def test_jpeg_rejects_progressive_and_truncated():
         jpegcodec.decode_jpeg(progressive)
     with _pytest.raises(ValueError):
         jpegcodec.decode_jpeg(raw[: len(raw) // 2])
+    # the ValueError contract must hold for arbitrary malformation, never
+    # leaking struct.error/IndexError (r4 review finding): zero-length
+    # segment, lying segment length, truncated SOF body
+    with _pytest.raises(ValueError, match="out of bounds"):
+        jpegcodec.decode_jpeg(b"\xff\xd8\xff\xdb\x00\x00\xff\xd9")
+    with _pytest.raises(ValueError, match="out of bounds"):
+        jpegcodec.decode_jpeg(b"\xff\xd8\xff\xdb\xff\xff\x00")
+    with _pytest.raises(ValueError, match="JPEG"):
+        jpegcodec.decode_jpeg(b"\xff\xd8\xff\xc0\x00\x11\x08")
 
 
 def test_jpeg_fill_bytes_before_markers():
