@@ -11,10 +11,11 @@ and tested here, while the codec itself is swappable:
   (:mod:`ocr_platform_spark.formats`);
 * for real-world codecs the decode step sits behind
   :func:`decode_real_media`: PIL/pypdfium2 when importable, pure-stdlib
-  fallbacks for PNG (:mod:`ocr_platform_spark.pngcodec`) and baseline
-  JPEG (:mod:`ocr_platform_spark.jpegcodec`) otherwise; only real-PDF
-  still raises ``NotImplementedError`` without pypdfium2 — the
-  Spark-side contract is unchanged either way.
+  fallbacks otherwise — PNG (:mod:`ocr_platform_spark.pngcodec`),
+  baseline JPEG (:mod:`ocr_platform_spark.jpegcodec`) and scanned
+  image-only PDF (:mod:`ocr_platform_spark.pdfcodec`, 150-DPI page
+  rasters); vector/1.5+ PDFs raise ``ValueError`` without pypdfium2 —
+  the Spark-side contract is unchanged either way.
 
 Scale notes: every operator is a narrow map over binary batches — no
 shuffle; Arrow transfers the bytes zero-copy into pandas. Batch size is
@@ -71,10 +72,11 @@ def _fxp6(v: float) -> int:
 def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
     """Decode a REAL-codec payload to rasters: ``(kind, [HxWx3 uint8])``.
 
-    The optional codec seam (import-gated; PNG and baseline JPEG also
-    decode WITHOUT PIL via the stdlib codecs, so tests/test_real_codecs.py
-    runs those everywhere and only skips the PIL-parity / real-PDF legs
-    where the libs are absent). Mirrors the reference's ``_raw_to_pages``
+    The optional codec seam (import-gated; PNG, baseline JPEG and scanned
+    image-only PDF also decode WITHOUT PIL/pypdfium2 via the stdlib
+    codecs, so tests/test_real_codecs.py + test_pdfcodec.py run those
+    everywhere and only skip the PIL/pdfium-parity legs where the libs
+    are absent). Mirrors the reference's ``_raw_to_pages``
     (``apps/worker/app/tasks/ocr_tasks.py:34-55``): PDF pages render at
     ``RENDER_DPI`` (150), images decode at native size via
     ``convert("RGB")``. Dispatch is on magic bytes
@@ -90,10 +92,12 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
         )
     if kind == "pdf":
         if _pdfium is None:
-            raise NotImplementedError(
-                "real PDF decode requires pypdfium2 (not installed here); "
-                "use SPDF1 containers (ocr_platform_spark.formats) instead"
-            )
+            # pure-stdlib scanned-PDF fallback (classic xref + image-only
+            # pages; Flate/DCT XObjects through the stdlib codecs). Vector
+            # PDFs and PDF-1.5 xref streams raise ValueError -> quarantine.
+            from . import pdfcodec
+
+            return "pdf", pdfcodec.decode_pdf(raw)
         doc = _pdfium.PdfDocument(io.BytesIO(raw))
         scale = formats.RENDER_DPI / formats.PDF_POINT_DPI  # dpi=150
         pages = []

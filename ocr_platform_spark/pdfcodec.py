@@ -1,0 +1,646 @@
+"""Pure-stdlib scanned-PDF rasterizer: PDF bytes -> 150-DPI RGB page rasters.
+
+Closes the last real-codec gap of :func:`ocr_platform_spark.multimodal.
+decode_real_media` for the reference's dominant input class — *scanned*
+documents, i.e. PDFs whose pages are full-page raster images (the
+reference renders every PDF page to a 150-DPI pixmap with PyMuPDF,
+``apps/worker/app/tasks/ocr_tasks.py:39-52``; our import-gated fast path
+uses pypdfium2). Like :mod:`pngcodec` / :mod:`jpegcodec`, this fallback
+is dependency-free (``zlib`` + ``struct`` + numpy) so the seam has live
+in-sandbox test coverage instead of an env-gated skip.
+
+Supported subset — chosen to cover what scanners/printers actually emit,
+with a hard ``ValueError`` on everything else (never a silent blank or
+wrong raster; the quarantine path keys on ``ValueError``):
+
+* classic cross-reference tables, incremental updates via ``/Prev``
+  chains, free-entry lists. PDF 1.5+ cross-reference *streams* and
+  object streams raise (``xref stream unsupported``).
+* ``/FlateDecode`` stream filter (zlib), optionally with PNG predictors
+  (``/DecodeParms /Predictor >= 10`` — reuses :func:`pngcodec._unfilter`)
+  for both content and image streams; ``/DCTDecode`` image streams decode
+  through :func:`jpegcodec.decode_jpeg`. CCITT/JBIG2/JPX/LZW raise.
+* page content limited to the scanned-page operator set: graphics-state
+  stack (``q``/``Q``), matrix concat (``cm``), image XObject paint
+  (``Do``), plus inert state/clipping operators. Text-showing and
+  path-painting operators raise — a vector page MUST NOT silently render
+  as a blank canvas and feed empty text downstream.
+* image XObjects: 8-bit ``DeviceRGB``/``DeviceGray`` and 1-bit gray
+  (``/Decode [1 0]`` inversion honoured), axis-aligned placement
+  (CTM shear terms must be 0; negative scales = flips are fine).
+
+Rendering contract (mirrors the reference's ``get_pixmap(dpi=150)``
+geometry): the page canvas is ``round(MediaBox * dpi/72)`` pixels of
+white; each image is resampled to its device rectangle with the engine's
+deterministic area kernel (:func:`raster.area_resize`) and pasted with
+clipping. Exact-parity tests pin the identity-scale case (canvas ==
+embedded image, byte-equal) so the geometry math cannot drift.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+from . import jpegcodec, pngcodec, raster
+
+RENDER_DPI = 150  # reference: ocr_tasks.py:47 get_pixmap(dpi=150)
+_POINT_DPI = 72.0
+
+_WHITESPACE = b"\x00\t\n\x0c\r "
+_DELIMS = b"()<>[]{}/%"
+
+
+class _Name(str):
+    """A PDF name token (``/Foo``) — distinct from a string literal."""
+
+
+class _Ref(tuple):
+    """Indirect reference ``(num, gen)``."""
+
+
+# --------------------------------------------------------------------------
+# object-level tokenizer / parser
+# --------------------------------------------------------------------------
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WHITESPACE:
+            pos += 1
+        elif c == 0x25:  # '%' comment to end of line
+            while pos < n and data[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+def _parse_name(data: bytes, pos: int) -> tuple[_Name, int]:
+    pos += 1  # '/'
+    start = pos
+    n = len(data)
+    while pos < n and data[pos] not in _WHITESPACE and data[pos] not in _DELIMS:
+        pos += 1
+    tok = data[start:pos]
+    # #xx hex escapes inside names (spec 7.3.5)
+    if b"#" in tok:
+        out = bytearray()
+        i = 0
+        while i < len(tok):
+            if tok[i] == 0x23 and i + 2 < len(tok):
+                out.append(int(tok[i + 1:i + 3], 16))
+                i += 3
+            else:
+                out.append(tok[i])
+                i += 1
+        tok = bytes(out)
+    return _Name(tok.decode("latin-1")), pos
+
+
+def _parse_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    pos += 1  # '('
+    depth = 1
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c == 0x5C and pos + 1 < n:  # backslash escape
+            nxt = data[pos + 1]
+            esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                   0x28: 40, 0x29: 41, 0x5C: 92}
+            if nxt in esc:
+                out.append(esc[nxt])
+                pos += 2
+            elif 0x30 <= nxt <= 0x37:  # octal
+                oct_digits = bytes(data[pos + 1:pos + 4])
+                k = 1
+                while k < 3 and k < len(oct_digits) and 0x30 <= oct_digits[k] <= 0x37:
+                    k += 1
+                out.append(int(oct_digits[:k], 8) & 0xFF)
+                pos += 1 + k
+            else:  # line continuation / unknown escape: drop backslash
+                pos += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos + 1
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    raise ValueError("unterminated PDF string literal")
+
+
+_NUM_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
+
+
+def parse_object(data: bytes, pos: int):
+    """Parse one PDF object at ``pos``; returns ``(value, end_pos)``.
+
+    Indirect references parse as :class:`_Ref`, names as :class:`_Name`,
+    dictionaries as ``dict``, arrays as ``list``; numbers as int/float.
+    """
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise ValueError("unexpected end of PDF data")
+    c = data[pos]
+    if data.startswith(b"<<", pos):
+        pos += 2
+        d = {}
+        while True:
+            pos = _skip_ws(data, pos)
+            if data.startswith(b">>", pos):
+                return d, pos + 2
+            if data[pos] != 0x2F:
+                raise ValueError("PDF dict key must be a name")
+            key, pos = _parse_name(data, pos)
+            val, pos = parse_object(data, pos)
+            d[str(key)] = val
+        # unreachable
+    if c == 0x5B:  # '['
+        pos += 1
+        arr = []
+        while True:
+            pos = _skip_ws(data, pos)
+            if pos < len(data) and data[pos] == 0x5D:
+                return arr, pos + 1
+            val, pos = parse_object(data, pos)
+            arr.append(val)
+    if c == 0x2F:  # '/'
+        return _parse_name(data, pos)
+    if c == 0x28:  # '('
+        return _parse_string(data, pos)
+    if c == 0x3C:  # '<hex>'
+        end = data.index(b">", pos)
+        hexs = re.sub(rb"\s", b"", data[pos + 1:end])
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii")), end + 1
+    if data.startswith(b"true", pos):
+        return True, pos + 4
+    if data.startswith(b"false", pos):
+        return False, pos + 5
+    if data.startswith(b"null", pos):
+        return None, pos + 4
+    m = _NUM_RE.match(data, pos)
+    if m:
+        tok = m.group(0)
+        end = m.end()
+        # lookahead for "<num> <gen> R" indirect reference
+        if b"." not in tok:
+            ref_m = re.match(rb"\s+(\d+)\s+R(?![A-Za-z0-9])", data[end:end + 32])
+            if ref_m:
+                return _Ref((int(tok), int(ref_m.group(1)))), end + ref_m.end()
+            return int(tok), end
+        return float(tok), end
+    raise ValueError(f"unparseable PDF token at offset {pos}: {data[pos:pos+10]!r}")
+
+
+# --------------------------------------------------------------------------
+# document: xref, objects, streams
+# --------------------------------------------------------------------------
+
+
+class _Document:
+    def __init__(self, raw: bytes):
+        self.raw = raw
+        self.xref: dict[int, int] = {}  # obj num -> byte offset
+        self.trailer: dict = {}
+        self._cache: dict[int, tuple] = {}
+        self._load_xref()
+
+    def _load_xref(self) -> None:
+        raw = self.raw
+        tail = raw[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise ValueError("PDF has no startxref")
+        offset = int(m.group(1))
+        seen = set()
+        while offset and offset not in seen:
+            seen.add(offset)
+            pos = _skip_ws(raw, offset)
+            if not raw.startswith(b"xref", pos):
+                raise ValueError(
+                    "PDF cross-reference stream unsupported "
+                    "(classic xref tables only)"
+                )
+            pos += 4
+            while True:
+                pos = _skip_ws(raw, pos)
+                if raw.startswith(b"trailer", pos):
+                    pos += 7
+                    trailer, pos = parse_object(raw, pos)
+                    # earlier trailers in a /Prev chain must not override
+                    for k, v in trailer.items():
+                        self.trailer.setdefault(k, v)
+                    offset = trailer.get("Prev", 0)
+                    break
+                m2 = re.match(rb"(\d+)\s+(\d+)", raw[pos:pos + 64])
+                if not m2:
+                    raise ValueError("malformed xref subsection header")
+                first, count = int(m2.group(1)), int(m2.group(2))
+                pos = _skip_ws(raw, pos + m2.end())
+                for i in range(count):
+                    entry = raw[pos:pos + 20]
+                    if len(entry) < 18:
+                        raise ValueError("truncated xref entry")
+                    off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
+                    if kind == b"n":
+                        # newest (first-seen) entry wins across /Prev chain
+                        self.xref.setdefault(first + i, int(off))
+                    pos += 20
+
+    def get(self, ref):
+        """Resolve an indirect reference (or pass through a direct value)."""
+        if not isinstance(ref, _Ref):
+            return ref
+        num = ref[0]
+        if num in self._cache:
+            return self._cache[num][0]
+        val, _ = self._get_with_stream(num)
+        return val
+
+    def get_stream(self, ref, decode: bool = True) -> tuple[dict, bytes]:
+        """Resolve a reference to ``(dict, stream bytes)``.
+
+        ``decode=False`` returns the raw (still-filtered) bytes — image
+        XObjects own their filter chain (DCTDecode ends in the JPEG
+        decoder, Flate+predictor in :func:`_decode_image`)."""
+        if isinstance(ref, _Ref):
+            d, rawstream = self._get_with_stream(ref[0])
+        else:
+            raise ValueError("stream object must be an indirect reference")
+        if rawstream is None:
+            raise ValueError(f"object {ref[0]} is not a stream")
+        return d, self._decode_stream(d, rawstream) if decode else rawstream
+
+    def _get_with_stream(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        if num not in self.xref:
+            raise ValueError(f"PDF object {num} not in xref")
+        raw = self.raw
+        pos = self.xref[num]
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", raw[pos:pos + 64])
+        if not m or int(m.group(1)) != num:
+            raise ValueError(f"xref offset for object {num} does not point at it")
+        val, pos = parse_object(raw, pos + m.end())
+        rawstream = None
+        pos = _skip_ws(raw, pos)
+        if raw.startswith(b"stream", pos):
+            pos += 6
+            if raw.startswith(b"\r\n", pos):
+                pos += 2
+            elif raw.startswith(b"\n", pos):
+                pos += 1
+            length = self.get(val.get("Length"))
+            if not isinstance(length, int):
+                raise ValueError("stream /Length must resolve to an integer")
+            rawstream = raw[pos:pos + length]
+            if len(rawstream) < length:
+                raise ValueError("truncated PDF stream")
+        self._cache[num] = (val, rawstream)
+        return val, rawstream
+
+    def _decode_stream(self, d: dict, data: bytes) -> bytes:
+        filters = self.get(d.get("Filter"))
+        if filters is None:
+            return data
+        if not isinstance(filters, list):
+            filters = [filters]
+        parms = self.get(d.get("DecodeParms"))
+        if not isinstance(parms, list):
+            parms = [parms] * len(filters)
+        for filt, parm in zip(filters, parms):
+            filt = str(self.get(filt))
+            if filt == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as e:
+                    raise ValueError(f"bad FlateDecode stream: {e}") from e
+                data = self._unpredict(self.get(parm), data)
+            elif filt == "DCTDecode":
+                # terminal image filter: handled by the image decoder
+                raise ValueError("DCTDecode outside an image XObject")
+            else:
+                raise ValueError(f"unsupported PDF stream filter /{filt}")
+        return data
+
+    def _unpredict(self, parm, data: bytes) -> bytes:
+        if not parm:
+            return data
+        pred = self.get(parm.get("Predictor", 1))
+        if pred == 1:
+            return data
+        if pred < 10:
+            raise ValueError(f"TIFF predictor {pred} unsupported")
+        colors = self.get(parm.get("Colors", 1))
+        bpc = self.get(parm.get("BitsPerComponent", 8))
+        columns = self.get(parm.get("Columns", 1))
+        bpp = max(1, colors * bpc // 8)
+        stride = (columns * colors * bpc + 7) // 8
+        if len(data) % (stride + 1):
+            raise ValueError("predictor data not a whole number of rows")
+        h = len(data) // (stride + 1)
+        # PNG predictors use the exact PNG per-row filter layout
+        return bytes(pngcodec._unfilter(data, h, stride, bpp))
+
+
+# --------------------------------------------------------------------------
+# page tree
+# --------------------------------------------------------------------------
+
+_INHERITABLE = ("MediaBox", "Resources", "Rotate")
+
+
+def _walk_pages(doc: _Document, node_ref, inherited: dict, out: list,
+                depth: int = 0) -> None:
+    if depth > 64:
+        raise ValueError("page tree too deep (cycle?)")
+    node = doc.get(node_ref)
+    if not isinstance(node, dict):
+        raise ValueError("page tree node is not a dictionary")
+    attrs = dict(inherited)
+    for k in _INHERITABLE:
+        if k in node:
+            attrs[k] = node[k]
+    typ = str(doc.get(node.get("Type", "")))
+    if typ == "Pages" or "Kids" in node:
+        for kid in doc.get(node.get("Kids", [])):
+            _walk_pages(doc, kid, attrs, out, depth + 1)
+    else:
+        out.append((node, attrs))
+
+
+def _pages(doc: _Document) -> list[tuple[dict, dict]]:
+    root = doc.get(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise ValueError("PDF trailer has no /Root catalog")
+    out: list[tuple[dict, dict]] = []
+    _walk_pages(doc, root.get("Pages"), {}, out)
+    return out
+
+
+# --------------------------------------------------------------------------
+# content stream interpreter (scanned-page operator subset)
+# --------------------------------------------------------------------------
+
+#: operators that may appear on a scanned page and change nothing we render
+_INERT_OPS = {
+    "w", "J", "j", "M", "d", "ri", "i", "gs",          # graphics state
+    "W", "W*", "n", "re", "m", "l", "c", "v", "y", "h",  # clip path building
+    "g", "G", "rg", "RG", "k", "K", "cs", "CS", "sc", "scn", "SC", "SCN",
+    "BMC", "BDC", "EMC", "MP", "DP",                   # marked content
+}
+_FORBIDDEN_OPS = {
+    # text showing — rendering these as blank would silently drop content
+    "Tj", "TJ", "'", '"',
+    # path painting — vector graphics we do not rasterize
+    "S", "s", "f", "F", "f*", "B", "B*", "b", "b*", "sh",
+}
+_TEXT_STATE_OPS = {"BT", "ET", "Tf", "Td", "TD", "Tm", "T*", "Tc", "Tw",
+                   "Tz", "TL", "Ts", "Tr"}
+
+_OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*']*")
+
+
+def _content_images(doc: _Document, content: bytes, resources: dict):
+    """Yield ``(ctm, image_dict, image_bytes)`` for each image paint.
+
+    CTM is the 6-tuple (a, b, c, d, e, f); the stack math follows PDF
+    spec 8.3.4. Raises on operators outside the scanned-page subset.
+    """
+    xobjects = doc.get(resources.get("XObject", {})) if resources else {}
+    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    stack: list[tuple] = []
+    operands: list = []
+    pos = 0
+    n = len(content)
+    while pos < n:
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        c = content[pos]
+        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or \
+                c == 0x2B or c == 0x2D or c == 0x2E or 0x30 <= c <= 0x39:
+            val, pos = parse_object(content, pos)
+            operands.append(val)
+            continue
+        m = _OP_RE.match(content, pos)
+        if not m:
+            raise ValueError(
+                f"unparseable content stream at offset {pos}: "
+                f"{content[pos:pos+10]!r}"
+            )
+        op = m.group(0).decode("latin-1")
+        pos = m.end()
+        if op == "q":
+            stack.append(ctm)
+        elif op == "Q":
+            ctm = stack.pop() if stack else (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        elif op == "cm":
+            a, b, cc, d, e, f = (float(v) for v in operands[-6:])
+            A, B, C, D, E, Fv = ctm
+            ctm = (a * A + b * C, a * B + b * D,
+                   cc * A + d * C, cc * B + d * D,
+                   e * A + f * C + E, e * B + f * D + Fv)
+        elif op == "Do":
+            name = operands[-1]
+            xo = xobjects.get(str(name))
+            if xo is None:
+                raise ValueError(f"content references unknown XObject {name}")
+            xd, xbytes = doc.get_stream(xo, decode=False)
+            subtype = str(doc.get(xd.get("Subtype", "")))
+            if subtype == "Image":
+                yield ctm, xd, xbytes
+            elif subtype == "Form":
+                raise ValueError("Form XObjects unsupported (scanned subset)")
+            else:
+                raise ValueError(f"unsupported XObject subtype {subtype}")
+        elif op == "BI":
+            raise ValueError("inline images (BI..EI) unsupported")
+        elif op in _FORBIDDEN_OPS or op in _TEXT_STATE_OPS:
+            raise ValueError(
+                f"vector/text content operator {op!r} unsupported "
+                "(scanned-page subset: images only)"
+            )
+        elif op in _INERT_OPS:
+            pass
+        else:
+            raise ValueError(f"unknown content operator {op!r}")
+        operands = []
+
+
+# --------------------------------------------------------------------------
+# image XObject decode
+# --------------------------------------------------------------------------
+
+
+def _decode_image(doc: _Document, d: dict, data: bytes) -> np.ndarray:
+    """Image XObject -> HxWx3 uint8 RGB."""
+    w = int(doc.get(d.get("Width", 0)))
+    h = int(doc.get(d.get("Height", 0)))
+    if w <= 0 or h <= 0:
+        raise ValueError("image XObject with non-positive dimensions")
+    if doc.get(d.get("ImageMask", False)):
+        raise ValueError("stencil ImageMask unsupported")
+    filters = doc.get(d.get("Filter"))
+    if not isinstance(filters, list):
+        filters = [filters] if filters is not None else []
+    filters = [str(doc.get(f)) for f in filters]
+    if "DCTDecode" in filters:
+        if filters[-1] != "DCTDecode" or len(filters) != 1:
+            raise ValueError("DCTDecode must be the sole image filter")
+        return jpegcodec.decode_jpeg(data)  # convert("RGB") parity inside
+    # remaining: raw or FlateDecode'd samples
+    if filters == ["FlateDecode"]:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as e:
+            raise ValueError(f"bad FlateDecode image stream: {e}") from e
+        parms = doc.get(d.get("DecodeParms"))
+        data = doc._unpredict(parms, data)
+    elif filters:
+        raise ValueError(f"unsupported image filter chain {filters}")
+    cs = doc.get(d.get("ColorSpace"))
+    cs = str(doc.get(cs)) if not isinstance(cs, list) else str(cs)
+    bpc = int(doc.get(d.get("BitsPerComponent", 8)))
+    decode = doc.get(d.get("Decode"))
+    if cs == "DeviceRGB" and bpc == 8:
+        if decode not in (None, [0, 1, 0, 1, 0, 1]):
+            raise ValueError("non-default /Decode for DeviceRGB unsupported")
+        need = w * h * 3
+        if len(data) < need:
+            raise ValueError("truncated RGB image samples")
+        return np.frombuffer(data[:need], np.uint8).reshape(h, w, 3).copy()
+    if cs == "DeviceGray" and bpc == 8:
+        if decode not in (None, [0, 1]):
+            raise ValueError("non-default /Decode for 8-bit gray unsupported")
+        need = w * h
+        if len(data) < need:
+            raise ValueError("truncated gray image samples")
+        g = np.frombuffer(data[:need], np.uint8).reshape(h, w)
+        return np.stack([g] * 3, axis=-1)
+    if cs == "DeviceGray" and bpc == 1:
+        stride = (w + 7) // 8
+        need = stride * h
+        if len(data) < need:
+            raise ValueError("truncated 1-bit image samples")
+        bits = np.unpackbits(
+            np.frombuffer(data[:need], np.uint8).reshape(h, stride), axis=1
+        )[:, :w]
+        if decode == [1, 0]:  # scanned bitonal: 1 = black
+            bits = 1 - bits
+        elif decode not in (None, [0, 1]):
+            raise ValueError("non-default /Decode for 1-bit gray unsupported")
+        g = (bits * 255).astype(np.uint8)
+        return np.stack([g] * 3, axis=-1)
+    raise ValueError(
+        f"unsupported image colorspace/depth {cs}/{bpc} "
+        "(DeviceRGB-8, DeviceGray-8, DeviceGray-1 only)"
+    )
+
+
+def _resize_rgb(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    if img.shape[1] == tw and img.shape[0] == th:
+        return img
+    return np.stack(
+        [raster.area_resize(img[:, :, ch], tw, th) for ch in range(3)],
+        axis=-1,
+    )
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+
+def page_count(raw: bytes) -> int:
+    """Number of pages (no rendering — xref + page-tree walk only)."""
+    return len(_pages(_Document(raw)))
+
+
+def decode_pdf(raw: bytes, dpi: int = RENDER_DPI) -> list[np.ndarray]:
+    """Scanned-PDF bytes -> list of HxWx3 uint8 RGB page rasters at ``dpi``.
+
+    Geometry parity with the reference's ``page.get_pixmap(dpi=150)``
+    (``ocr_tasks.py:47``): canvas = ``round(MediaBox * dpi/72)``, white
+    background, images resampled into their placement rectangles with the
+    engine's deterministic area kernel. Unsupported constructs raise
+    ``ValueError`` (see module docstring for the exact subset).
+    """
+    if not raw.startswith(b"%PDF-"):
+        raise ValueError("not a PDF: bad header")
+    doc = _Document(raw)
+    scale = dpi / _POINT_DPI
+    pages = []
+    for node, attrs in _pages(doc):
+        mb = [float(doc.get(v)) for v in doc.get(attrs.get("MediaBox", None) or
+                                                 node.get("MediaBox", None) or [])]
+        if len(mb) != 4:
+            raise ValueError("page has no usable /MediaBox")
+        rotate = int(doc.get(attrs.get("Rotate", 0)) or 0)
+        if rotate % 360:
+            raise ValueError("rotated pages unsupported (/Rotate != 0)")
+        x0, y0, x1, y1 = mb
+        pw, ph = x1 - x0, y1 - y0
+        W = max(1, int(round(pw * scale)))
+        H = max(1, int(round(ph * scale)))
+        canvas = np.full((H, W, 3), 255, np.uint8)
+        contents = node.get("Contents")
+        resources = doc.get(attrs.get("Resources") or node.get("Resources") or {})
+        resolved = doc.get(contents) if isinstance(contents, _Ref) else contents
+        if contents is None:
+            content = b""
+        elif isinstance(resolved, list):
+            # /Contents may be an array (or a ref to one) of stream refs
+            content = b"\n".join(doc.get_stream(r)[1] for r in resolved)
+        else:
+            content = doc.get_stream(contents)[1]
+        for ctm, xd, xbytes in _content_images(doc, content, resources):
+            a, b, c, dctm, e, f = ctm
+            if abs(b) > 1e-9 or abs(c) > 1e-9:
+                raise ValueError(
+                    "rotated/sheared image placement unsupported "
+                    "(axis-aligned scanned pages only)"
+                )
+            img = _decode_image(doc, xd, xbytes)
+            # unit square -> device rect (PDF y-up, raster y-down)
+            dx0 = (min(e, e + a) - x0) * scale
+            dx1 = (max(e, e + a) - x0) * scale
+            dy_top = H - (max(f, f + dctm) - y0) * scale
+            dy_bot = H - (min(f, f + dctm) - y0) * scale
+            px0, px1 = int(round(dx0)), int(round(dx1))
+            py0, py1 = int(round(dy_top)), int(round(dy_bot))
+            tw, th = px1 - px0, py1 - py0
+            if tw <= 0 or th <= 0:
+                continue  # degenerate placement: nothing visible
+            img = _resize_rgb(img, tw, th)
+            if a < 0:
+                img = img[:, ::-1]
+            if dctm < 0:
+                img = img[::-1]
+            # clip to canvas
+            sx0, sy0 = max(0, -px0), max(0, -py0)
+            cx0, cy0 = max(0, px0), max(0, py0)
+            cx1, cy1 = min(W, px1), min(H, py1)
+            if cx1 <= cx0 or cy1 <= cy0:
+                continue
+            canvas[cy0:cy1, cx0:cx1] = img[
+                sy0:sy0 + (cy1 - cy0), sx0:sx0 + (cx1 - cx0)
+            ]
+        pages.append(canvas)
+    return pages

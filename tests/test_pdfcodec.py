@@ -1,0 +1,324 @@
+"""pdfcodec: pure-stdlib scanned-PDF rasterizer, pinned against hand-built
+PDFs (classic xref assembled byte-by-byte here — no PDF library exists in
+this sandbox, which is exactly why the codec does).
+
+The load-bearing pins:
+
+* identity-scale geometry — a page whose MediaBox is ``dims * 72/150``
+  renders at dpi=150 to a canvas exactly the embedded image's size, so
+  the decoded canvas must be BYTE-EQUAL to the source samples (Flate) or
+  to ``jpegcodec.decode_jpeg`` of the identical bytes (DCT);
+* PDF y-up vs raster y-down placement, sub-rect margins, negative-scale
+  flips;
+* the ValueError contract on everything outside the scanned subset
+  (vector text, path painting, CCITT, xref streams, Form XObjects) — a
+  vector page must never silently render blank.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from ocr_platform_spark import jpegcodec, pdfcodec
+from ocr_platform_spark.raster import area_resize
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+def build_pdf(objects: dict[int, bytes], root: int = 1,
+              header: bytes = b"%PDF-1.4\n") -> bytes:
+    """Assemble a classic-xref PDF from ``{obj_num: body_bytes}``."""
+    out = bytearray(header)
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    n = max(objects) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {n} /Root {root} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF").encode()
+    return bytes(out)
+
+
+def stream_obj(dict_body: str, data: bytes) -> bytes:
+    return (f"<< {dict_body} /Length {len(data)} >>\nstream\n".encode()
+            + data + b"\nendstream")
+
+
+def rgb_image_obj(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    return stream_obj(
+        f"/Subtype /Image /Width {w} /Height {h} /ColorSpace /DeviceRGB "
+        f"/BitsPerComponent 8 /Filter /FlateDecode",
+        zlib.compress(arr.tobytes()),
+    )
+
+
+def scanned_pdf(images: list[np.ndarray], mediaboxes: list[str],
+                cms: list[str] | None = None) -> bytes:
+    """One page per image; content = q <cm> /Im0 Do Q."""
+    objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    kids, next_num = [], 3
+    for i, (img, mb) in enumerate(zip(images, mediaboxes)):
+        pg, ct, im = next_num, next_num + 1, next_num + 2
+        next_num += 3
+        kids.append(f"{pg} 0 R")
+        cm = (cms[i] if cms else None) or _fill_cm(mb)
+        objs[pg] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [{mb}] "
+            f"/Resources << /XObject << /Im0 {im} 0 R >> >> "
+            f"/Contents {ct} 0 R >>"
+        ).encode()
+        objs[ct] = stream_obj("", f"q {cm} cm /Im0 Do Q".encode())
+        objs[im] = rgb_image_obj(img)
+    objs[2] = (f"<< /Type /Pages /Kids [{' '.join(kids)}] "
+               f"/Count {len(kids)} >>").encode()
+    return build_pdf(objs)
+
+
+def _fill_cm(mb: str) -> str:
+    x0, y0, x1, y1 = (float(v) for v in mb.split())
+    return f"{x1 - x0} 0 0 {y1 - y0} {x0} {y0}"
+
+
+# --- geometry / sample-exactness -------------------------------------------
+
+
+def test_single_page_flate_rgb_byte_exact():
+    # MediaBox 48x24 pt at 150 dpi -> 100x50 px == image dims: no resample
+    src = _rng().integers(0, 256, (50, 100, 3), dtype=np.uint8)
+    pages = pdfcodec.decode_pdf(scanned_pdf([src], ["0 0 48 24"]))
+    assert len(pages) == 1
+    np.testing.assert_array_equal(pages[0], src)
+
+
+def test_dct_page_matches_jpeg_decoder_byte_exact():
+    src = _rng(11).integers(0, 256, (48, 96, 3), dtype=np.uint8)
+    jpg = jpegcodec.encode_jpeg(src, subsampling="420")
+    img_obj = stream_obj(
+        "/Subtype /Image /Width 96 /Height 48 /ColorSpace /DeviceRGB "
+        "/BitsPerComponent 8 /Filter /DCTDecode", jpg)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+           b"/MediaBox [0 0 46.08 23.04] >>",  # inherited: 96x48 @150dpi
+        3: b"<< /Type /Page /Parent 2 0 R /Resources "
+           b"<< /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>",
+        4: stream_obj("", b"q 46.08 0 0 23.04 0 0 cm /Im0 Do Q"),
+        5: img_obj,
+    }
+    pages = pdfcodec.decode_pdf(build_pdf(objs))
+    np.testing.assert_array_equal(pages[0], jpegcodec.decode_jpeg(jpg))
+
+
+def test_multipage_sizes_resample_and_page_count():
+    imgs = [_rng(1).integers(0, 256, (30, 40, 3), dtype=np.uint8),
+            _rng(2).integers(0, 256, (20, 20, 3), dtype=np.uint8)]
+    raw = scanned_pdf(imgs, ["0 0 100 200", "0 0 50 50"])
+    assert pdfcodec.page_count(raw) == 2
+    pages = pdfcodec.decode_pdf(raw)
+    # canvas = round(mediabox * 150/72); image area-resampled to fill it
+    assert pages[0].shape == (417, 208, 3)
+    assert pages[1].shape == (104, 104, 3)
+    expect0 = np.stack([area_resize(imgs[0][:, :, c], 208, 417)
+                        for c in range(3)], axis=-1)
+    np.testing.assert_array_equal(pages[0], expect0)
+
+
+def test_subrect_placement_margins_and_y_flip():
+    # 100x100 canvas; image at PDF bottom-left -> raster BOTTOM-left
+    src = np.full((25, 25, 3), 7, np.uint8)
+    raw = scanned_pdf([src], ["0 0 48 48"], cms=["12 0 0 12 4.8 4.8"])
+    page = pdfcodec.decode_pdf(raw)[0]
+    assert page.shape == (100, 100, 3)
+    np.testing.assert_array_equal(page[65:90, 10:35], src)
+    assert (page[:65] == 255).all() and (page[90:] == 255).all()
+    assert (page[:, :10] == 255).all() and (page[:, 35:] == 255).all()
+
+
+def test_negative_scales_flip():
+    src = np.zeros((10, 10, 3), np.uint8)
+    src[0, :, 0] = 200   # top row red-ish
+    src[:, 0, 1] = 100   # left col green-ish
+    mb = "0 0 4.8 4.8"   # 10x10 canvas
+    up = pdfcodec.decode_pdf(scanned_pdf([src], [mb]))[0]
+    np.testing.assert_array_equal(up, src)
+    # d < 0 with f at top edge: vertical flip
+    vflip = pdfcodec.decode_pdf(
+        scanned_pdf([src], [mb], cms=["4.8 0 0 -4.8 0 4.8"]))[0]
+    np.testing.assert_array_equal(vflip, src[::-1])
+    # a < 0 with e at right edge: horizontal flip
+    hflip = pdfcodec.decode_pdf(
+        scanned_pdf([src], [mb], cms=["-4.8 0 0 4.8 4.8 0"]))[0]
+    np.testing.assert_array_equal(hflip, src[:, ::-1])
+
+
+def test_gray8_and_bitonal_decode_inversion():
+    g = _rng(3).integers(0, 256, (50, 100), dtype=np.uint8)
+    gray_obj = stream_obj(
+        "/Subtype /Image /Width 100 /Height 50 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 8 /Filter /FlateDecode",
+        zlib.compress(g.tobytes()))
+    bits = _rng(4).integers(0, 2, (50, 100), dtype=np.uint8)
+    packed = np.packbits(bits, axis=1).tobytes()
+    bit_obj = stream_obj(
+        "/Subtype /Image /Width 100 /Height 50 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 1 /Decode [1 0] /Filter /FlateDecode",
+        zlib.compress(packed))
+    for obj, expect in [
+        (gray_obj, np.stack([g] * 3, axis=-1)),
+        (bit_obj, np.stack([(1 - bits) * 255] * 3, axis=-1).astype(np.uint8)),
+    ]:
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 48 24] "
+               b"/Resources << /XObject << /Im0 5 0 R >> >> "
+               b"/Contents 4 0 R >>",
+            4: stream_obj("", b"q 48 0 0 24 0 0 cm /Im0 Do Q"),
+            5: obj,
+        }
+        np.testing.assert_array_equal(
+            pdfcodec.decode_pdf(build_pdf(objs))[0], expect)
+
+
+def test_flate_png_predictor_up():
+    src = _rng(5).integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    # PNG predictor stream: each row prefixed by filter byte 2 (Up)
+    filtered = bytearray()
+    prev = np.zeros((30, 3), np.uint16)
+    for y in range(20):
+        filtered.append(2)
+        filtered += ((src[y].astype(np.uint16) - prev) % 256).astype(
+            np.uint8).tobytes()
+        prev = src[y].astype(np.uint16)
+    img_obj = stream_obj(
+        "/Subtype /Image /Width 30 /Height 20 /ColorSpace /DeviceRGB "
+        "/BitsPerComponent 8 /Filter /FlateDecode "
+        "/DecodeParms << /Predictor 12 /Colors 3 /Columns 30 >>",
+        zlib.compress(bytes(filtered)))
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 14.4 9.6] "
+           b"/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>",
+        4: stream_obj("", b"q 14.4 0 0 9.6 0 0 cm /Im0 Do Q"),
+        5: img_obj,
+    }
+    np.testing.assert_array_equal(pdfcodec.decode_pdf(build_pdf(objs))[0], src)
+
+
+def test_incremental_update_prev_chain_newest_wins():
+    old = np.full((50, 100, 3), 10, np.uint8)
+    new = np.full((50, 100, 3), 200, np.uint8)
+    base = scanned_pdf([old], ["0 0 48 24"])
+    # image object is the highest-numbered one in scanned_pdf's layout
+    img_num = 5
+    m = __import__("re").search(rb"startxref\s+(\d+)", base[-64:])
+    prev_xref = int(m.group(1))
+    upd = bytearray(base)
+    new_off = len(upd)
+    upd += f"{img_num} 0 obj\n".encode() + rgb_image_obj(new) + b"\nendobj\n"
+    xref_pos = len(upd)
+    upd += (f"xref\n{img_num} 1\n{new_off:010d} 00001 n \n"
+            f"trailer\n<< /Size 6 /Root 1 0 R /Prev {prev_xref} >>\n"
+            f"startxref\n{xref_pos}\n%%EOF").encode()
+    np.testing.assert_array_equal(
+        pdfcodec.decode_pdf(bytes(upd))[0], new)
+    # the un-updated base still decodes to the old image
+    np.testing.assert_array_equal(pdfcodec.decode_pdf(base)[0], old)
+
+
+# --- the ValueError contract ------------------------------------------------
+
+
+def _one_page(content: bytes, extra_objs: dict[int, bytes] | None = None,
+              resources: bytes = b"<< >>") -> bytes:
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 48 24] "
+           b"/Resources " + resources + b" /Contents 4 0 R >>",
+        4: stream_obj("", content),
+    }
+    objs.update(extra_objs or {})
+    return build_pdf(objs)
+
+
+def test_vector_text_page_raises_not_blank():
+    raw = _one_page(b"BT /F1 12 Tf 10 10 Td (hello) Tj ET")
+    with pytest.raises(ValueError, match="unsupported"):
+        pdfcodec.decode_pdf(raw)
+
+
+def test_path_painting_raises():
+    raw = _one_page(b"0 0 10 10 re f")
+    with pytest.raises(ValueError, match="unsupported"):
+        pdfcodec.decode_pdf(raw)
+
+
+def test_ccitt_filter_raises():
+    img = stream_obj(
+        "/Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 1 /Filter /CCITTFaxDecode", b"\x00" * 8)
+    raw = _one_page(b"q 48 0 0 24 0 0 cm /Im0 Do Q", {5: img},
+                    b"<< /XObject << /Im0 5 0 R >> >>")
+    with pytest.raises(ValueError, match="filter"):
+        pdfcodec.decode_pdf(raw)
+
+
+def test_form_xobject_raises():
+    form = stream_obj("/Subtype /Form /BBox [0 0 1 1]", b"")
+    raw = _one_page(b"/Fm0 Do", {5: form},
+                    b"<< /XObject << /Fm0 5 0 R >> >>")
+    with pytest.raises(ValueError, match="Form"):
+        pdfcodec.decode_pdf(raw)
+
+
+def test_xref_stream_raises():
+    # startxref pointing at an object header instead of a classic table
+    body = (b"%PDF-1.5\n1 0 obj\n<< /Type /XRef >>\nstream\nendstream\n"
+            b"endobj\nstartxref\n9\n%%EOF")
+    with pytest.raises(ValueError, match="cross-reference stream"):
+        pdfcodec.decode_pdf(body)
+
+
+def test_rotated_placement_raises():
+    src = np.zeros((4, 4, 3), np.uint8)
+    raw = scanned_pdf([src], ["0 0 48 24"], cms=["0 12 -12 0 24 0"])
+    with pytest.raises(ValueError, match="axis-aligned"):
+        pdfcodec.decode_pdf(raw)
+
+
+def test_not_a_pdf_and_truncation():
+    with pytest.raises(ValueError, match="header"):
+        pdfcodec.decode_pdf(b"GIF89a...")
+    good = scanned_pdf(
+        [np.zeros((5, 5, 3), np.uint8)], ["0 0 2.4 2.4"])
+    with pytest.raises(ValueError):
+        pdfcodec.decode_pdf(good[: len(good) // 2])
+
+
+# --- the seam ----------------------------------------------------------------
+
+
+def test_decode_real_media_pdf_fallback_runs_in_sandbox():
+    from ocr_platform_spark import multimodal
+
+    if multimodal._pdfium is not None:
+        pytest.skip("pypdfium2 present: fast path covers this")
+    src = _rng(9).integers(0, 256, (50, 100, 3), dtype=np.uint8)
+    kind, pages = multimodal.decode_real_media(
+        scanned_pdf([src], ["0 0 48 24"]))
+    assert kind == "pdf"
+    assert len(pages) == 1
+    np.testing.assert_array_equal(pages[0], src)

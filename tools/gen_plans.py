@@ -135,16 +135,25 @@ consume the decode output; previously each re-ran the payload join + decode).
 ## Round 4: broadcast hint guarded by Catalyst stats (ADVICE r3 #1)
 
 The pinned spans-side broadcast above is now the bounded-input branch of an
-auto mode: `decode_pages(broadcast_spans=None)` pins the hint only while the
-*documents* relation's optimized-plan size estimate is under
-`SPAN_BROADCAST_STATS_CAP` (32 GiB — the build side is just the 3 narrow ref
-columns, so that keeps it far below Spark's 8 GB broadcast hard limit). Past
-the cap — or whenever stats are unknown for the *input* relation — the hint
+auto mode: `decode_pages(broadcast_spans=None)` decides from the optimized
+plan's LEAF relations (the only Catalyst estimates that still mean bytes —
+the root estimate inflates a join to the product of its children and scales
+through projections). A leaf reporting the `spark.sql.defaultSizeInBytes`
+sentinel (RDD-backed / `localCheckpoint`-ed scans) means UNKNOWN, i.e.
+driver-materialized and bounded by construction — the pin is kept, because
+the flagship path's checkpointed exploded frame carries no stats while a
+genuinely 100 TB corpus arrives as a parquet/Iceberg scan whose leaf stats
+ARE known file bytes. Otherwise the hint is pinned iff the summed known
+leaf bytes fit `SPAN_BROADCAST_STATS_CAP` (32 GiB of *input file* bytes —
+the build side is just the 3 narrow ref columns, far below Spark's 8 GB
+broadcast hard limit); past the cap, or on any JVM/py4j failure, the hint
 is refused and AQE picks the strategy from runtime sizes, so a whole-corpus
 run at the 10^12-doc posture degrades gracefully instead of hard-failing in
 the driver. The pre-flight reads Catalyst statistics only (no job). Contract
 pinned by `test_broadcast_auto_pins_bounded_input` /
-`test_broadcast_auto_refuses_unbounded_input`.
+`test_broadcast_auto_keeps_pin_for_unknown_stats` /
+`test_broadcast_auto_join_root_not_product_inflated` /
+`test_broadcast_auto_refuses_known_large_input`.
 
 ## Round 4: the four r2->r3 bench regressions adjudicated (VERDICT r3 #1)
 
