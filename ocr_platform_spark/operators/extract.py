@@ -49,6 +49,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -112,6 +113,19 @@ def _ocr_page(doc_id: str, offset: int, ref: str, kind: str,
     page = formats.loads_page(desc)
     unit_scale = raster.PDF_UNIT_SCALE if kind == "pdf" else 1.0
     img = raster.render_page(page, unit_scale)
+    ocr_rendered_page(doc_id, offset, ref, page_index, img, out)
+
+
+def ocr_rendered_page(doc_id: str, offset: int, ref: str,
+                      page_index: int, img: np.ndarray,
+                      out: dict[str, list]) -> None:
+    """Detect + recognize one already-rendered grayscale page raster.
+
+    The OCR core shared by the synthetic descriptor path above and the
+    real-codec bucket path (:mod:`..operators.extract_real`), so the two
+    pipelines cannot drift: identical detect-on-raw-page, PrepView crop
+    scaling, strip recognition, unicode strip, length-align truncation.
+    """
     h_orig, w_orig = img.shape[:2]
     # detect phase: on the raw rendered page (run_job does NOT preprocess
     # before detect — ocr_tasks.py:110-111)

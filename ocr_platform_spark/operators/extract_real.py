@@ -1,0 +1,262 @@
+"""Distributed OCR over REAL-codec media (scanned PDF / PNG / baseline
+JPEG) — the end-to-end path a user of the reference actually runs
+(``apps/worker/app/tasks/ocr_tasks.py:34-55`` decodes uploaded
+PDF/image bytes with fitz/PIL before detect+recognize).
+
+The synthetic flagship (:func:`..operators.extract.extract_documents`)
+exploits that SPDF1/SIMG1 pages are *parametric descriptors*: the page
+explode ships ~200-byte JSON rows, so pixels never cross a shuffle.
+Real media has no descriptor — the OCR task needs the payload bytes —
+so this pipeline uses a different, explicitly skew-bounded shape:
+
+1. **probe** (``mapInPandas`` over spans⋈payloads): header-only page
+   count (:func:`pdfcodec.validate_scanned` — xref walk + content-stream
+   interpretation, image samples never inflated; images are 1 page) and
+   explode into page *buckets* of ``bucket_pages`` pages. Each bucket
+   row carries the payload once. Unsupported/corrupt payloads (vector
+   PDFs, truncated files, synthetic containers) quarantine HERE as
+   ``media_kind=error`` rows — before any payload is duplicated.
+2. **repartition** on ``(doc_id, offset, bucket_index)`` — the skew fix:
+   a 2,000-page scanned PDF becomes ⌈2000/K⌉ independent tasks instead
+   of one straggler. The trade-off vs the synthetic path is explicit:
+   the payload crosses this shuffle once *per bucket* (amplification
+   ⌈pages/K⌉); larger ``bucket_pages`` trades parallelism for bytes.
+   ``bucket_pages=None`` disables bucketing (one task per media, zero
+   duplication) for corpora known to have bounded page counts.
+3. **OCR** (``mapInPandas``): decode ONLY the bucket's pages
+   (``pdfcodec.decode_pdf(page_indices=...)`` inflates just those
+   pages' streams), grayscale with PIL's exact ``convert("L")`` integer
+   luma, then the *shared* OCR core
+   (:func:`..operators.extract.ocr_rendered_page`) — detect, PrepView
+   crops, strip recognition, unicode strip — so the real and synthetic
+   paths cannot drift.
+4. **assemble**: the same sentinel-based
+   :func:`..operators.extract.assemble_spans` re-emits each document's
+   interleaved span array.
+
+Equality contract (pinned in tests/test_extract_real.py): a corpus whose
+synthetic media are re-encoded as real PNG files / scanned PDFs at
+identity scale extracts EXACTLY the same spans through this pipeline as
+the synthetic corpus does through ``extract_documents``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import formats, jpegcodec, pdfcodec, pngcodec
+from ..schemas import BLOCK
+from .extract import (
+    MEDIA_KIND_ERROR,
+    _span_refs_fit_broadcast,
+    assemble_spans,
+    exploded_spans,
+    ocr_rendered_page,
+)
+
+#: pages per OCR task. ⌈pages/K⌉ payload copies cross the bucket shuffle;
+#: K pages of raster work bound each task's CPU time.
+DEFAULT_BUCKET_PAGES = 8
+
+REAL_BUCKET = (
+    "doc_id string, offset int, media_ref string, media_kind string, "
+    "bucket_index int, page_lo int, page_hi int, error string, data binary"
+)
+
+
+def _probe(raw: bytes) -> tuple[str, int]:
+    """Header-only ``(kind, n_pages)``; raises ValueError on anything the
+    OCR stage could not decode (the full scanned-subset pre-flight)."""
+    kind = formats.sniff_kind(raw)
+    if kind in ("spdf", "simg"):
+        raise ValueError(
+            "synthetic container: use extract_documents (descriptor path)"
+        )
+    if kind == "pdf":
+        return "pdf", pdfcodec.validate_scanned(raw)
+    if kind in ("png", "jpeg"):
+        return "image", 1
+    raise ValueError(f"unknown media magic {raw[:5]!r}")
+
+
+def _bucket_batches(bucket_pages: int | None):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "offset", "media_ref", "media_kind",
+                "bucket_index", "page_lo", "page_hi", "error", "data"]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, offset, ref, data in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["data"]
+            ):
+                raw = bytes(data)
+                try:
+                    kind, n_pages = _probe(raw)
+                except Exception as exc:
+                    # quarantine BEFORE the payload is duplicated: one
+                    # narrow error row, no data rides along
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(offset)
+                    out["media_ref"].append(ref)
+                    out["media_kind"].append(MEDIA_KIND_ERROR)
+                    out["bucket_index"].append(-1)
+                    out["page_lo"].append(-1)
+                    out["page_hi"].append(-1)
+                    out["error"].append(str(exc)[:200])
+                    out["data"].append(None)
+                    continue
+                k = bucket_pages or max(1, n_pages)
+                for b in range(0, max(1, (n_pages + k - 1) // k)):
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(offset)
+                    out["media_ref"].append(ref)
+                    out["media_kind"].append(kind)
+                    out["bucket_index"].append(b)
+                    out["page_lo"].append(b * k)
+                    out["page_hi"].append(min(n_pages, (b + 1) * k))
+                    out["error"].append(None)
+                    out["data"].append(raw)
+            res = pd.DataFrame(out)
+            for c in ("offset", "bucket_index", "page_lo", "page_hi"):
+                res[c] = res[c].astype("int32")
+            yield res
+
+    return fn
+
+
+def _to_gray(rgb: np.ndarray) -> np.ndarray:
+    """PIL ``convert("L")`` exact integer luma (ImagingConvert.c L24:
+    ``(R*19595 + G*38470 + B*7471) >> 16``) — for gray-content images
+    (equal channels) this is the identity, so re-encoded synthetic pages
+    survive the RGB round-trip bit-exactly."""
+    r = rgb[:, :, 0].astype(np.uint32)
+    g = rgb[:, :, 1].astype(np.uint32)
+    b = rgb[:, :, 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(np.uint8)
+
+
+def _ocr_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in BLOCK.fields}
+        for doc_id, offset, ref, kind, lo, hi, data in zip(
+            pdf["doc_id"], pdf["offset"], pdf["media_ref"],
+            pdf["media_kind"], pdf["page_lo"], pdf["page_hi"], pdf["data"]
+        ):
+            if kind == MEDIA_KIND_ERROR:
+                continue
+            raw = bytes(data)
+            try:
+                if kind == "pdf":
+                    pages = pdfcodec.decode_pdf(
+                        raw, page_indices=list(range(int(lo), int(hi)))
+                    )
+                elif formats.sniff_kind(raw) == "png":
+                    pages = [pngcodec.decode_png(raw)]
+                else:
+                    pages = [jpegcodec.decode_jpeg(raw)]
+            except Exception:
+                # residual corruption past the probe (e.g. truncated
+                # sample data behind a valid xref): degrade to zero OCR
+                # blocks for this bucket — the empty-page-passthrough
+                # contract — rather than failing the job. The probe
+                # already caught everything structurally detectable.
+                continue
+            for i, page in enumerate(pages):
+                ocr_rendered_page(
+                    doc_id, int(offset), ref, int(lo) + i,
+                    _to_gray(page), out
+                )
+        res = pd.DataFrame(out)
+        for c in ("offset", "page_index", "block_index",
+                  "x1", "y1", "x2", "y2", "page_width", "page_height"):
+            res[c] = res[c].astype("int32")
+        res["conf"] = res["conf"].astype("float64")
+        yield res
+
+
+def real_page_buckets(
+    documents: DataFrame,
+    media: DataFrame,
+    bucket_pages: int | None = DEFAULT_BUCKET_PAGES,
+    broadcast_spans: bool | None = None,
+) -> DataFrame:
+    """Stage 1: spans ⋈ payloads -> validated page-bucket rows.
+
+    The join shape mirrors :func:`..operators.extract.decode_pages` (the
+    narrow span-ref side broadcasts under the same leaf-stats auto mode;
+    payload bytes never move for the join), and a missing-payload
+    anti-join surfaces dangling ``media_ref``s as quarantine rows.
+    """
+    spans = exploded_spans(documents)
+    if broadcast_spans is None:
+        broadcast_spans = _span_refs_fit_broadcast(documents)
+    span_refs = (
+        spans.filter(F.col("kind") != "text")
+        .select("doc_id", "offset", "media_ref")
+    )
+    build = F.broadcast(span_refs) if broadcast_spans else span_refs
+    media_spans = build.join(media.select("media_ref", "data"), "media_ref")
+    buckets = media_spans.mapInPandas(
+        _bucket_batches(bucket_pages), schema=REAL_BUCKET
+    )
+    missing = span_refs.join(
+        media.select("media_ref"), "media_ref", "left_anti"
+    ).select(
+        "doc_id", "offset", "media_ref",
+        F.lit(MEDIA_KIND_ERROR).alias("media_kind"),
+        F.lit(-1).cast("int").alias("bucket_index"),
+        F.lit(-1).cast("int").alias("page_lo"),
+        F.lit(-1).cast("int").alias("page_hi"),
+        F.lit("missing media payload").alias("error"),
+        F.lit(None).cast("binary").alias("data"),
+    )
+    return buckets.unionByName(missing)
+
+
+def real_media_errors(buckets: DataFrame) -> DataFrame:
+    """Quarantine table for the real-codec path (probe-time failures +
+    missing payloads); same triage contract as ``media_errors``."""
+    return buckets.filter(F.col("media_kind") == MEDIA_KIND_ERROR).select(
+        "doc_id", "offset", "media_ref", "error"
+    )
+
+
+def ocr_real_blocks(
+    buckets: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Stage 2: bucket rows -> OCR block rows, behind the explicit
+    bucket-key repartition (see module docstring item 2)."""
+    if num_partitions is None:
+        num_partitions = 3 * buckets.sparkSession.sparkContext.defaultParallelism
+    buckets = buckets.filter(F.col("media_kind") != MEDIA_KIND_ERROR)
+    buckets = buckets.repartition(
+        num_partitions, "doc_id", "offset", "bucket_index"
+    )
+    return buckets.mapInPandas(_ocr_real_batches, schema=BLOCK)
+
+
+def extract_real_documents(
+    documents: DataFrame,
+    media: DataFrame,
+    bucket_pages: int | None = DEFAULT_BUCKET_PAGES,
+    num_partitions: int | None = None,
+    broadcast_spans: bool | None = None,
+) -> DataFrame:
+    """End-to-end OCR extraction over REAL-codec media payloads.
+
+    Same input/output contract as ``extract_documents`` (documents with
+    interleaved spans + a media table -> documents_out with the
+    extracted span arrays in document-global reading order), but the
+    media column holds real scanned-PDF/PNG/JPEG bytes instead of
+    synthetic containers. See the module docstring for the plan shape
+    and its scale trade-offs.
+    """
+    buckets = real_page_buckets(
+        documents, media, bucket_pages, broadcast_spans
+    )
+    blocks = ocr_real_blocks(buckets, num_partitions)
+    return assemble_spans(documents, blocks)

@@ -489,8 +489,14 @@ def _content_images(doc: _Document, content: bytes, resources: dict):
 # --------------------------------------------------------------------------
 
 
-def _decode_image(doc: _Document, d: dict, data: bytes) -> np.ndarray:
-    """Image XObject -> HxWx3 uint8 RGB."""
+def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
+    """Validate an image XObject dictionary WITHOUT touching sample bytes.
+
+    Returns ``(filters, colorspace, bits, decode)``; raises ``ValueError``
+    for anything outside the scanned subset — shared by the renderer and
+    :func:`validate_scanned` (the cheap pre-flight the distributed-OCR
+    probe stage runs, so vector/unsupported documents quarantine *before*
+    any payload crosses the page-bucket shuffle)."""
     w = int(doc.get(d.get("Width", 0)))
     h = int(doc.get(d.get("Height", 0)))
     if w <= 0 or h <= 0:
@@ -501,11 +507,38 @@ def _decode_image(doc: _Document, d: dict, data: bytes) -> np.ndarray:
     if not isinstance(filters, list):
         filters = [filters] if filters is not None else []
     filters = [str(doc.get(f)) for f in filters]
+    cs = doc.get(d.get("ColorSpace"))
+    cs = str(doc.get(cs)) if not isinstance(cs, list) else str(cs)
+    bpc = int(doc.get(d.get("BitsPerComponent", 8)))
+    decode = doc.get(d.get("Decode"))
     if "DCTDecode" in filters:
         if filters[-1] != "DCTDecode" or len(filters) != 1:
             raise ValueError("DCTDecode must be the sole image filter")
+        return filters, cs, bpc, decode
+    if filters and filters != ["FlateDecode"]:
+        raise ValueError(f"unsupported image filter chain {filters}")
+    supported = (
+        (cs == "DeviceRGB" and bpc == 8 and
+         decode in (None, [0, 1, 0, 1, 0, 1])) or
+        (cs == "DeviceGray" and bpc == 8 and decode in (None, [0, 1])) or
+        (cs == "DeviceGray" and bpc == 1 and
+         decode in (None, [0, 1], [1, 0]))
+    )
+    if not supported:
+        raise ValueError(
+            f"unsupported image colorspace/depth/decode {cs}/{bpc}/{decode} "
+            "(DeviceRGB-8, DeviceGray-8, DeviceGray-1 only)"
+        )
+    return filters, cs, bpc, decode
+
+
+def _decode_image(doc: _Document, d: dict, data: bytes) -> np.ndarray:
+    """Image XObject -> HxWx3 uint8 RGB."""
+    filters, cs, bpc, decode = _image_plan(doc, d)
+    w = int(doc.get(d.get("Width", 0)))
+    h = int(doc.get(d.get("Height", 0)))
+    if filters and filters[-1] == "DCTDecode":
         return jpegcodec.decode_jpeg(data)  # convert("RGB") parity inside
-    # remaining: raw or FlateDecode'd samples
     if filters == ["FlateDecode"]:
         try:
             data = zlib.decompress(data)
@@ -513,12 +546,6 @@ def _decode_image(doc: _Document, d: dict, data: bytes) -> np.ndarray:
             raise ValueError(f"bad FlateDecode image stream: {e}") from e
         parms = doc.get(d.get("DecodeParms"))
         data = doc._unpredict(parms, data)
-    elif filters:
-        raise ValueError(f"unsupported image filter chain {filters}")
-    cs = doc.get(d.get("ColorSpace"))
-    cs = str(doc.get(cs)) if not isinstance(cs, list) else str(cs)
-    bpc = int(doc.get(d.get("BitsPerComponent", 8)))
-    decode = doc.get(d.get("Decode"))
     if cs == "DeviceRGB" and bpc == 8:
         if decode not in (None, [0, 1, 0, 1, 0, 1]):
             raise ValueError("non-default /Decode for DeviceRGB unsupported")
@@ -573,7 +600,57 @@ def page_count(raw: bytes) -> int:
     return len(_pages(_Document(raw)))
 
 
-def decode_pdf(raw: bytes, dpi: int = RENDER_DPI) -> list[np.ndarray]:
+def _page_content(doc: _Document, node: dict) -> bytes:
+    contents = node.get("Contents")
+    resolved = doc.get(contents) if isinstance(contents, _Ref) else contents
+    if contents is None:
+        return b""
+    if isinstance(resolved, list):
+        # /Contents may be an array (or a ref to one) of stream refs
+        return b"\n".join(doc.get_stream(r)[1] for r in resolved)
+    return doc.get_stream(contents)[1]
+
+
+def validate_scanned(raw: bytes) -> int:
+    """Full scanned-subset pre-flight WITHOUT inflating image samples.
+
+    Walks the page tree, interprets every content stream (tiny for
+    scanned pages) and validates every referenced image XObject's
+    dictionary — raising the same ``ValueError``s rendering would — but
+    never decompresses/decodes the sample bytes themselves. Returns the
+    page count. This is what the distributed-OCR probe stage calls: a
+    vector or unsupported document quarantines at probe time, before its
+    payload is duplicated across page buckets and shuffled.
+    """
+    if not raw.startswith(b"%PDF-"):
+        raise ValueError("not a PDF: bad header")
+    doc = _Document(raw)
+    pages = _pages(doc)
+    for node, attrs in pages:
+        mb = doc.get(attrs.get("MediaBox", None) or node.get("MediaBox"))
+        if not isinstance(mb, list) or len(mb) != 4:
+            raise ValueError("page has no usable /MediaBox")
+        if int(doc.get(attrs.get("Rotate", 0)) or 0) % 360:
+            raise ValueError("rotated pages unsupported (/Rotate != 0)")
+        resources = doc.get(attrs.get("Resources") or node.get("Resources")
+                            or {})
+        for ctm, xd, _xbytes in _content_images(
+            doc, _page_content(doc, node), resources
+        ):
+            if abs(ctm[1]) > 1e-9 or abs(ctm[2]) > 1e-9:
+                raise ValueError(
+                    "rotated/sheared image placement unsupported "
+                    "(axis-aligned scanned pages only)"
+                )
+            _image_plan(doc, xd)
+    return len(pages)
+
+
+def decode_pdf(
+    raw: bytes,
+    dpi: int = RENDER_DPI,
+    page_indices: "list[int] | None" = None,
+) -> list[np.ndarray]:
     """Scanned-PDF bytes -> list of HxWx3 uint8 RGB page rasters at ``dpi``.
 
     Geometry parity with the reference's ``page.get_pixmap(dpi=150)``
@@ -581,13 +658,26 @@ def decode_pdf(raw: bytes, dpi: int = RENDER_DPI) -> list[np.ndarray]:
     background, images resampled into their placement rectangles with the
     engine's deterministic area kernel. Unsupported constructs raise
     ``ValueError`` (see module docstring for the exact subset).
+
+    ``page_indices`` renders only the selected 0-based pages (in the given
+    order) — the distributed-OCR bucket path decodes a page *range* per
+    task without rasterizing the whole document (xref means only the
+    selected pages' streams are ever inflated).
     """
     if not raw.startswith(b"%PDF-"):
         raise ValueError("not a PDF: bad header")
     doc = _Document(raw)
     scale = dpi / _POINT_DPI
+    page_nodes = _pages(doc)
+    if page_indices is not None:
+        try:
+            page_nodes = [page_nodes[i] for i in page_indices]
+        except IndexError as e:
+            raise ValueError(
+                f"page index out of range (document has {len(page_nodes)})"
+            ) from e
     pages = []
-    for node, attrs in _pages(doc):
+    for node, attrs in page_nodes:
         mb = [float(doc.get(v)) for v in doc.get(attrs.get("MediaBox", None) or
                                                  node.get("MediaBox", None) or [])]
         if len(mb) != 4:
@@ -600,16 +690,8 @@ def decode_pdf(raw: bytes, dpi: int = RENDER_DPI) -> list[np.ndarray]:
         W = max(1, int(round(pw * scale)))
         H = max(1, int(round(ph * scale)))
         canvas = np.full((H, W, 3), 255, np.uint8)
-        contents = node.get("Contents")
         resources = doc.get(attrs.get("Resources") or node.get("Resources") or {})
-        resolved = doc.get(contents) if isinstance(contents, _Ref) else contents
-        if contents is None:
-            content = b""
-        elif isinstance(resolved, list):
-            # /Contents may be an array (or a ref to one) of stream refs
-            content = b"\n".join(doc.get_stream(r)[1] for r in resolved)
-        else:
-            content = doc.get_stream(contents)[1]
+        content = _page_content(doc, node)
         for ctm, xd, xbytes in _content_images(doc, content, resources):
             a, b, c, dctm, e, f = ctm
             if abs(b) > 1e-9 or abs(c) > 1e-9:

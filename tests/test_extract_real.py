@@ -1,0 +1,204 @@
+"""extract_real_documents: distributed OCR over REAL-codec media, pinned
+by SPAN-SEQUENCE EQUALITY against the synthetic flagship.
+
+The construction: take the seeded synthetic corpus, render every media
+page to pixels exactly as the synthetic OCR stage would
+(``raster.render_page`` at the container's unit scale), and re-encode
+those pixels as real files — SIMG1 -> real PNG, SPDF1 -> a scanned PDF
+whose pages are gray Flate image XObjects at identity scale (MediaBox =
+px * 72/150, so the 150-DPI render returns the pixels bit-exactly).
+Running ``extract_real_documents`` over the re-encoded corpus must then
+produce EXACTLY the spans ``extract_documents`` produces over the
+original — same detect boxes, same recognized text, same reading order,
+same interleaving with the text spans. That single assertion covers the
+whole real path: pdfcodec/pngcodec decode, RGB->L luma, bucket explode,
+and the shared OCR core.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_platform_spark import (
+    corpus,
+    formats,
+    jpegcodec,
+    pngcodec,
+    raster,
+    schemas,
+)
+from ocr_platform_spark.operators import extract, extract_real
+from tests.test_pdfcodec import build_pdf, stream_obj
+
+import zlib
+
+
+def _render_pages(payload: bytes) -> tuple[str, list[np.ndarray]]:
+    kind, pages = formats.decode_media(payload)
+    scale = raster.PDF_UNIT_SCALE if kind == "pdf" else 1.0
+    return kind, [raster.render_page(p, scale) for p in pages]
+
+
+def gray_scanned_pdf(pages_gray: list[np.ndarray]) -> bytes:
+    """Real classic-xref PDF whose page images are the given gray rasters
+    at identity scale for a 150-DPI render."""
+    objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    kids, nxt = [], 3
+    for img in pages_gray:
+        h, w = img.shape[:2]
+        mw, mh = w * 72 / 150, h * 72 / 150
+        pg, ct, im = nxt, nxt + 1, nxt + 2
+        nxt += 3
+        kids.append(f"{pg} 0 R")
+        objs[pg] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {mw:.8f} {mh:.8f}] "
+            f"/Resources << /XObject << /Im0 {im} 0 R >> >> "
+            f"/Contents {ct} 0 R >>"
+        ).encode()
+        objs[ct] = stream_obj(
+            "", f"q {mw:.8f} 0 0 {mh:.8f} 0 0 cm /Im0 Do Q".encode()
+        )
+        objs[im] = stream_obj(
+            f"/Subtype /Image /Width {w} /Height {h} /ColorSpace /DeviceGray "
+            f"/BitsPerComponent 8 /Filter /FlateDecode",
+            zlib.compress(img.tobytes()),
+        )
+    objs[2] = (f"<< /Type /Pages /Kids [{' '.join(kids)}] "
+               f"/Count {len(kids)} >>").encode()
+    return build_pdf(objs)
+
+
+def reencode_real(payload: bytes) -> bytes:
+    """Synthetic container bytes -> equivalent real-codec bytes."""
+    kind, pages = _render_pages(payload)
+    if kind == "image":
+        return pngcodec.encode_png(np.stack([pages[0]] * 3, axis=-1))
+    return gray_scanned_pdf(pages)
+
+
+@pytest.fixture(scope="module")
+def real_corpus(spark):
+    docs, media = corpus.generate(24, seed=909, max_pages=6)
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    synth = spark.createDataFrame(
+        [(ref, bytearray(m["data"])) for ref, m in media.items()],
+        "media_ref string, data binary",
+    )
+    real = spark.createDataFrame(
+        [(ref, bytearray(reencode_real(m["data"])))
+         for ref, m in media.items()],
+        "media_ref string, data binary",
+    )
+    return docs_df, synth, real
+
+
+def _spans_by_doc(df):
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans"]
+        ]
+        for r in df.collect()
+    }
+
+
+def test_real_pipeline_equals_synthetic_flagship(real_corpus):
+    docs_df, synth, real = real_corpus
+    expected = _spans_by_doc(extract.extract_documents(docs_df, synth))
+    got = _spans_by_doc(
+        extract_real.extract_real_documents(docs_df, real, bucket_pages=2)
+    )
+    assert set(got) == set(expected)
+    for doc_id in expected:
+        assert got[doc_id] == expected[doc_id], doc_id
+
+
+def test_bucket_size_invariance(real_corpus):
+    """The bucket explode is pure parallelism: K must never change output."""
+    docs_df, _synth, real = real_corpus
+    a = _spans_by_doc(
+        extract_real.extract_real_documents(docs_df, real, bucket_pages=None)
+    )
+    b = _spans_by_doc(
+        extract_real.extract_real_documents(docs_df, real, bucket_pages=1)
+    )
+    assert a == b
+
+
+def test_bucket_rows_shape(real_corpus, spark):
+    docs_df, _synth, real = real_corpus
+    rows = extract_real.real_page_buckets(
+        docs_df, real, bucket_pages=2
+    ).collect()
+    ok = [r for r in rows if r["media_kind"] != "error"]
+    assert ok and all(r["page_hi"] - r["page_lo"] <= 2 for r in ok)
+    # multi-page PDFs split into multiple buckets covering [0, n) disjointly
+    by_media = {}
+    for r in ok:
+        by_media.setdefault((r["doc_id"], r["offset"]), []).append(
+            (r["page_lo"], r["page_hi"]))
+    multi = [sorted(v) for v in by_media.values() if len(v) > 1]
+    assert multi, "corpus should contain a >2-page PDF"
+    for spans_ in multi:
+        assert spans_[0][0] == 0
+        assert all(a[1] == b[0] for a, b in zip(spans_, spans_[1:]))
+
+
+def test_synthetic_payloads_quarantine_not_crash(real_corpus):
+    """Feeding SPDF1/SIMG1 bytes to the real pipeline quarantines every
+    media span (probe-time ValueError) and still re-emits the text spans."""
+    docs_df, synth, _real = real_corpus
+    buckets = extract_real.real_page_buckets(docs_df, synth)
+    errors = extract_real.real_media_errors(buckets).collect()
+    assert errors and all("synthetic container" in r["error"] for r in errors)
+    out = _spans_by_doc(extract_real.extract_real_documents(docs_df, synth))
+    # media spans vanish (no OCR possible) but text spans survive in order
+    docs = {r["doc_id"]: r for r in docs_df.collect()}
+    for doc_id, got in out.items():
+        expected_texts = [
+            s["text"].strip() for s in docs[doc_id]["spans"]
+            if s["kind"] == "text"
+        ]
+        assert [t for (_k, t, _m, _o) in got] == expected_texts
+
+
+def test_missing_payload_quarantines(real_corpus, spark):
+    docs_df, _synth, real = real_corpus
+    half = real.limit(real.count() // 2)
+    buckets = extract_real.real_page_buckets(docs_df, half)
+    errs = extract_real.real_media_errors(buckets).collect()
+    assert any(r["error"] == "missing media payload" for r in errs)
+
+
+def test_jpeg_media_roundtrip_smoke(spark):
+    """A JPEG-encoded page goes through the real pipeline end-to-end.
+
+    DCT is lossy, so this pins structure (the doc re-emits with OCR
+    spans carrying the media_ref) and — with the near-lossless all-ones
+    quantizer — the recognized text itself."""
+    docs, media = corpus.generate(12, seed=31, max_pages=3)
+    doc = next(
+        d for d in docs
+        if any(s["kind"] == "image" for s in d["spans"])
+    )
+    refs = {s["media_ref"] for s in doc["spans"] if s["media_ref"]}
+    docs_df = spark.createDataFrame([doc], schema=schemas.DOCUMENTS)
+    synth = spark.createDataFrame(
+        [(ref, bytearray(media[ref]["data"])) for ref in refs],
+        "media_ref string, data binary",
+    )
+    jpeg_rows = []
+    for ref in refs:
+        kind, pages = _render_pages(media[ref]["data"])
+        if kind == "image":
+            payload = jpegcodec.encode_jpeg(
+                np.stack([pages[0]] * 3, axis=-1), subsampling="444"
+            )
+        else:
+            payload = gray_scanned_pdf(pages)
+        jpeg_rows.append((ref, bytearray(payload)))
+    real = spark.createDataFrame(jpeg_rows, "media_ref string, data binary")
+    expected = _spans_by_doc(extract.extract_documents(docs_df, synth))
+    got = _spans_by_doc(extract_real.extract_real_documents(docs_df, real))
+    assert got == expected
