@@ -81,6 +81,25 @@ sections.append(("Extraction pipeline (end-to-end)",
   " checkpointed exploded spans.",
   plan_of(extract.extract_documents(docs_df, media_df))))
 
+# 5b. real-codec extraction: the page-bucket shape
+from ocr_platform_spark.operators import extract_real
+sys.path.insert(0, "/root/repo/tests")
+from test_pdfcodec import build_pdf  # noqa: F401 (import path for helper)
+from test_extract_real import reencode_real
+real_df = spark.createDataFrame(
+    [(k, bytearray(reencode_real(v["data"]))) for k, v in sorted(media.items())],
+    "media_ref string, data binary")
+sections.append(("Real-codec extraction (extract_real_documents)",
+  "The page-BUCKET shape for media without parametric descriptors"
+  " (operators/extract_real.py, docs/SCALE.md): broadcast span-ref join,"
+  " probe+bucket-explode MapInPandas (payload crosses the one Exchange"
+  " once per ceil(pages/K) bucket — the documented amplification"
+  " trade-off), hash repartition on (doc_id, offset, bucket_index) so a"
+  " 2,000-page scanned PDF is ~250 tasks instead of one straggler, bucket"
+  " OCR decoding only its own page streams, then the same sentinel"
+  " assemble tail as the flagship.",
+  plan_of(extract_real.extract_real_documents(docs_df, real_df))))
+
 # static (non-regenerated) evidence sections, preserved across regens
 STATIC_TAIL = """
 ## Round 3: extract_documents single-scan rewrite (A/B evidence)
