@@ -1,0 +1,118 @@
+"""Real-codec extraction throughput exhibit: synthetic flagship vs
+extract_real_documents over the SAME corpus re-encoded as real media
+(PNG files + scanned PDFs), plus a bucket_pages sweep.
+
+What this pins: the page-bucket pipeline is not a correctness-only toy —
+its throughput is within small-integer range of the descriptor pipeline
+even though every page must be inflated from real container bytes in
+Python (stdlib zlib/numpy codecs; a PIL/pdfium fast path would slot into
+the same plan). Run:
+
+    python BENCH/real_codec_bench.py [n_docs]
+
+Writes one JSON line + appends a row to BENCH/REAL_CODEC.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from ocr_platform_spark import corpus as corpus_mod
+from ocr_platform_spark.operators import extract, extract_real
+from ocr_platform_spark.session import get_spark
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+MAX_PAGES = 200
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".real_corpus", f"d{N_DOCS}_p{MAX_PAGES}")
+
+
+def _ensure_corpus() -> str:
+    """Synthetic corpus + its real-codec re-encoding, cached as parquet."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from test_extract_real import reencode_real
+
+    if os.path.exists(os.path.join(CACHE, "media_real.parquet")):
+        return CACHE
+    corpus_mod.write_parquet(CACHE, N_DOCS, max_pages=MAX_PAGES, n_files=32)
+    _docs, media = corpus_mod.generate(N_DOCS, max_pages=MAX_PAGES)
+    rows = sorted(media.items())
+    t0 = time.time()
+    refs, payloads = [], []
+    for ref, m in rows:
+        refs.append(ref)
+        payloads.append(reencode_real(m["data"]))
+    os.makedirs(os.path.join(CACHE, "media_real.parquet"), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(
+            {"media_ref": refs, "data": payloads})),
+        os.path.join(CACHE, "media_real.parquet", "part-0.parquet"),
+    )
+    print(f"re-encoded {len(rows)} media in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    return CACHE
+
+
+def _run_noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    d = _ensure_corpus()
+    spark = get_spark("real-codec-bench")
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    media_synth = spark.read.parquet(f"{d}/media.parquet")
+    media_real = spark.read.parquet(f"{d}/media_real.parquet")
+    n_pages = media_synth.groupBy().sum("page_count").collect()[0][0] or 0
+
+    # warm-up (JVM + codegen), excluded
+    _run_noop(extract.extract_documents(docs.limit(8), media_synth))
+
+    def best2(make):
+        return min(_run_noop(make()) for _ in range(2))
+
+    results = {
+        "synthetic_flagship": best2(
+            lambda: extract.extract_documents(docs, media_synth)),
+        "real_bucket8": best2(
+            lambda: extract_real.extract_real_documents(
+                docs, media_real, bucket_pages=8)),
+        "real_bucket32": best2(
+            lambda: extract_real.extract_real_documents(
+                docs, media_real, bucket_pages=32)),
+        "real_unbucketed": best2(
+            lambda: extract_real.extract_real_documents(
+                docs, media_real, bucket_pages=None)),
+    }
+    out = {
+        "n_docs": N_DOCS,
+        "n_pages": int(n_pages),
+        "sec": {k: round(v, 3) for k, v in results.items()},
+        "pages_per_sec": {k: round(n_pages / v, 1)
+                          for k, v in results.items()},
+        "real_vs_synthetic_ratio": round(
+            results["real_bucket8"] / results["synthetic_flagship"], 3),
+    }
+    print(json.dumps(out))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "REAL_CODEC.json")
+    hist = []
+    if os.path.exists(path):
+        hist = json.load(open(path))
+    hist.append(out)
+    json.dump(hist, open(path, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -148,8 +148,18 @@ def run_extract_job(
     num_partitions: int | None = None,
     sink=None,
     broadcast_spans: bool = True,
+    pipeline=None,
 ) -> int:
     """Resumable extraction run. Returns the number of chunks executed.
+
+    ``pipeline``: the per-chunk extraction callable
+    ``(documents, media, num_partitions=…, broadcast_spans=…) ->
+    documents_out`` — defaults to :func:`extract_documents`; pass
+    :func:`..operators.extract_real.extract_real_documents` to run the
+    real-codec page-bucket pipeline under the same lineage
+    checkpointing, resume anti-join, and idempotent chunk commits (both
+    pipelines share the sentinel contract assemble_spans provides, which
+    the empty-bucket derivation below relies on).
 
     ``broadcast_spans`` is forwarded to :func:`extract_documents`; the
     chunked path defaults it to True (not the stats-guarded auto mode)
@@ -201,7 +211,7 @@ def run_extract_job(
         subset = docs_pid.filter(F.col("partition_id").isin(chunk)).drop(
             "partition_id"
         )
-        out = extract_documents(
+        out = (pipeline or extract_documents)(
             subset, media, num_partitions=num_partitions,
             broadcast_spans=broadcast_spans,
         )

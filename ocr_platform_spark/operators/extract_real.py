@@ -44,7 +44,6 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -128,17 +127,6 @@ def _bucket_batches(bucket_pages: int | None):
     return fn
 
 
-def _to_gray(rgb: np.ndarray) -> np.ndarray:
-    """PIL ``convert("L")`` exact integer luma (ImagingConvert.c L24:
-    ``(R*19595 + G*38470 + B*7471) >> 16``) — for gray-content images
-    (equal channels) this is the identity, so re-encoded synthetic pages
-    survive the RGB round-trip bit-exactly."""
-    r = rgb[:, :, 0].astype(np.uint32)
-    g = rgb[:, :, 1].astype(np.uint32)
-    b = rgb[:, :, 2].astype(np.uint32)
-    return ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(np.uint8)
-
-
 def _ocr_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {f.name: [] for f in BLOCK.fields}
@@ -150,14 +138,19 @@ def _ocr_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 continue
             raw = bytes(data)
             try:
+                # mode="L": the OCR kernels are grayscale — native-gray
+                # PDF pages stay 2-D end-to-end (no RGB round trip),
+                # color content converts with PIL's exact convert("L")
+                # luma AFTER resampling (pdfcodec.rgb_to_gray)
                 if kind == "pdf":
                     pages = pdfcodec.decode_pdf(
-                        raw, page_indices=list(range(int(lo), int(hi)))
+                        raw, page_indices=list(range(int(lo), int(hi))),
+                        mode="L",
                     )
                 elif formats.sniff_kind(raw) == "png":
-                    pages = [pngcodec.decode_png(raw)]
+                    pages = [pdfcodec.rgb_to_gray(pngcodec.decode_png(raw))]
                 else:
-                    pages = [jpegcodec.decode_jpeg(raw)]
+                    pages = [pdfcodec.rgb_to_gray(jpegcodec.decode_jpeg(raw))]
             except Exception:
                 # residual corruption past the probe (e.g. truncated
                 # sample data behind a valid xref): degrade to zero OCR
@@ -167,8 +160,7 @@ def _ocr_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 continue
             for i, page in enumerate(pages):
                 ocr_rendered_page(
-                    doc_id, int(offset), ref, int(lo) + i,
-                    _to_gray(page), out
+                    doc_id, int(offset), ref, int(lo) + i, page, out
                 )
         res = pd.DataFrame(out)
         for c in ("offset", "page_index", "block_index",

@@ -532,8 +532,30 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
     return filters, cs, bpc, decode
 
 
-def _decode_image(doc: _Document, d: dict, data: bytes) -> np.ndarray:
-    """Image XObject -> HxWx3 uint8 RGB."""
+def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
+    """PIL ``convert("L")`` exact integer luma (ImagingConvert.c L24:
+    ``(R*19595 + G*38470 + B*7471) >> 16``), with an equal-channel fast
+    path: scanned-document content is overwhelmingly gray riding in RGB
+    containers, where a byte-compare + channel copy is ~5x cheaper than
+    three uint32 multiplies per pixel (and exact, since the weights sum
+    to 65536)."""
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    if np.array_equal(r, g) and np.array_equal(g, b):
+        return np.ascontiguousarray(r)
+    return ((r.astype(np.uint32) * 19595 + g.astype(np.uint32) * 38470
+             + b.astype(np.uint32) * 7471) >> 16).astype(np.uint8)
+
+
+def _decode_image(doc: _Document, d: dict, data: bytes,
+                  gray: bool = False) -> np.ndarray:
+    """Image XObject -> HxWx3 uint8 RGB (or HxW luma when ``gray``).
+
+    ``gray=True`` lets NATIVE-gray sources stay 2-D end-to-end — no
+    gray->RGB stack followed by an RGB->luma reduction (measured
+    ~25 ms/page of pure waste at scan resolution). Color sources still
+    return RGB: the caller converts AFTER resampling, so ``mode="L"`` is
+    bit-exactly ``rgb_to_gray`` of the RGB render (resample-then-luma on
+    both paths — luma-then-resample would round differently)."""
     filters, cs, bpc, decode = _image_plan(doc, d)
     w = int(doc.get(d.get("Width", 0)))
     h = int(doc.get(d.get("Height", 0)))
@@ -547,20 +569,16 @@ def _decode_image(doc: _Document, d: dict, data: bytes) -> np.ndarray:
         parms = doc.get(d.get("DecodeParms"))
         data = doc._unpredict(parms, data)
     if cs == "DeviceRGB" and bpc == 8:
-        if decode not in (None, [0, 1, 0, 1, 0, 1]):
-            raise ValueError("non-default /Decode for DeviceRGB unsupported")
         need = w * h * 3
         if len(data) < need:
             raise ValueError("truncated RGB image samples")
         return np.frombuffer(data[:need], np.uint8).reshape(h, w, 3).copy()
     if cs == "DeviceGray" and bpc == 8:
-        if decode not in (None, [0, 1]):
-            raise ValueError("non-default /Decode for 8-bit gray unsupported")
         need = w * h
         if len(data) < need:
             raise ValueError("truncated gray image samples")
         g = np.frombuffer(data[:need], np.uint8).reshape(h, w)
-        return np.stack([g] * 3, axis=-1)
+        return g.copy() if gray else np.stack([g] * 3, axis=-1)
     if cs == "DeviceGray" and bpc == 1:
         stride = (w + 7) // 8
         need = stride * h
@@ -571,19 +589,19 @@ def _decode_image(doc: _Document, d: dict, data: bytes) -> np.ndarray:
         )[:, :w]
         if decode == [1, 0]:  # scanned bitonal: 1 = black
             bits = 1 - bits
-        elif decode not in (None, [0, 1]):
-            raise ValueError("non-default /Decode for 1-bit gray unsupported")
         g = (bits * 255).astype(np.uint8)
-        return np.stack([g] * 3, axis=-1)
-    raise ValueError(
-        f"unsupported image colorspace/depth {cs}/{bpc} "
-        "(DeviceRGB-8, DeviceGray-8, DeviceGray-1 only)"
+        return g if gray else np.stack([g] * 3, axis=-1)
+    raise ValueError(  # unreachable: _image_plan validated (defense)
+        f"unsupported image colorspace/depth {cs}/{bpc}"
     )
 
 
-def _resize_rgb(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+def _resize_img(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Deterministic area resize for 2-D luma or HxWx3 RGB."""
     if img.shape[1] == tw and img.shape[0] == th:
         return img
+    if img.ndim == 2:
+        return raster.area_resize(img, tw, th)
     return np.stack(
         [raster.area_resize(img[:, :, ch], tw, th) for ch in range(3)],
         axis=-1,
@@ -650,8 +668,10 @@ def decode_pdf(
     raw: bytes,
     dpi: int = RENDER_DPI,
     page_indices: "list[int] | None" = None,
+    mode: str = "RGB",
 ) -> list[np.ndarray]:
-    """Scanned-PDF bytes -> list of HxWx3 uint8 RGB page rasters at ``dpi``.
+    """Scanned-PDF bytes -> list of uint8 page rasters at ``dpi``
+    (``mode="RGB"``: HxWx3; ``mode="L"``: HxW PIL-``convert("L")`` luma).
 
     Geometry parity with the reference's ``page.get_pixmap(dpi=150)``
     (``ocr_tasks.py:47``): canvas = ``round(MediaBox * dpi/72)``, white
@@ -663,7 +683,15 @@ def decode_pdf(
     order) — the distributed-OCR bucket path decodes a page *range* per
     task without rasterizing the whole document (xref means only the
     selected pages' streams are ever inflated).
+
+    ``mode="L"`` is not post-hoc: gray samples stay 2-D through decode,
+    resample and paste (no gray->RGB stack, no RGB canvas, no luma
+    reduction afterwards — ~25 ms/page saved at scan resolution), and is
+    exactly ``rgb_to_gray`` of the RGB render (test-pinned).
     """
+    if mode not in ("RGB", "L"):
+        raise ValueError(f"mode must be 'RGB' or 'L', got {mode!r}")
+    gray = mode == "L"
     if not raw.startswith(b"%PDF-"):
         raise ValueError("not a PDF: bad header")
     doc = _Document(raw)
@@ -689,7 +717,7 @@ def decode_pdf(
         pw, ph = x1 - x0, y1 - y0
         W = max(1, int(round(pw * scale)))
         H = max(1, int(round(ph * scale)))
-        canvas = np.full((H, W, 3), 255, np.uint8)
+        canvas = np.full((H, W) if gray else (H, W, 3), 255, np.uint8)
         resources = doc.get(attrs.get("Resources") or node.get("Resources") or {})
         content = _page_content(doc, node)
         for ctm, xd, xbytes in _content_images(doc, content, resources):
@@ -699,7 +727,7 @@ def decode_pdf(
                     "rotated/sheared image placement unsupported "
                     "(axis-aligned scanned pages only)"
                 )
-            img = _decode_image(doc, xd, xbytes)
+            img = _decode_image(doc, xd, xbytes, gray=gray)
             # unit square -> device rect (PDF y-up, raster y-down)
             dx0 = (min(e, e + a) - x0) * scale
             dx1 = (max(e, e + a) - x0) * scale
@@ -710,7 +738,11 @@ def decode_pdf(
             tw, th = px1 - px0, py1 - py0
             if tw <= 0 or th <= 0:
                 continue  # degenerate placement: nothing visible
-            img = _resize_rgb(img, tw, th)
+            img = _resize_img(img, tw, th)
+            if gray and img.ndim == 3:
+                # color source on the luma canvas: convert AFTER the
+                # resample so mode="L" == rgb_to_gray(mode="RGB") exactly
+                img = rgb_to_gray(img)
             if a < 0:
                 img = img[:, ::-1]
             if dctm < 0:

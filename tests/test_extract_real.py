@@ -171,6 +171,40 @@ def test_missing_payload_quarantines(real_corpus, spark):
     assert any(r["error"] == "missing media payload" for r in errs)
 
 
+def test_real_pipeline_resumable_through_lineage(real_corpus, spark,
+                                                 tmp_path_factory):
+    """run_extract_job(pipeline=extract_real_documents): kill after 1 of
+    4 chunks, resume, converge to the direct pipeline's exact output —
+    the real-codec path inherits the whole lineage/resume machinery."""
+    from ocr_platform_spark import lineage
+
+    docs_df, _synth, real = real_corpus
+    expected = _spans_by_doc(
+        extract_real.extract_real_documents(docs_df, real)
+    )
+    out_dir = str(tmp_path_factory.mktemp("real_resume"))
+    n1 = lineage.run_extract_job(
+        spark, docs_df, real, out_dir, "run-real",
+        num_buckets=8, chunk_buckets=2, max_chunks=1,
+        pipeline=extract_real.extract_real_documents,
+    )
+    assert n1 == 1
+    n2 = lineage.run_extract_job(
+        spark, docs_df, real, out_dir, "run-real",
+        num_buckets=8, chunk_buckets=2,
+        pipeline=extract_real.extract_real_documents,
+    )
+    assert n2 == 3
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans"]
+        ]
+        for r in lineage.read_result(spark, out_dir).collect()
+    }
+    assert got == expected
+
+
 def test_jpeg_media_roundtrip_smoke(spark):
     """A JPEG-encoded page goes through the real pipeline end-to-end.
 

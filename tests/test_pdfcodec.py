@@ -238,6 +238,63 @@ def test_incremental_update_prev_chain_newest_wins():
     np.testing.assert_array_equal(pdfcodec.decode_pdf(base)[0], old)
 
 
+def test_mode_L_exactly_rgb_to_gray_of_RGB_render():
+    """mode="L" must be bit-exactly rgb_to_gray(mode="RGB") on every
+    content class — native gray (2-D fast path), true-color RGB that gets
+    RESAMPLED (conversion must happen after the resize on both paths),
+    1-bit bitonal, and DCT."""
+    rng = _rng(21)
+    color = rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (25, 50), dtype=np.uint8)
+    bits = rng.integers(0, 2, (20, 20), dtype=np.uint8)
+    jpg = jpegcodec.encode_jpeg(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    mk = []
+    imgdefs = [
+        ("/DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode",
+         zlib.compress(color.tobytes()), 40, 30),
+        ("/DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+         zlib.compress(gray.tobytes()), 50, 25),
+        ("/DeviceGray /BitsPerComponent 1 /Decode [1 0] /Filter /FlateDecode",
+         zlib.compress(np.packbits(bits, axis=1).tobytes()), 20, 20),
+        ("/DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode", jpg, 16, 16),
+    ]
+    nxt = 3
+    for cs, data, w, h in imgdefs:
+        pg, ct, im = nxt, nxt + 1, nxt + 2
+        nxt += 3
+        mk.append(f"{pg} 0 R")
+        # MediaBox 100x60 pt -> 208x125 canvas: every image RESAMPLES
+        objs[pg] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 60] "
+            f"/Resources << /XObject << /Im0 {im} 0 R >> >> "
+            f"/Contents {ct} 0 R >>").encode()
+        objs[ct] = stream_obj("", b"q 100 0 0 60 0 0 cm /Im0 Do Q")
+        objs[im] = stream_obj(
+            f"/Subtype /Image /Width {w} /Height {h} /ColorSpace {cs}", data)
+    objs[2] = (f"<< /Type /Pages /Kids [{' '.join(mk)}] "
+               f"/Count {len(mk)} >>").encode()
+    raw = build_pdf(objs)
+    rgb_pages = pdfcodec.decode_pdf(raw)
+    l_pages = pdfcodec.decode_pdf(raw, mode="L")
+    assert all(p.ndim == 2 for p in l_pages)
+    for rgb, lum in zip(rgb_pages, l_pages):
+        np.testing.assert_array_equal(lum, pdfcodec.rgb_to_gray(rgb))
+
+
+def test_rgb_to_gray_pil_parity_formula():
+    rng = _rng(22)
+    rgb = rng.integers(0, 256, (17, 13, 3), dtype=np.uint8)
+    r, g, b = (rgb[:, :, i].astype(np.uint32) for i in range(3))
+    expect = ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(np.uint8)
+    np.testing.assert_array_equal(pdfcodec.rgb_to_gray(rgb), expect)
+    # equal-channel fast path is exact (weights sum to 65536)
+    gray = rng.integers(0, 256, (9, 9), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        pdfcodec.rgb_to_gray(np.stack([gray] * 3, axis=-1)), gray)
+
+
 # --- the ValueError contract ------------------------------------------------
 
 
