@@ -501,6 +501,8 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
     h = int(doc.get(d.get("Height", 0)))
     if w <= 0 or h <= 0:
         raise ValueError("image XObject with non-positive dimensions")
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"image XObject {w}x{h} exceeds MAX_PIXELS")
     if doc.get(d.get("ImageMask", False)):
         raise ValueError("stencil ImageMask unsupported")
     filters = doc.get(d.get("Filter"))
@@ -613,6 +615,36 @@ def _resize_img(img: np.ndarray, tw: int, th: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
+def _strict_valueerror(fn):
+    """Public-API contract (same as ``jpegcodec.decode_jpeg``): malformed
+    or adversarial input raises ``ValueError`` — the quarantine path keys
+    on it — never a low-level parser leak (a mutated byte can make the
+    object graph the wrong *shape*: a dict where a list was expected, a
+    deep [[[[… nest, a dangling key). ``MemoryError`` is deliberately NOT
+    converted — resource exhaustion must surface as itself; lying
+    dimension fields are bounded by explicit pixel caps instead."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (AttributeError, IndexError, KeyError, TypeError,
+                RecursionError, OverflowError) as e:
+            raise ValueError(
+                f"malformed PDF ({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapper
+
+
+#: canvas / image-dimension hard cap: 2^28 px (~268 MP, 800 MB RGB) — far
+#: above any 150-DPI scan, far below an allocation that stalls an executor
+#: on a lying /Width//Height/MediaBox.
+MAX_PIXELS = 1 << 28
+
+
+@_strict_valueerror
 def page_count(raw: bytes) -> int:
     """Number of pages (no rendering — xref + page-tree walk only)."""
     return len(_pages(_Document(raw)))
@@ -629,6 +661,7 @@ def _page_content(doc: _Document, node: dict) -> bytes:
     return doc.get_stream(contents)[1]
 
 
+@_strict_valueerror
 def validate_scanned(raw: bytes) -> int:
     """Full scanned-subset pre-flight WITHOUT inflating image samples.
 
@@ -664,6 +697,7 @@ def validate_scanned(raw: bytes) -> int:
     return len(pages)
 
 
+@_strict_valueerror
 def decode_pdf(
     raw: bytes,
     dpi: int = RENDER_DPI,
@@ -717,6 +751,8 @@ def decode_pdf(
         pw, ph = x1 - x0, y1 - y0
         W = max(1, int(round(pw * scale)))
         H = max(1, int(round(ph * scale)))
+        if W * H > MAX_PIXELS:
+            raise ValueError(f"page canvas {W}x{H} exceeds MAX_PIXELS")
         canvas = np.full((H, W) if gray else (H, W, 3), 255, np.uint8)
         resources = doc.get(attrs.get("Resources") or node.get("Resources") or {})
         content = _page_content(doc, node)

@@ -356,6 +356,47 @@ def test_rotated_placement_raises():
         pdfcodec.decode_pdf(raw)
 
 
+def test_fuzz_mutations_raise_only_valueerror():
+    """The public-API exception contract under adversarial bytes: every
+    single-byte mutation / truncation of a valid scanned PDF either still
+    decodes or raises ValueError — never IndexError/KeyError/TypeError/
+    AttributeError/RecursionError leaking from the parser (the quarantine
+    path keys on ValueError; anything else would fail the Spark job)."""
+    src = _rng(99).integers(0, 256, (20, 25, 3), dtype=np.uint8)
+    base = bytearray(scanned_pdf([src, src], ["0 0 12 9.6", "0 0 12 9.6"]))
+    rng = np.random.default_rng(1234)
+    decoded = errored = 0
+    for _ in range(400):
+        raw = bytearray(base)
+        pos = int(rng.integers(0, len(raw)))
+        raw[pos] = int(rng.integers(0, 256))
+        try:
+            pages = pdfcodec.decode_pdf(bytes(raw))
+            assert all(p.ndim == 3 for p in pages)
+            decoded += 1
+        except ValueError:
+            errored += 1
+    for cut in range(1, len(base), max(1, len(base) // 60)):
+        try:
+            pdfcodec.decode_pdf(bytes(base[:cut]))
+        except ValueError:
+            pass
+    assert errored > 50  # mutations really do hit load-bearing bytes
+    # deep nesting must not leak RecursionError
+    bomb = b"%PDF-1.4\n1 0 obj\n" + b"[" * 50000
+    with pytest.raises(ValueError):
+        pdfcodec.page_count(bomb + b"\nstartxref\n9\n%%EOF")
+    # lying dimensions must refuse, not allocate
+    huge = _one_page(
+        b"q 48 0 0 24 0 0 cm /Im0 Do Q",
+        {5: stream_obj(
+            "/Subtype /Image /Width 999999 /Height 999999 "
+            "/ColorSpace /DeviceGray /BitsPerComponent 8", b"")},
+        b"<< /XObject << /Im0 5 0 R >> >>")
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        pdfcodec.decode_pdf(huge)
+
+
 def test_not_a_pdf_and_truncation():
     with pytest.raises(ValueError, match="header"):
         pdfcodec.decode_pdf(b"GIF89a...")
