@@ -236,7 +236,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     ``struct.error``/``IndexError``."""
     try:
         return _decode_jpeg(raw)
-    except (struct.error, IndexError) as e:
+    except (struct.error, IndexError, ArithmeticError) as e:
+        # ArithmeticError: belt-and-braces for division by adversarial
+        # header fields (sampling factors are range-checked at SOF parse,
+        # but the contract must hold even if a path is missed)
         raise ValueError(f"truncated or malformed JPEG: {e}") from e
 
 
@@ -293,7 +296,12 @@ def _decode_jpeg(raw: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tqi = seg[6 + 3 * c:9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tqi))
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):  # T.81 B.2.2
+                    raise ValueError(
+                        f"JPEG sampling factor {hs}x{vs} outside 1..4"
+                    )
+                comps.append((cid, hs, vs, tqi))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -606,3 +614,70 @@ def encode_jpeg(
     out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def validate_jpeg(raw: bytes) -> tuple[int, int]:
+    """Structural pre-flight WITHOUT Huffman decoding: marker/segment
+    bounds, baseline SOF presence with in-range dimensions and sampling
+    factors, SOS presence, trailing EOI. Returns ``(w, h)``.
+
+    The distributed-OCR probe calls this so truncated or structurally
+    broken JPEGs quarantine at probe time; corruption confined to the
+    entropy-coded bits can still pass here (there is no stored checksum
+    in JFIF) and surfaces at decode instead."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    dims = None
+    saw_sos = False
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"bad marker byte at {pos}")
+        while pos < len(raw) and raw[pos] == 0xFF:
+            pos += 1
+        if pos >= len(raw):
+            break
+        marker = raw[pos]
+        pos += 1
+        if marker == 0x00:
+            raise ValueError("invalid JPEG marker 0xFF00 outside entropy data")
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > len(raw):
+            raise ValueError("JPEG truncated inside a marker segment")
+        (seglen,) = struct.unpack(">H", raw[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(raw):
+            raise ValueError(
+                f"JPEG segment 0xFF{marker:02X} length {seglen} out of bounds"
+            )
+        seg = raw[pos + 2:pos + seglen]
+        pos += seglen
+        if marker in (0xC0, 0xC1):
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if w <= 0 or h <= 0 or w * h > (1 << 28):
+                raise ValueError(f"JPEG dimensions {w}x{h} out of range")
+            for c in range(nc):
+                hv = seg[7 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= hv & 15 <= 4):
+                    raise ValueError("JPEG sampling factor outside 1..4")
+            dims = (w, h)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type 0xFF{marker:02X} "
+                "(stdlib seam is baseline sequential only)"
+            )
+        elif marker == 0xDA:
+            saw_sos = True
+            break  # entropy-coded data follows; checked via trailing EOI
+    if dims is None:
+        raise ValueError("JPEG missing baseline SOF before SOS")
+    if not saw_sos:
+        raise ValueError("JPEG missing SOS")
+    if raw.rstrip(b"\x00")[-2:] != b"\xff\xd9":
+        raise ValueError("JPEG missing trailing EOI (truncated)")
+    return dims

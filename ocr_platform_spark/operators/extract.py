@@ -251,11 +251,16 @@ def _span_refs_fit_broadcast(documents: DataFrame) -> bool:
 
     * a leaf whose estimate is the ``spark.sql.defaultSizeInBytes``
       sentinel (RDD-backed / checkpointed scans) means UNKNOWN, i.e.
-      driver-materialized and bounded by construction — keep the pin (a
-      genuinely 100 TB corpus arrives as a parquet/Iceberg scan whose
-      leaf stats ARE known file bytes);
-    * otherwise pin iff the summed known leaf bytes fit
-      :data:`SPAN_BROADCAST_STATS_CAP`;
+      driver-materialized and bounded by construction — it neither
+      blocks nor grants the pin on its own (a genuinely 100 TB corpus
+      arrives as a parquet/Iceberg scan whose leaf stats ARE known file
+      bytes), so it is SKIPPED, not short-circuited: a known-huge leaf
+      elsewhere in the same plan (e.g. an RDD-backed dim joined against
+      a whole-corpus scan) must still refuse the pin regardless of leaf
+      order;
+    * pin iff the summed KNOWN leaf bytes fit
+      :data:`SPAN_BROADCAST_STATS_CAP` (all-unknown plans sum to 0 and
+      keep the pin);
     * any JVM/py4j failure refuses the pin (fail closed: the unhinted
       plan is at worst slower; a wrongly pinned multi-TB broadcast is a
       hard job failure)."""
@@ -269,7 +274,7 @@ def _span_refs_fit_broadcast(documents: DataFrame) -> bool:
         for i in range(leaves.size()):
             size = int(str(leaves.apply(i).stats().sizeInBytes()))
             if size >= sentinel:
-                return True  # unknown-stats leaf: bounded by construction
+                continue  # unknown-stats leaf: bounded by construction
             total += size
     except Exception:
         return False

@@ -51,11 +51,13 @@ from pyspark.sql import functions as F
 from .. import formats, jpegcodec, pdfcodec, pngcodec
 from ..schemas import BLOCK
 from .extract import (
+    _INT_BLOCK_COLS,
     MEDIA_KIND_ERROR,
     _span_refs_fit_broadcast,
     assemble_spans,
     exploded_spans,
     ocr_rendered_page,
+    shared_exploded_spans,
 )
 
 #: pages per OCR task. ⌈pages/K⌉ payload copies cross the bucket shuffle;
@@ -69,8 +71,18 @@ REAL_BUCKET = (
 
 
 def _probe(raw: bytes) -> tuple[str, int]:
-    """Header-only ``(kind, n_pages)``; raises ValueError on anything the
-    OCR stage could not decode (the full scanned-subset pre-flight)."""
+    """Structural pre-flight + ``(kind, n_pages)`` without inflating
+    samples: raises ValueError on anything the OCR stage could not
+    decode — PDFs run the full scanned-subset walk
+    (:func:`pdfcodec.validate_scanned`), PNGs get chunk-bounds + per-chunk
+    CRC + IHDR checks (:func:`pngcodec.validate_png`), JPEGs get
+    marker/segment-bounds + baseline-SOF + trailing-EOI checks
+    (:func:`jpegcodec.validate_jpeg`) — so truncated/corrupt payloads
+    quarantine HERE, with a triage row, instead of silently dropping at
+    the OCR stage. Residual (undetectable-at-probe) corruption is
+    entropy-level only: JPEG entropy bits carry no checksum, and a PDF
+    image stream can hold a structurally-valid but broken body; those
+    degrade to zero blocks at decode (see ``_ocr_real_batches``)."""
     kind = formats.sniff_kind(raw)
     if kind in ("spdf", "simg"):
         raise ValueError(
@@ -78,7 +90,11 @@ def _probe(raw: bytes) -> tuple[str, int]:
         )
     if kind == "pdf":
         return "pdf", pdfcodec.validate_scanned(raw)
-    if kind in ("png", "jpeg"):
+    if kind == "png":
+        pngcodec.validate_png(raw)
+        return "image", 1
+    if kind == "jpeg":
+        jpegcodec.validate_jpeg(raw)
         return "image", 1
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 
@@ -152,19 +168,20 @@ def _ocr_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 else:
                     pages = [pdfcodec.rgb_to_gray(jpegcodec.decode_jpeg(raw))]
             except Exception:
-                # residual corruption past the probe (e.g. truncated
-                # sample data behind a valid xref): degrade to zero OCR
-                # blocks for this bucket — the empty-page-passthrough
-                # contract — rather than failing the job. The probe
-                # already caught everything structurally detectable.
+                # residual corruption past the probe: entropy-level only
+                # (JPEG entropy bits carry no checksum; a PDF image
+                # stream body can be broken behind a valid structure).
+                # Degrade to zero OCR blocks for this bucket — the
+                # empty-page-passthrough contract — rather than failing
+                # the job; everything structurally detectable already
+                # quarantined with a triage row at probe time.
                 continue
             for i, page in enumerate(pages):
                 ocr_rendered_page(
                     doc_id, int(offset), ref, int(lo) + i, page, out
                 )
         res = pd.DataFrame(out)
-        for c in ("offset", "page_index", "block_index",
-                  "x1", "y1", "x2", "y2", "page_width", "page_height"):
+        for c in _INT_BLOCK_COLS:
             res[c] = res[c].astype("int32")
         res["conf"] = res["conf"].astype("float64")
         yield res
@@ -175,6 +192,7 @@ def real_page_buckets(
     media: DataFrame,
     bucket_pages: int | None = DEFAULT_BUCKET_PAGES,
     broadcast_spans: bool | None = None,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Stage 1: spans ⋈ payloads -> validated page-bucket rows.
 
@@ -182,8 +200,14 @@ def real_page_buckets(
     narrow span-ref side broadcasts under the same leaf-stats auto mode;
     payload bytes never move for the join), and a missing-payload
     anti-join surfaces dangling ``media_ref``s as quarantine rows.
+
+    ``spans``: optional pre-exploded frame (pass
+    :func:`..operators.extract.shared_exploded_spans` output so the
+    documents table is scanned once across this join, the anti-join, and
+    span assembly — the flagship's round-3 single-scan shape).
     """
-    spans = exploded_spans(documents)
+    if spans is None:
+        spans = exploded_spans(documents)
     if broadcast_spans is None:
         broadcast_spans = _span_refs_fit_broadcast(documents)
     span_refs = (
@@ -237,6 +261,7 @@ def extract_real_documents(
     bucket_pages: int | None = DEFAULT_BUCKET_PAGES,
     num_partitions: int | None = None,
     broadcast_spans: bool | None = None,
+    share_spans: bool = True,
 ) -> DataFrame:
     """End-to-end OCR extraction over REAL-codec media payloads.
 
@@ -246,9 +271,18 @@ def extract_real_documents(
     media column holds real scanned-PDF/PNG/JPEG bytes instead of
     synthetic containers. See the module docstring for the plan shape
     and its scale trade-offs.
+
+    ``share_spans`` mirrors the flagship's single-scan shape: one lazily
+    ``localCheckpoint``-ed explode of the documents table serves the
+    bucket join, the missing-payload anti-join, and span assembly
+    (instead of three full scans). Same executor-loss caveat as
+    :func:`..operators.extract.extract_documents` — pass False on
+    clusters with preemptible executors to trade re-scans for plain
+    lineage recompute.
     """
+    spans = shared_exploded_spans(documents) if share_spans else None
     buckets = real_page_buckets(
-        documents, media, bucket_pages, broadcast_spans
+        documents, media, bucket_pages, broadcast_spans, spans=spans
     )
     blocks = ocr_real_blocks(buckets, num_partitions)
-    return assemble_spans(documents, blocks)
+    return assemble_spans(documents, blocks, spans=spans)

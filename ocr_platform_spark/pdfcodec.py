@@ -630,7 +630,7 @@ def _strict_valueerror(fn):
         try:
             return fn(*args, **kwargs)
         except (AttributeError, IndexError, KeyError, TypeError,
-                RecursionError, OverflowError) as e:
+                RecursionError, ArithmeticError) as e:
             raise ValueError(
                 f"malformed PDF ({type(e).__name__}: {e})"
             ) from e
@@ -648,6 +648,27 @@ MAX_PIXELS = 1 << 28
 def page_count(raw: bytes) -> int:
     """Number of pages (no rendering — xref + page-tree walk only)."""
     return len(_pages(_Document(raw)))
+
+
+def _canvas_dims(doc: _Document, node: dict, attrs: dict,
+                 scale: float) -> tuple[float, float, int, int]:
+    """Validated ``(x0, y0, W, H)`` for a page at ``scale`` — shared by
+    the renderer and :func:`validate_scanned` so the probe enforces
+    EXACTLY what rendering enforces (numeric 4-entry MediaBox, no
+    rotation, canvas under :data:`MAX_PIXELS`); a probe that passes what
+    the renderer refuses would turn a quarantine into a silent drop."""
+    mb_raw = doc.get(attrs.get("MediaBox", None) or
+                     node.get("MediaBox", None) or [])
+    if not isinstance(mb_raw, list) or len(mb_raw) != 4:
+        raise ValueError("page has no usable /MediaBox")
+    x0, y0, x1, y1 = (float(doc.get(v)) for v in mb_raw)
+    if int(doc.get(attrs.get("Rotate", 0)) or 0) % 360:
+        raise ValueError("rotated pages unsupported (/Rotate != 0)")
+    W = max(1, int(round((x1 - x0) * scale)))
+    H = max(1, int(round((y1 - y0) * scale)))
+    if W * H > MAX_PIXELS:
+        raise ValueError(f"page canvas {W}x{H} exceeds MAX_PIXELS")
+    return x0, y0, W, H
 
 
 def _page_content(doc: _Document, node: dict) -> bytes:
@@ -678,11 +699,7 @@ def validate_scanned(raw: bytes) -> int:
     doc = _Document(raw)
     pages = _pages(doc)
     for node, attrs in pages:
-        mb = doc.get(attrs.get("MediaBox", None) or node.get("MediaBox"))
-        if not isinstance(mb, list) or len(mb) != 4:
-            raise ValueError("page has no usable /MediaBox")
-        if int(doc.get(attrs.get("Rotate", 0)) or 0) % 360:
-            raise ValueError("rotated pages unsupported (/Rotate != 0)")
+        _canvas_dims(doc, node, attrs, RENDER_DPI / _POINT_DPI)
         resources = doc.get(attrs.get("Resources") or node.get("Resources")
                             or {})
         for ctm, xd, _xbytes in _content_images(
@@ -740,19 +757,7 @@ def decode_pdf(
             ) from e
     pages = []
     for node, attrs in page_nodes:
-        mb = [float(doc.get(v)) for v in doc.get(attrs.get("MediaBox", None) or
-                                                 node.get("MediaBox", None) or [])]
-        if len(mb) != 4:
-            raise ValueError("page has no usable /MediaBox")
-        rotate = int(doc.get(attrs.get("Rotate", 0)) or 0)
-        if rotate % 360:
-            raise ValueError("rotated pages unsupported (/Rotate != 0)")
-        x0, y0, x1, y1 = mb
-        pw, ph = x1 - x0, y1 - y0
-        W = max(1, int(round(pw * scale)))
-        H = max(1, int(round(ph * scale)))
-        if W * H > MAX_PIXELS:
-            raise ValueError(f"page canvas {W}x{H} exceeds MAX_PIXELS")
+        x0, y0, W, H = _canvas_dims(doc, node, attrs, scale)
         canvas = np.full((H, W) if gray else (H, W, 3), 255, np.uint8)
         resources = doc.get(attrs.get("Resources") or node.get("Resources") or {})
         content = _page_content(doc, node)

@@ -144,3 +144,49 @@ def encode_png(arr: np.ndarray) -> bytes:
         + _chunk(b"IDAT", zlib.compress(scan, 9))
         + _chunk(b"IEND", b"")
     )
+
+
+def validate_png(raw: bytes) -> tuple[int, int]:
+    """Structural pre-flight WITHOUT inflating IDAT: chunk bounds, CRC32
+    of every chunk, IHDR field support, IEND presence. Returns ``(w, h)``.
+
+    The distributed-OCR probe calls this so truncated/corrupted PNGs
+    quarantine at probe time instead of silently dropping at the OCR
+    stage — CRC covers every payload byte, so corruption that passes
+    here and still fails ``decode_png`` requires a stored CRC computed
+    over already-corrupt data."""
+    if not raw.startswith(SIGNATURE):
+        raise ValueError("not a PNG: bad signature")
+    pos = len(SIGNATURE)
+    hdr = None
+    saw_end = saw_idat = False
+    while pos + 8 <= len(raw):
+        (ln,), typ = struct.unpack(">I", raw[pos:pos + 4]), raw[pos + 4:pos + 8]
+        if pos + 8 + ln + 4 > len(raw):
+            raise ValueError(f"PNG chunk {typ!r} overruns the file")
+        data = raw[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", raw[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            saw_idat = True
+        elif typ == b"IEND":
+            saw_end = True
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not (saw_idat and saw_end):
+        raise ValueError("PNG truncated: missing IDAT/IEND")
+    w, h, depth, ctype, comp, filt, interlace = hdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if ctype not in _CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("non-standard PNG compression/filter/interlace")
+    if w <= 0 or h <= 0 or w * h > (1 << 28):
+        raise ValueError(f"PNG dimensions {w}x{h} out of range")
+    return w, h

@@ -163,6 +163,31 @@ def test_synthetic_payloads_quarantine_not_crash(real_corpus):
         assert [t for (_k, t, _m, _o) in got] == expected_texts
 
 
+def test_probe_quarantines_structurally_corrupt_images():
+    """Truncated/corrupt PNG and JPEG payloads must fail _probe (and so
+    produce a quarantine row with a triage message) rather than passing
+    on magic bytes alone and silently dropping at the OCR stage."""
+    from ocr_platform_spark.operators.extract_real import _probe
+
+    png = pngcodec.encode_png(np.zeros((8, 8, 3), np.uint8))
+    jpg = jpegcodec.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    assert _probe(png) == ("image", 1)
+    assert _probe(jpg) == ("image", 1)
+    with pytest.raises(ValueError):
+        _probe(png[: len(png) // 2])          # truncated PNG
+    mutated = bytearray(png)
+    mutated[40] ^= 0xFF                       # IDAT corruption -> CRC
+    with pytest.raises(ValueError):
+        _probe(bytes(mutated))
+    with pytest.raises(ValueError):
+        _probe(jpg[:-2])                      # missing EOI
+    progressive = bytearray(jpg)
+    i = progressive.find(b"\xff\xc0")
+    progressive[i + 1] = 0xC2                 # SOF2: unsupported frame
+    with pytest.raises(ValueError):
+        _probe(bytes(progressive))
+
+
 def test_missing_payload_quarantines(real_corpus, spark):
     docs_df, _synth, real = real_corpus
     half = real.limit(real.count() // 2)

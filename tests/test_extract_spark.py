@@ -160,6 +160,27 @@ def test_broadcast_auto_keeps_pin_for_unknown_stats(spark):
     ) is True
 
 
+def test_broadcast_auto_unknown_leaf_does_not_mask_known_large(
+        spark, corpus_dir, monkeypatch):
+    """A sentinel-stats leaf must be SKIPPED, not short-circuit the walk:
+    an RDD-backed dim joined against a known-large scan still refuses the
+    pin, whichever leaf collectLeaves() yields first."""
+    from ocr_platform_spark import corpus as corpus_mod, schemas
+    from ocr_platform_spark.operators import extract
+
+    docs, _media = corpus_mod.generate(4, max_pages=2)
+    rdd_backed = spark.createDataFrame(
+        spark.createDataFrame(docs, schema=schemas.DOCUMENTS).rdd,
+        schema=schemas.DOCUMENTS,
+    )
+    parquet = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    monkeypatch.setattr(extract, "SPAN_BROADCAST_STATS_CAP", 0)
+    assert extract._span_refs_fit_broadcast(
+        rdd_backed.join(parquet.select("doc_id"), "doc_id")) is False
+    assert extract._span_refs_fit_broadcast(
+        parquet.join(rdd_backed.select("doc_id"), "doc_id")) is False
+
+
 def test_broadcast_auto_join_root_not_product_inflated(spark, corpus_dir, monkeypatch):
     """Catalyst estimates a join root as the PRODUCT of its children —
     astronomically large for tiny inputs. The leaf-walk must classify a

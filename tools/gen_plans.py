@@ -91,7 +91,9 @@ real_df = spark.createDataFrame(
     "media_ref string, data binary")
 sections.append(("Real-codec extraction (extract_real_documents)",
   "The page-BUCKET shape for media without parametric descriptors"
-  " (operators/extract_real.py, docs/SCALE.md): broadcast span-ref join,"
+  " (operators/extract_real.py, docs/SCALE.md): broadcast span-ref join"
+  " over the SHARED lazily-checkpointed explode (the flagship's"
+  " single-scan shape — the Scan ExistingRDD leaves below),"
   " probe+bucket-explode MapInPandas (payload crosses the one Exchange"
   " once per ceil(pages/K) bucket — the documented amplification"
   " trade-off), hash repartition on (doc_id, offset, bucket_index) so a"
