@@ -216,6 +216,61 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+REAL_MEDIA_META_SCHEMA = (
+    "media_ref string, kind string, n_pages int, width int, height int"
+)
+
+
+def real_media_metadata(media: DataFrame) -> DataFrame:
+    """Typed metadata for REAL-codec payloads — header walk ONLY.
+
+    The scale-correct metadata probe: page counts and dimensions come
+    from container structure (PNG IHDR + per-chunk CRC, JPEG SOF
+    markers, PDF xref/page-tree walk with the 150-DPI canvas geometry)
+    WITHOUT ever inflating sample bytes — at 100 TB a metadata pass must
+    not pay decode CPU. Same quarantine contract as
+    :func:`media_metadata`: malformed payloads become one
+    ``kind=error`` row with zeroed fields, never a job failure.
+    """
+    from . import jpegcodec, pdfcodec, pngcodec
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_ref", "kind", "n_pages", "width", "height"]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for ref, raw in zip(pdf["media_ref"], pdf["data"]):
+                raw = bytes(raw)
+                try:
+                    kind = formats.sniff_kind(raw)
+                    if kind == "pdf":
+                        n, w, h = pdfcodec.probe_dims(raw)
+                    elif kind == "png":
+                        w, h = pngcodec.validate_png(raw)
+                        n, kind = 1, "image"
+                    elif kind == "jpeg":
+                        w, h = jpegcodec.validate_jpeg(raw)
+                        n, kind = 1, "image"
+                    else:
+                        raise ValueError(
+                            "synthetic container: use media_metadata"
+                        )
+                except Exception:
+                    kind, n, w, h = MEDIA_KIND_ERROR, 0, 0, 0
+                out["media_ref"].append(ref)
+                out["kind"].append(kind)
+                out["n_pages"].append(n)
+                out["width"].append(w)
+                out["height"].append(h)
+            res = pd.DataFrame(out)
+            for c in ("n_pages", "width", "height"):
+                res[c] = res[c].astype("int32")
+            yield res
+
+    return media.select("media_ref", "data").mapInPandas(
+        _meta, schema=REAL_MEDIA_META_SCHEMA
+    )
+
+
 # --- feature extraction (deterministic stand-in for an image embedder) -------
 
 

@@ -650,6 +650,22 @@ def page_count(raw: bytes) -> int:
     return len(_pages(_Document(raw)))
 
 
+@_strict_valueerror
+def probe_dims(raw: bytes) -> tuple[int, int, int]:
+    """``(n_pages, first-page canvas W, H)`` at ``RENDER_DPI`` — header
+    walk only, no stream inflation (the metadata-probe analog of
+    :func:`page_count` that also surfaces render geometry)."""
+    if not raw.startswith(b"%PDF-"):
+        raise ValueError("not a PDF: bad header")
+    doc = _Document(raw)
+    pages = _pages(doc)
+    if not pages:
+        return 0, 0, 0
+    node, attrs = pages[0]
+    _x0, _y0, W, H = _canvas_dims(doc, node, attrs, RENDER_DPI / _POINT_DPI)
+    return len(pages), W, H
+
+
 def _canvas_dims(doc: _Document, node: dict, attrs: dict,
                  scale: float) -> tuple[float, float, int, int]:
     """Validated ``(x0, y0, W, H)`` for a page at ``scale`` — shared by

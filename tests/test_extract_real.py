@@ -188,6 +188,44 @@ def test_probe_quarantines_structurally_corrupt_images():
         _probe(bytes(progressive))
 
 
+def test_real_media_metadata_header_only_matches_decode(real_corpus, spark):
+    """The metadata probe's (n_pages, dims) must agree with what a full
+    decode produces — while never inflating a sample byte itself."""
+    from ocr_platform_spark import multimodal, pdfcodec
+
+    _docs, _synth, real = real_corpus
+    meta = {r["media_ref"]: r
+            for r in multimodal.real_media_metadata(real).collect()}
+    payloads = {r["media_ref"]: bytes(r["data"]) for r in real.collect()}
+    assert meta and all(r["kind"] != "error" for r in meta.values())
+    checked_pdf = checked_img = 0
+    for ref, r in meta.items():
+        raw = payloads[ref]
+        if r["kind"] == "pdf" and checked_pdf < 3:
+            pages = pdfcodec.decode_pdf(raw, mode="L")
+            assert r["n_pages"] == len(pages)
+            assert (r["height"], r["width"]) == pages[0].shape
+            checked_pdf += 1
+        elif r["kind"] == "image" and checked_img < 3:
+            from ocr_platform_spark import pngcodec
+
+            img = pngcodec.decode_png(raw)
+            assert (r["n_pages"], r["height"], r["width"]) == (
+                1, img.shape[0], img.shape[1])
+            checked_img += 1
+    assert checked_pdf and checked_img
+    # quarantine: synthetic + corrupt payloads zero out, never raise
+    bad = spark.createDataFrame(
+        [("m-synth", bytearray(b"SIMG1 synthetic container bytes")),
+         ("m-junk", bytearray(b"\x00" * 32))],
+        "media_ref string, data binary",
+    )
+    rows = {r["media_ref"]: r
+            for r in multimodal.real_media_metadata(bad).collect()}
+    assert all(r["kind"] == "error" and r["n_pages"] == 0
+               for r in rows.values())
+
+
 def test_missing_payload_quarantines(real_corpus, spark):
     docs_df, _synth, real = real_corpus
     half = real.limit(real.count() // 2)
