@@ -382,6 +382,24 @@ def test_fuzz_mutations_raise_only_valueerror():
         except ValueError:
             pass
     assert errored > 50  # mutations really do hit load-bearing bytes
+    # same contract with a DCT image XObject: mutations can land inside
+    # the embedded JPEG, whose own wrapper must hold (ValueError, never
+    # ZeroDivisionError/struct.error through the PDF layer)
+    jpg = jpegcodec.encode_jpeg(
+        _rng(98).integers(0, 256, (16, 24, 3), dtype=np.uint8))
+    dct_base = bytearray(_one_page(
+        b"q 11.52 0 0 7.68 0 0 cm /Im0 Do Q",
+        {5: stream_obj(
+            "/Subtype /Image /Width 24 /Height 16 /ColorSpace /DeviceRGB "
+            "/BitsPerComponent 8 /Filter /DCTDecode", jpg)},
+        b"<< /XObject << /Im0 5 0 R >> >>"))
+    for _ in range(200):
+        raw = bytearray(dct_base)
+        raw[int(rng.integers(0, len(raw)))] = int(rng.integers(0, 256))
+        try:
+            pdfcodec.decode_pdf(bytes(raw))
+        except ValueError:
+            pass
     # deep nesting must not leak RecursionError
     bomb = b"%PDF-1.4\n1 0 obj\n" + b"[" * 50000
     with pytest.raises(ValueError):
