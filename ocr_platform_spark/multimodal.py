@@ -221,39 +221,64 @@ REAL_MEDIA_META_SCHEMA = (
 )
 
 
+def probe_real_media(raw: bytes, deep: bool = False) -> tuple[str, int, int, int]:
+    """THE real-codec dispatch ladder: ``(kind, n_pages, width, height)``
+    from container structure only — PNG IHDR behind per-chunk CRC, JPEG
+    SOF markers, PDF xref/page-tree walk with the 150-DPI canvas
+    geometry — never inflating a sample byte. Raises ``ValueError`` for
+    anything the real OCR path could not decode (synthetic containers
+    included: they belong to the descriptor path).
+
+    ``deep=True`` additionally interprets every PDF content stream and
+    validates every image XObject dictionary
+    (:func:`pdfcodec.validate_scanned`) — what the distributed-OCR probe
+    stage wants, so vector/unsupported documents quarantine before any
+    payload duplication. The metadata pass uses ``deep=False`` (xref +
+    page tree only). Single source of truth for both consumers
+    (:func:`real_media_metadata` here, ``_probe`` in
+    ``operators/extract_real.py``) so their quarantine semantics cannot
+    drift."""
+    from . import jpegcodec, pdfcodec, pngcodec
+
+    kind = formats.sniff_kind(raw)
+    if kind in ("spdf", "simg"):
+        raise ValueError(
+            "synthetic container: use the descriptor path "
+            "(formats.decode_media / extract_documents)"
+        )
+    if kind == "pdf":
+        fn = pdfcodec.validate_scanned if deep else pdfcodec.probe_dims
+        n, w, h = fn(raw)
+        return "pdf", n, w, h
+    if kind == "png":
+        w, h = pngcodec.validate_png(raw)
+        return "image", 1, w, h
+    if kind == "jpeg":
+        w, h = jpegcodec.validate_jpeg(raw)
+        return "image", 1, w, h
+    raise ValueError(f"unknown media magic {raw[:5]!r}")
+
+
 def real_media_metadata(media: DataFrame) -> DataFrame:
     """Typed metadata for REAL-codec payloads — header walk ONLY.
 
     The scale-correct metadata probe: page counts and dimensions come
-    from container structure (PNG IHDR + per-chunk CRC, JPEG SOF
-    markers, PDF xref/page-tree walk with the 150-DPI canvas geometry)
-    WITHOUT ever inflating sample bytes — at 100 TB a metadata pass must
-    not pay decode CPU. Same quarantine contract as
-    :func:`media_metadata`: malformed payloads become one
-    ``kind=error`` row with zeroed fields, never a job failure.
+    from :func:`probe_real_media` WITHOUT ever inflating sample bytes —
+    at 100 TB a metadata pass must not pay decode CPU. Same quarantine
+    contract as :func:`media_metadata`: malformed/NULL payloads become
+    one ``kind=error`` row with zeroed fields, never a job failure.
     """
-    from . import jpegcodec, pdfcodec, pngcodec
 
     def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_ref", "kind", "n_pages", "width", "height"]
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in cols}
             for ref, raw in zip(pdf["media_ref"], pdf["data"]):
-                raw = bytes(raw)
                 try:
-                    kind = formats.sniff_kind(raw)
-                    if kind == "pdf":
-                        n, w, h = pdfcodec.probe_dims(raw)
-                    elif kind == "png":
-                        w, h = pngcodec.validate_png(raw)
-                        n, kind = 1, "image"
-                    elif kind == "jpeg":
-                        w, h = jpegcodec.validate_jpeg(raw)
-                        n, kind = 1, "image"
-                    else:
-                        raise ValueError(
-                            "synthetic container: use media_metadata"
-                        )
+                    # bytes() INSIDE the try: a NULL data cell (None from
+                    # an upstream left join) must quarantine, not fail
+                    # the stage with a TypeError
+                    kind, n, w, h = probe_real_media(bytes(raw))
                 except Exception:
                     kind, n, w, h = MEDIA_KIND_ERROR, 0, 0, 0
                 out["media_ref"].append(ref)

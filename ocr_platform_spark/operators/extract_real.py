@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import formats, jpegcodec, pdfcodec, pngcodec
+from .. import formats, jpegcodec, multimodal, pdfcodec, pngcodec
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -72,31 +72,16 @@ REAL_BUCKET = (
 
 def _probe(raw: bytes) -> tuple[str, int]:
     """Structural pre-flight + ``(kind, n_pages)`` without inflating
-    samples: raises ValueError on anything the OCR stage could not
-    decode — PDFs run the full scanned-subset walk
-    (:func:`pdfcodec.validate_scanned`), PNGs get chunk-bounds + per-chunk
-    CRC + IHDR checks (:func:`pngcodec.validate_png`), JPEGs get
-    marker/segment-bounds + baseline-SOF + trailing-EOI checks
-    (:func:`jpegcodec.validate_jpeg`) — so truncated/corrupt payloads
-    quarantine HERE, with a triage row, instead of silently dropping at
-    the OCR stage. Residual (undetectable-at-probe) corruption is
-    entropy-level only: JPEG entropy bits carry no checksum, and a PDF
-    image stream can hold a structurally-valid but broken body; those
-    degrade to zero blocks at decode (see ``_ocr_real_batches``)."""
-    kind = formats.sniff_kind(raw)
-    if kind in ("spdf", "simg"):
-        raise ValueError(
-            "synthetic container: use extract_documents (descriptor path)"
-        )
-    if kind == "pdf":
-        return "pdf", pdfcodec.validate_scanned(raw)
-    if kind == "png":
-        pngcodec.validate_png(raw)
-        return "image", 1
-    if kind == "jpeg":
-        jpegcodec.validate_jpeg(raw)
-        return "image", 1
-    raise ValueError(f"unknown media magic {raw[:5]!r}")
+    samples — :func:`..multimodal.probe_real_media` with ``deep=True``
+    (full scanned-subset walk for PDFs; chunk-CRC / marker-bounds checks
+    for PNG/JPEG), so truncated/corrupt payloads quarantine HERE, with a
+    triage row, instead of silently dropping at the OCR stage. Residual
+    (undetectable-at-probe) corruption is entropy-level only: JPEG
+    entropy bits carry no checksum, and a PDF image stream can hold a
+    structurally-valid but broken body; those degrade to zero blocks at
+    decode (see ``_ocr_real_batches``)."""
+    kind, n_pages, _w, _h = multimodal.probe_real_media(raw, deep=True)
+    return kind, n_pages
 
 
 def _bucket_batches(bucket_pages: int | None):

@@ -699,23 +699,28 @@ def _page_content(doc: _Document, node: dict) -> bytes:
 
 
 @_strict_valueerror
-def validate_scanned(raw: bytes) -> int:
+def validate_scanned(raw: bytes) -> tuple[int, int, int]:
     """Full scanned-subset pre-flight WITHOUT inflating image samples.
 
     Walks the page tree, interprets every content stream (tiny for
     scanned pages) and validates every referenced image XObject's
     dictionary — raising the same ``ValueError``s rendering would — but
-    never decompresses/decodes the sample bytes themselves. Returns the
-    page count. This is what the distributed-OCR probe stage calls: a
-    vector or unsupported document quarantines at probe time, before its
-    payload is duplicated across page buckets and shuffled.
+    never decompresses/decodes the sample bytes themselves. Returns
+    ``(page count, first-page canvas W, H)`` at ``RENDER_DPI`` (the dims
+    fall out of the per-page geometry validation for free). This is what
+    the distributed-OCR probe stage calls: a vector or unsupported
+    document quarantines at probe time, before its payload is duplicated
+    across page buckets and shuffled.
     """
     if not raw.startswith(b"%PDF-"):
         raise ValueError("not a PDF: bad header")
     doc = _Document(raw)
     pages = _pages(doc)
-    for node, attrs in pages:
-        _canvas_dims(doc, node, attrs, RENDER_DPI / _POINT_DPI)
+    w0 = h0 = 0
+    for i, (node, attrs) in enumerate(pages):
+        _x, _y, W, H = _canvas_dims(doc, node, attrs, RENDER_DPI / _POINT_DPI)
+        if i == 0:
+            w0, h0 = W, H
         resources = doc.get(attrs.get("Resources") or node.get("Resources")
                             or {})
         for ctm, xd, _xbytes in _content_images(
@@ -727,7 +732,7 @@ def validate_scanned(raw: bytes) -> int:
                     "(axis-aligned scanned pages only)"
                 )
             _image_plan(doc, xd)
-    return len(pages)
+    return len(pages), w0, h0
 
 
 @_strict_valueerror

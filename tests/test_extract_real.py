@@ -214,16 +214,25 @@ def test_real_media_metadata_header_only_matches_decode(real_corpus, spark):
                 1, img.shape[0], img.shape[1])
             checked_img += 1
     assert checked_pdf and checked_img
-    # quarantine: synthetic + corrupt payloads zero out, never raise
-    bad = spark.createDataFrame(
-        [("m-synth", bytearray(b"SIMG1 synthetic container bytes")),
+    # JPEG branch: dims must come out (w, h)-correct from the SOF walk
+    jpg = jpegcodec.encode_jpeg(
+        np.zeros((30, 70, 3), np.uint8), subsampling="420")
+    extra = spark.createDataFrame(
+        [("m-jpg", bytearray(jpg)),
+         # quarantine: synthetic, NULL and junk payloads zero out,
+         # never raise (bytes(None) must not escape the probe try)
+         ("m-synth", bytearray(b"SIMG1 synthetic container bytes")),
+         ("m-null", None),
          ("m-junk", bytearray(b"\x00" * 32))],
         "media_ref string, data binary",
     )
     rows = {r["media_ref"]: r
-            for r in multimodal.real_media_metadata(bad).collect()}
-    assert all(r["kind"] == "error" and r["n_pages"] == 0
-               for r in rows.values())
+            for r in multimodal.real_media_metadata(extra).collect()}
+    assert (rows["m-jpg"]["kind"], rows["m-jpg"]["n_pages"],
+            rows["m-jpg"]["width"], rows["m-jpg"]["height"]) == (
+        "image", 1, 70, 30)
+    for ref in ("m-synth", "m-null", "m-junk"):
+        assert rows[ref]["kind"] == "error" and rows[ref]["n_pages"] == 0
 
 
 def test_missing_payload_quarantines(real_corpus, spark):

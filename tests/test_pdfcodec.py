@@ -393,6 +393,12 @@ def test_fuzz_mutations_raise_only_valueerror():
             "/Subtype /Image /Width 24 /Height 16 /ColorSpace /DeviceRGB "
             "/BitsPerComponent 8 /Filter /DCTDecode", jpg)},
         b"<< /XObject << /Im0 5 0 R >> >>"))
+    # fixture sanity so the loop can't pass vacuously: the unmutated PDF
+    # must decode and actually paint the JPEG (not render blank)
+    base_page = pdfcodec.decode_pdf(bytes(dct_base))[0]
+    # image at PDF origin = raster BOTTOM-left of the 100x50 canvas
+    np.testing.assert_array_equal(
+        base_page[34:50, :24], jpegcodec.decode_jpeg(jpg))
     for _ in range(200):
         raw = bytearray(dct_base)
         raw[int(rng.integers(0, len(raw)))] = int(rng.integers(0, 256))
