@@ -118,23 +118,31 @@ def main() -> None:
     real_df = spark.createDataFrame(real_rows, "media_ref string, data binary")
     n_parts = 3 * sc.defaultParallelism
 
-    def run_arm(bucket_pages):
+    from pyspark.sql import functions as F
+
+    def run_arm(bucket_pages, slice_payloads=True):
         buckets = extract_real.real_page_buckets(
-            docs_df, real_df, bucket_pages=bucket_pages
+            docs_df, real_df, bucket_pages=bucket_pages,
+            slice_payloads=slice_payloads,
         ).filter("media_kind != 'error'").localCheckpoint(eager=True)
+        payload_mb = buckets.agg(
+            F.sum(F.length("data"))).collect()[0][0] / 1e6
         df = buckets.repartition(
             n_parts, "doc_id", "offset", "bucket_index"
         ).mapInPandas(_timed_ocr, schema=TIMING_SCHEMA)
         t0 = time.time()
         rows = [r.asDict() for r in df.collect()]
         wall = time.time() - t0
-        return {"stage_wall_sec": round(wall, 2), **_distribution(rows)}
+        return {"stage_wall_sec": round(wall, 2),
+                "shuffled_payload_mb": round(payload_mb, 1),
+                **_distribution(rows)}
 
     # warm both shapes once (codegen + worker spin-up), excluded
     run_arm(None)
     run_arm(8)
 
     unbucketed = run_arm(None)
+    bucket8_full = run_arm(8, slice_payloads=False)
     bucket8 = run_arm(8)
 
     out = {
@@ -143,6 +151,7 @@ def main() -> None:
         "partitions": n_parts,
         "cpus": sc.defaultParallelism,
         "unbucketed_arm": unbucketed,
+        "bucket8_full_payload_arm": bucket8_full,
         "bucket8_arm": bucket8,
     }
     spark.stop()

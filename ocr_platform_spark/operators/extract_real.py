@@ -18,11 +18,16 @@ so this pipeline uses a different, explicitly skew-bounded shape:
    ``media_kind=error`` rows — before any payload is duplicated.
 2. **repartition** on ``(doc_id, offset, bucket_index)`` — the skew fix:
    a 2,000-page scanned PDF becomes ⌈2000/K⌉ independent tasks instead
-   of one straggler. The trade-off vs the synthetic path is explicit:
-   the payload crosses this shuffle once *per bucket* (amplification
-   ⌈pages/K⌉); larger ``bucket_pages`` trades parallelism for bytes.
-   ``bucket_pages=None`` disables bucketing (one task per media, zero
-   duplication) for corpora known to have bounded page counts.
+   of one straggler. Multi-bucket PDFs are *sliced* at probe time
+   (``slice_payloads=True`` default): each bucket row carries a minimal
+   sub-PDF holding only its own pages' content/image streams
+   (:class:`..pdfcodec._Slicer`), so the whole document's bytes cross
+   the bucket shuffle ~once in total — the in-DataFrame analog of the
+   byte-range reads a cloud-storage pipeline would issue. With
+   ``slice_payloads=False`` the full payload rides on every bucket row
+   (amplification ⌈pages/K⌉). ``bucket_pages=None`` disables bucketing
+   (one task per media, zero duplication) for corpora known to have
+   bounded page counts.
 3. **OCR** (``mapInPandas``): decode ONLY the bucket's pages
    (``pdfcodec.decode_pdf(page_indices=...)`` inflates just those
    pages' streams), grayscale with PIL's exact ``convert("L")`` integer
@@ -66,7 +71,8 @@ DEFAULT_BUCKET_PAGES = 8
 
 REAL_BUCKET = (
     "doc_id string, offset int, media_ref string, media_kind string, "
-    "bucket_index int, page_lo int, page_hi int, error string, data binary"
+    "bucket_index int, page_lo int, page_hi int, error string, "
+    "sliced boolean, data binary"
 )
 
 
@@ -84,10 +90,11 @@ def _probe(raw: bytes) -> tuple[str, int]:
     return kind, n_pages
 
 
-def _bucket_batches(bucket_pages: int | None):
+def _bucket_batches(bucket_pages: int | None, slice_payloads: bool = True):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "offset", "media_ref", "media_kind",
-                "bucket_index", "page_lo", "page_hi", "error", "data"]
+                "bucket_index", "page_lo", "page_hi", "error",
+                "sliced", "data"]
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in cols}
             for doc_id, offset, ref, data in zip(
@@ -107,19 +114,44 @@ def _bucket_batches(bucket_pages: int | None):
                     out["page_lo"].append(-1)
                     out["page_hi"].append(-1)
                     out["error"].append(str(exc)[:200])
+                    out["sliced"].append(False)
                     out["data"].append(None)
                     continue
                 k = bucket_pages or max(1, n_pages)
-                for b in range(0, max(1, (n_pages + k - 1) // k)):
+                n_buckets = max(1, (n_pages + k - 1) // k)
+                slicer = None
+                if slice_payloads and kind == "pdf" and n_buckets > 1:
+                    # parse once per document; each bucket row then
+                    # carries a minimal sub-PDF (only its own pages'
+                    # streams) instead of a full-payload copy — the
+                    # whole document crosses the bucket shuffle ~once
+                    # in total instead of ⌈pages/K⌉ times
+                    try:
+                        slicer = pdfcodec._Slicer(raw)
+                    except ValueError:
+                        slicer = None
+                for b in range(n_buckets):
+                    lo, hi = b * k, min(n_pages, (b + 1) * k)
+                    payload, sliced = raw, False
+                    if slicer is not None:
+                        try:
+                            payload = slicer.slice(range(lo, hi))
+                            sliced = True
+                        except ValueError:
+                            # probe already validated the doc, so this
+                            # is near-dead defensive code: fall back to
+                            # the full payload rather than quarantine
+                            pass
                     out["doc_id"].append(doc_id)
                     out["offset"].append(offset)
                     out["media_ref"].append(ref)
                     out["media_kind"].append(kind)
                     out["bucket_index"].append(b)
-                    out["page_lo"].append(b * k)
-                    out["page_hi"].append(min(n_pages, (b + 1) * k))
+                    out["page_lo"].append(lo)
+                    out["page_hi"].append(hi)
                     out["error"].append(None)
-                    out["data"].append(raw)
+                    out["sliced"].append(sliced)
+                    out["data"].append(payload)
             res = pd.DataFrame(out)
             for c in ("offset", "bucket_index", "page_lo", "page_hi"):
                 res[c] = res[c].astype("int32")
@@ -131,9 +163,10 @@ def _bucket_batches(bucket_pages: int | None):
 def _ocr_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {f.name: [] for f in BLOCK.fields}
-        for doc_id, offset, ref, kind, lo, hi, data in zip(
+        for doc_id, offset, ref, kind, lo, hi, sliced, data in zip(
             pdf["doc_id"], pdf["offset"], pdf["media_ref"],
-            pdf["media_kind"], pdf["page_lo"], pdf["page_hi"], pdf["data"]
+            pdf["media_kind"], pdf["page_lo"], pdf["page_hi"],
+            pdf["sliced"], pdf["data"]
         ):
             if kind == MEDIA_KIND_ERROR:
                 continue
@@ -144,9 +177,13 @@ def _ocr_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 # color content converts with PIL's exact convert("L")
                 # luma AFTER resampling (pdfcodec.rgb_to_gray)
                 if kind == "pdf":
+                    # a sliced payload holds ONLY this bucket's pages
+                    # (local indices 0..hi-lo); global numbering still
+                    # comes from page_lo below
+                    idx = (None if sliced
+                           else list(range(int(lo), int(hi))))
                     pages = pdfcodec.decode_pdf(
-                        raw, page_indices=list(range(int(lo), int(hi))),
-                        mode="L",
+                        raw, page_indices=idx, mode="L",
                     )
                 elif formats.sniff_kind(raw) == "png":
                     pages = [pdfcodec.rgb_to_gray(pngcodec.decode_png(raw))]
@@ -178,6 +215,7 @@ def real_page_buckets(
     bucket_pages: int | None = DEFAULT_BUCKET_PAGES,
     broadcast_spans: bool | None = None,
     spans: DataFrame | None = None,
+    slice_payloads: bool = True,
 ) -> DataFrame:
     """Stage 1: spans ⋈ payloads -> validated page-bucket rows.
 
@@ -190,6 +228,13 @@ def real_page_buckets(
     :func:`..operators.extract.shared_exploded_spans` output so the
     documents table is scanned once across this join, the anti-join, and
     span assembly — the flagship's round-3 single-scan shape).
+
+    ``slice_payloads`` (default on): multi-bucket PDFs are re-cut at
+    probe time into per-bucket sub-PDFs (:class:`..pdfcodec._Slicer` —
+    only the bucket's own page/content/image objects, stream bytes
+    verbatim), so the bucket shuffle moves ~size·K/pages bytes per row
+    instead of ⌈pages/K⌉ full-payload copies. Decode equality with the
+    unsliced path is test-pinned; False restores full-payload rows.
     """
     if spans is None:
         spans = exploded_spans(documents)
@@ -202,7 +247,7 @@ def real_page_buckets(
     build = F.broadcast(span_refs) if broadcast_spans else span_refs
     media_spans = build.join(media.select("media_ref", "data"), "media_ref")
     buckets = media_spans.mapInPandas(
-        _bucket_batches(bucket_pages), schema=REAL_BUCKET
+        _bucket_batches(bucket_pages, slice_payloads), schema=REAL_BUCKET
     )
     missing = span_refs.join(
         media.select("media_ref"), "media_ref", "left_anti"
@@ -213,6 +258,7 @@ def real_page_buckets(
         F.lit(-1).cast("int").alias("page_lo"),
         F.lit(-1).cast("int").alias("page_hi"),
         F.lit("missing media payload").alias("error"),
+        F.lit(False).alias("sliced"),
         F.lit(None).cast("binary").alias("data"),
     )
     return buckets.unionByName(missing)
@@ -247,6 +293,7 @@ def extract_real_documents(
     num_partitions: int | None = None,
     broadcast_spans: bool | None = None,
     share_spans: bool = True,
+    slice_payloads: bool = True,
 ) -> DataFrame:
     """End-to-end OCR extraction over REAL-codec media payloads.
 
@@ -267,7 +314,8 @@ def extract_real_documents(
     """
     spans = shared_exploded_spans(documents) if share_spans else None
     buckets = real_page_buckets(
-        documents, media, bucket_pages, broadcast_spans, spans=spans
+        documents, media, bucket_pages, broadcast_spans, spans=spans,
+        slice_payloads=slice_payloads,
     )
     blocks = ocr_real_blocks(buckets, num_partitions)
     return assemble_spans(documents, blocks, spans=spans)

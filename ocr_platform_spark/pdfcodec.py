@@ -735,6 +735,259 @@ def validate_scanned(raw: bytes) -> tuple[int, int, int]:
     return len(pages), w0, h0
 
 
+# --------------------------------------------------------------------------
+# page slicing: minimal sub-PDF extraction
+# --------------------------------------------------------------------------
+
+
+def _escape_name(name: str) -> bytes:
+    """Serialize a PDF name with #xx escapes (spec 7.3.5)."""
+    out = bytearray(b"/")
+    for b in name.encode("latin-1"):
+        if (b in _WHITESPACE or b in _DELIMS or b == 0x23
+                or b < 0x21 or b > 0x7E):
+            out += f"#{b:02X}".encode()
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def _serialize(val, renum: dict) -> bytes:
+    """Serialize a parsed PDF value back to bytes, renumbering every
+    indirect reference through ``renum`` (old obj num -> new obj num) —
+    the write half of :func:`parse_object`; covers exactly the types the
+    parser produces."""
+    if isinstance(val, _Ref):
+        return f"{renum[val[0]]} 0 R".encode()
+    if isinstance(val, _Name):
+        return _escape_name(str(val))
+    if isinstance(val, bool):
+        return b"true" if val else b"false"
+    if val is None:
+        return b"null"
+    if isinstance(val, int):
+        return str(val).encode()
+    if isinstance(val, float):
+        s = repr(val)
+        if "e" in s or "E" in s:  # PDF numbers cannot carry exponents
+            s = f"{val:.20f}"
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return (s or "0").encode()
+    if isinstance(val, bytes):
+        return b"<" + val.hex().encode() + b">"
+    if isinstance(val, dict):
+        parts = [b"<<"]
+        for k, v in val.items():
+            parts.append(_escape_name(k))
+            parts.append(_serialize(v, renum))
+        parts.append(b">>")
+        return b" ".join(parts)
+    if isinstance(val, list):
+        return b"[ " + b" ".join(_serialize(v, renum) for v in val) + b" ]"
+    raise ValueError(f"unserializable PDF value {type(val).__name__}")
+
+
+def _xobject_names(content: bytes) -> set[str]:
+    """Names painted by ``Do`` operators in a content stream — the keys
+    the slicer keeps from the page's (possibly shared) /XObject resource
+    dict, so a Pages-level resource dict listing every page's image does
+    not defeat the per-bucket size win. Lenient on operators (the
+    pipeline validates content separately via :func:`validate_scanned`);
+    strict on tokenization."""
+    names: set[str] = set()
+    operands: list = []
+    pos, n = 0, len(content)
+    while pos < n:
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        c = content[pos]
+        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or \
+                c == 0x2B or c == 0x2D or c == 0x2E or 0x30 <= c <= 0x39:
+            val, pos = parse_object(content, pos)
+            operands.append(val)
+            continue
+        m = _OP_RE.match(content, pos)
+        if not m:
+            raise ValueError(
+                f"unparseable content stream at offset {pos}: "
+                f"{content[pos:pos+10]!r}"
+            )
+        if m.group(0) == b"Do" and operands:
+            names.add(str(operands[-1]))
+        pos = m.end()
+        operands = []
+    return names
+
+
+def _collect_refs(doc: _Document, val, needed: dict) -> None:
+    """Transitive closure of indirect references reachable from ``val``
+    (insertion-ordered dict-as-set, so output is deterministic)."""
+    if isinstance(val, _Ref):
+        num = val[0]
+        if num in needed:
+            return
+        needed[num] = None
+        obj, _stream = doc._get_with_stream(num)
+        _collect_refs(doc, obj, needed)
+    elif isinstance(val, dict):
+        for v in val.values():
+            _collect_refs(doc, v, needed)
+    elif isinstance(val, list):
+        for v in val:
+            _collect_refs(doc, v, needed)
+
+
+#: sentinel "old" object number for the slice's synthesized /Pages node
+#: (real object numbers are non-negative, so negatives cannot collide)
+_PAGES_SENTINEL = -1
+
+
+class _Slicer:
+    """Parse a PDF once; emit minimal sub-PDFs for page subsets.
+
+    ``slice(indices)`` builds a standalone classic-xref PDF holding ONLY
+    the selected pages: a fresh Catalog/Pages pair, one synthesized page
+    object per selected page (inherited MediaBox/Resources materialized,
+    /XObject pruned to the names its content actually paints), and the
+    transitive closure of objects those pages reference — content and
+    image stream bytes copied VERBATIM (still filtered; never inflated).
+    Everything else (other pages' streams, annots, metadata) is dropped.
+
+    This is the shuffle-amplification fix for the distributed OCR
+    bucket explode (operators/extract_real.py): instead of ⌈pages/K⌉
+    full-payload copies crossing the bucket shuffle, each bucket row
+    carries ~size·K/pages bytes — the whole document's bytes cross the
+    wire ~once in total, like the byte-range reads a cloud-storage
+    pipeline would issue.
+    """
+
+    @_strict_valueerror
+    def __init__(self, raw: bytes):
+        if not raw.startswith(b"%PDF-"):
+            raise ValueError("not a PDF: bad header")
+        self._doc = _Document(raw)
+        self._pages = _pages(self._doc)
+
+    @property
+    def n_pages(self) -> int:
+        return len(self._pages)
+
+    @_strict_valueerror
+    def slice(self, page_indices) -> bytes:
+        doc = self._doc
+        try:
+            sel = [self._pages[i] for i in page_indices]
+        except IndexError as e:
+            raise ValueError(
+                f"page index out of range (document has {len(self._pages)})"
+            ) from e
+        if not sel:
+            raise ValueError("cannot slice zero pages")
+        page_dicts: list[dict] = []
+        needed: dict[int, None] = {}
+        for node, attrs in sel:
+            mb_raw = doc.get(attrs.get("MediaBox", None)
+                             or node.get("MediaBox", None) or [])
+            if not isinstance(mb_raw, list) or len(mb_raw) != 4:
+                raise ValueError("page has no usable /MediaBox")
+            mb = [doc.get(v) for v in mb_raw]
+            if not all(isinstance(v, (int, float)) for v in mb):
+                raise ValueError("page has no usable /MediaBox")
+            if int(doc.get(attrs.get("Rotate", 0)) or 0) % 360:
+                raise ValueError("rotated pages unsupported (/Rotate != 0)")
+            resources = doc.get(attrs.get("Resources")
+                                or node.get("Resources") or {})
+            if not isinstance(resources, dict):
+                raise ValueError("page /Resources is not a dictionary")
+            used = _xobject_names(_page_content(doc, node))
+            new_res: dict = {}
+            for cat, val in resources.items():
+                if cat == "XObject":
+                    xo = doc.get(val)
+                    if not isinstance(xo, dict):
+                        raise ValueError("/XObject is not a dictionary")
+                    val = {n: r for n, r in xo.items() if n in used}
+                    missing = used - set(val)
+                    if missing:
+                        raise ValueError(
+                            f"content references unknown XObject {sorted(missing)}"
+                        )
+                new_res[cat] = val
+            pd: dict = {
+                "Type": _Name("Page"),
+                "Parent": _Ref((_PAGES_SENTINEL, 0)),
+                "MediaBox": mb,
+                "Resources": new_res,
+            }
+            contents = node.get("Contents")
+            if contents is not None:
+                pd["Contents"] = contents
+            page_dicts.append(pd)
+            _collect_refs(doc, new_res, needed)
+            _collect_refs(doc, contents, needed)
+        # numbering: 1 catalog, 2 pages, 3..2+n page objects, then the
+        # closure in first-reachable order
+        renum: dict[int, int] = {_PAGES_SENTINEL: 2}
+        for i in range(len(sel)):
+            renum[-(2 + i)] = 3 + i
+        base = 3 + len(sel)
+        for j, old in enumerate(needed):
+            renum[old] = base + j
+        catalog = {"Type": _Name("Catalog"),
+                   "Pages": _Ref((_PAGES_SENTINEL, 0))}
+        pages_node = {
+            "Type": _Name("Pages"),
+            "Kids": [_Ref((-(2 + i), 0)) for i in range(len(sel))],
+            "Count": len(sel),
+        }
+        out = bytearray(b"%PDF-1.4\n")
+        offsets: dict[int, int] = {}
+
+        def emit(num: int, body: bytes) -> None:
+            offsets[num] = len(out)
+            out.extend(f"{num} 0 obj\n".encode())
+            out.extend(body)
+            out.extend(b"\nendobj\n")
+
+        emit(1, _serialize(catalog, renum))
+        emit(2, _serialize(pages_node, renum))
+        for i, pd in enumerate(page_dicts):
+            emit(3 + i, _serialize(pd, renum))
+        for old in needed:
+            obj, rawstream = doc._get_with_stream(old)
+            if rawstream is not None:
+                d = dict(obj)
+                d["Length"] = len(rawstream)  # resolve indirect /Length
+                body = (_serialize(d, renum) + b"\nstream\n" + rawstream
+                        + b"\nendstream")
+            else:
+                body = _serialize(obj, renum)
+            emit(renum[old], body)
+        n = base + len(needed)
+        xref_pos = len(out)
+        out.extend(f"xref\n0 {n}\n".encode())
+        out.extend(b"0000000000 65535 f \n")
+        for num in range(1, n):
+            out.extend(f"{offsets[num]:010d} 00000 n \n".encode())
+        out.extend(
+            f"trailer\n<< /Size {n} /Root 1 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF".encode()
+        )
+        return bytes(out)
+
+
+@_strict_valueerror
+def slice_pages(raw: bytes, page_indices) -> bytes:
+    """Minimal standalone sub-PDF holding only ``page_indices`` (0-based;
+    the slice's pages are in the given order). ``decode_pdf(slice_pages(
+    raw, idx))`` is pixel-identical to ``decode_pdf(raw, page_indices=
+    idx)`` (test-pinned). For repeated slices of one document, build a
+    :class:`_Slicer` once instead."""
+    return _Slicer(raw).slice(page_indices)
+
+
 @_strict_valueerror
 def decode_pdf(
     raw: bytes,

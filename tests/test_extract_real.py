@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from ocr_platform_spark import (
     corpus,
@@ -143,6 +144,40 @@ def test_bucket_rows_shape(real_corpus, spark):
     for spans_ in multi:
         assert spans_[0][0] == 0
         assert all(a[1] == b[0] for a, b in zip(spans_, spans_[1:]))
+
+
+def test_payload_slicing_equal_output_and_smaller_shuffle(real_corpus):
+    """slice_payloads (default on) must change BYTES, never output: the
+    sliced and unsliced bucket frames extract identical spans, multi-
+    bucket PDFs actually carry sliced sub-PDFs, and the total payload
+    bytes crossing the bucket shuffle shrink to ~the original corpus
+    size instead of ⌈pages/K⌉ full copies."""
+    docs_df, _synth, real = real_corpus
+    sliced_out = _spans_by_doc(extract_real.extract_real_documents(
+        docs_df, real, bucket_pages=1, slice_payloads=True))
+    full_out = _spans_by_doc(extract_real.extract_real_documents(
+        docs_df, real, bucket_pages=1, slice_payloads=False))
+    assert sliced_out == full_out
+    size = F.sum(F.length("data")).alias("bytes")
+    rows_sliced = (
+        extract_real.real_page_buckets(docs_df, real, bucket_pages=1)
+        .filter("media_kind != 'error'")
+        .groupBy("sliced").agg(size, F.count("*").alias("n")).collect()
+    )
+    by_flag = {r["sliced"]: r for r in rows_sliced}
+    # multi-bucket PDFs sliced; single-bucket media (images, 1-page
+    # PDFs) ride whole — slicing them would only add overhead
+    assert by_flag[True]["n"] > 0
+    unsliced_bytes = (
+        extract_real.real_page_buckets(
+            docs_df, real, bucket_pages=1, slice_payloads=False)
+        .filter("media_kind != 'error'")
+        .agg(size).collect()[0]["bytes"]
+    )
+    corpus_bytes = real.agg(size).collect()[0]["bytes"]
+    sliced_total = sum(r["bytes"] for r in rows_sliced)
+    assert sliced_total < unsliced_bytes / 2
+    assert sliced_total < corpus_bytes * 1.5  # ~once in total, not x pages
 
 
 def test_synthetic_payloads_quarantine_not_crash(real_corpus):

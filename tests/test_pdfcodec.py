@@ -430,6 +430,169 @@ def test_not_a_pdf_and_truncation():
         pdfcodec.decode_pdf(good[: len(good) // 2])
 
 
+# --- page slicing -------------------------------------------------------------
+
+
+def _mixed_pdf(n_rgb: int = 2) -> bytes:
+    """Multi-page PDF mixing every supported image class (RGB-Flate,
+    gray-8, bitonal /Decode [1 0], DCT) so slice tests cover each
+    stream-copy path."""
+    rng = _rng(77)
+    objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    kids, nxt = [], 3
+    pages_payloads = [
+        ("/DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode",
+         zlib.compress(rng.integers(0, 256, (30, 40, 3), np.uint8).tobytes()),
+         40, 30)
+        for _ in range(n_rgb)
+    ] + [
+        ("/DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+         zlib.compress(rng.integers(0, 256, (25, 50), np.uint8).tobytes()),
+         50, 25),
+        ("/DeviceGray /BitsPerComponent 1 /Decode [1 0] /Filter /FlateDecode",
+         zlib.compress(np.packbits(
+             rng.integers(0, 2, (20, 20), np.uint8), axis=1).tobytes()),
+         20, 20),
+        ("/DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+         jpegcodec.encode_jpeg(
+             rng.integers(0, 256, (16, 16, 3), np.uint8)), 16, 16),
+    ]
+    for cs, data, w, h in pages_payloads:
+        pg, ct, im = nxt, nxt + 1, nxt + 2
+        nxt += 3
+        kids.append(f"{pg} 0 R")
+        objs[pg] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 60] "
+            f"/Resources << /XObject << /Im0 {im} 0 R >> >> "
+            f"/Contents {ct} 0 R >>").encode()
+        objs[ct] = stream_obj("", b"q 100 0 0 60 0 0 cm /Im0 Do Q")
+        objs[im] = stream_obj(
+            f"/Subtype /Image /Width {w} /Height {h} /ColorSpace {cs}", data)
+    objs[2] = (f"<< /Type /Pages /Kids [{' '.join(kids)}] "
+               f"/Count {len(kids)} >>").encode()
+    return build_pdf(objs)
+
+
+def test_slice_pages_decode_equality_all_image_classes():
+    """decode_pdf(slice_pages(raw, idx)) == decode_pdf(raw, idx) pixel-
+    exactly, for every image class, both modes, arbitrary index order."""
+    raw = _mixed_pdf()
+    n = pdfcodec.page_count(raw)
+    assert n == 5
+    for idx in ([0], [2, 3], [4], list(range(n)), [3, 1, 0]):
+        for mode in ("RGB", "L"):
+            a = pdfcodec.decode_pdf(
+                pdfcodec.slice_pages(raw, idx), mode=mode)
+            b = pdfcodec.decode_pdf(raw, page_indices=idx, mode=mode)
+            assert len(a) == len(b) == len(idx)
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(x, y)
+    # a slice is itself a valid scanned PDF: probe + re-slice both work
+    sl = pdfcodec.slice_pages(raw, [1, 4])
+    assert pdfcodec.validate_scanned(sl)[0] == 2
+    np.testing.assert_array_equal(
+        pdfcodec.decode_pdf(pdfcodec.slice_pages(sl, [1]))[0],
+        pdfcodec.decode_pdf(raw, page_indices=[4])[0])
+
+
+def test_slice_pages_size_proportional():
+    """The point of slicing: a one-bucket slice of an N-page document
+    carries ~1/N of the bytes, not a full-payload copy."""
+    rng = _rng(55)
+    pages = [rng.integers(0, 256, (80, 60), np.uint8) for _ in range(12)]
+    from tests.test_extract_real import gray_scanned_pdf
+
+    raw = gray_scanned_pdf(pages)
+    one = pdfcodec.slice_pages(raw, [7])
+    assert len(one) < len(raw) / 6  # 1/12 of payload + fixed overhead
+    # and the union of disjoint slices stays ~the original total
+    total = sum(
+        len(pdfcodec.slice_pages(raw, range(lo, min(12, lo + 4))))
+        for lo in range(0, 12, 4)
+    )
+    assert total < len(raw) * 1.2
+
+
+def test_slice_prunes_pages_level_shared_resources():
+    """A Pages-level /Resources dict naming EVERY page's image must not
+    defeat the size win: the slicer keeps only the XObject names the
+    selected pages' content streams actually paint."""
+    rng = _rng(56)
+    imgs = [rng.integers(0, 256, (50, 40), np.uint8) for _ in range(3)]
+    objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    xod = " ".join(f"/Im{i} {10 + i} 0 R" for i in range(3))
+    objs[2] = (f"<< /Type /Pages /Kids [3 0 R 4 0 R 5 0 R] /Count 3 "
+               f"/MediaBox [0 0 19.2 24] "
+               f"/Resources << /XObject << {xod} >> >> >>").encode()
+    payloads = [zlib.compress(img.tobytes()) for img in imgs]
+    for i in range(3):
+        objs[3 + i] = (f"<< /Type /Page /Parent 2 0 R "
+                       f"/Contents {6 + i} 0 R >>").encode()
+        objs[6 + i] = stream_obj(
+            "", f"q 19.2 0 0 24 0 0 cm /Im{i} Do Q".encode())
+        objs[10 + i] = stream_obj(
+            f"/Subtype /Image /Width 40 /Height 50 /ColorSpace /DeviceGray "
+            f"/BitsPerComponent 8 /Filter /FlateDecode", payloads[i])
+    raw = build_pdf(objs)
+    sl = pdfcodec.slice_pages(raw, [1])
+    np.testing.assert_array_equal(
+        pdfcodec.decode_pdf(sl, mode="L")[0],
+        pdfcodec.decode_pdf(raw, page_indices=[1], mode="L")[0])
+    assert payloads[1] in sl
+    assert payloads[0] not in sl and payloads[2] not in sl
+    # inherited MediaBox materialized into the sliced page
+    assert pdfcodec.validate_scanned(sl) == (1, 40, 50)
+
+
+def test_slice_of_incremental_update_takes_newest_object():
+    """Slicing resolves through the /Prev chain: the slice of an
+    incrementally-updated document carries the NEWEST object bytes."""
+    old = np.full((50, 100, 3), 10, np.uint8)
+    new = np.full((50, 100, 3), 200, np.uint8)
+    base = scanned_pdf([old], ["0 0 48 24"])
+    img_num = 5
+    m = __import__("re").search(rb"startxref\s+(\d+)", base[-64:])
+    upd = bytearray(base)
+    new_off = len(upd)
+    upd += f"{img_num} 0 obj\n".encode() + rgb_image_obj(new) + b"\nendobj\n"
+    xref_pos = len(upd)
+    upd += (f"xref\n{img_num} 1\n{new_off:010d} 00001 n \n"
+            f"trailer\n<< /Size 6 /Root 1 0 R /Prev {int(m.group(1))} >>\n"
+            f"startxref\n{xref_pos}\n%%EOF").encode()
+    sl = pdfcodec.slice_pages(bytes(upd), [0])
+    np.testing.assert_array_equal(pdfcodec.decode_pdf(sl)[0], new)
+
+
+def test_slice_pages_error_contract():
+    raw = _mixed_pdf(n_rgb=1)
+    with pytest.raises(ValueError, match="out of range"):
+        pdfcodec.slice_pages(raw, [99])
+    with pytest.raises(ValueError, match="zero pages"):
+        pdfcodec.slice_pages(raw, [])
+    with pytest.raises(ValueError, match="header"):
+        pdfcodec.slice_pages(b"GIF89a...", [0])
+    # adversarial bytes: same ValueError-only contract as decode_pdf
+    rng = np.random.default_rng(4321)
+    base = bytearray(raw)
+    errored = 0
+    for _ in range(250):
+        mut = bytearray(base)
+        mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+        try:
+            sl = pdfcodec.slice_pages(bytes(mut), [0, 1])
+            # a successful slice must itself decode or raise ValueError
+            try:
+                pdfcodec.decode_pdf(sl)
+            except ValueError:
+                pass
+        except ValueError:
+            errored += 1
+    # lower bar than the decode fuzz: slicing copies stream bytes
+    # VERBATIM (never inflates them), so only structural bytes are
+    # load-bearing — but those must still fail as ValueError only
+    assert errored > 20
+
+
 # --- the seam ----------------------------------------------------------------
 
 

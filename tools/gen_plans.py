@@ -94,9 +94,11 @@ sections.append(("Real-codec extraction (extract_real_documents)",
   " (operators/extract_real.py, docs/SCALE.md): broadcast span-ref join"
   " over the SHARED lazily-checkpointed explode (the flagship's"
   " single-scan shape — the Scan ExistingRDD leaves below),"
-  " probe+bucket-explode MapInPandas (payload crosses the one Exchange"
-  " once per ceil(pages/K) bucket — the documented amplification"
-  " trade-off), hash repartition on (doc_id, offset, bucket_index) so a"
+  " probe+bucket-explode MapInPandas (multi-bucket PDFs are SLICED at"
+  " probe time into per-bucket sub-PDFs — pdfcodec._Slicer — so the"
+  " document's bytes cross the one Exchange ~once in total instead of"
+  " ceil(pages/K) full copies; slice_payloads=False restores the"
+  " full-payload rows), hash repartition on (doc_id, offset, bucket_index) so a"
   " 2,000-page scanned PDF is ~250 tasks instead of one straggler, bucket"
   " OCR decoding only its own page streams, then the same sentinel"
   " assemble tail as the flagship.",
