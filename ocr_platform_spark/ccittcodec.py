@@ -1,0 +1,326 @@
+"""Pure-stdlib CCITT Group 4 (ITU-T T.6) codec: the dominant compression
+for scanned bitonal documents (fax-class TIFFs and ``/CCITTFaxDecode``
+PDF image streams — the reference platform's PyMuPDF renderer decodes
+these natively; ``apps/worker/app/tasks/ocr_tasks.py:39-52``).
+
+Like :mod:`pngcodec` / :mod:`jpegcodec` / :mod:`pdfcodec`, this closes an
+env-gated seam with a dependency-free implementation so the real-codec
+path has live in-sandbox coverage. Both directions are implemented:
+
+* :func:`decode_g4` — T.6 two-dimensional decoding (pass / horizontal /
+  vertical modes, T.4 modified-Huffman run tables with make-up chains),
+  returning a ``(rows, cols)`` uint8 array with **1 = black** (ink).
+* :func:`encode_g4` — the matching coder (vertical preferred within
+  ±3, pass when the reference run ends early, horizontal otherwise,
+  EOFB terminator) so fixtures round-trip without an external library.
+
+Correctness evidence beyond round-trip (a shared wrong table would
+round-trip): the code tables are pinned by a prefix-freeness property
+test, canonical single-code encodings are asserted against hand-checked
+bit strings from the T.4 tables, and ``tests/test_real_codecs.py``
+cross-checks whole bitmaps against **Java ImageIO's TIFF reader** (JDK 9+
+ships CCITT T.6 support) through Spark's ``image`` source — a true
+third-party decoder that runs in-sandbox.
+
+The ValueError contract matches the other codecs: malformed or
+adversarial bit-streams raise ``ValueError`` (the quarantine path keys
+on it), never a parser leak; decoded geometry is bounded by the caller's
+``columns``/``rows`` so a lying header cannot balloon memory.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# ITU-T T.4 modified-Huffman run-length tables (shared by T.4 2D and T.6)
+# --------------------------------------------------------------------------
+
+#: run length -> code bit-string, white runs, terminating (0..63)
+WHITE_TERM = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100",
+}
+
+#: white make-up codes (64..1728)
+WHITE_MAKEUP = {
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100", 768: "011001101",
+    832: "011010010", 896: "011010011", 960: "011010100",
+    1024: "011010101", 1088: "011010110", 1152: "011010111",
+    1216: "011011000", 1280: "011011001", 1344: "011011010",
+    1408: "011011011", 1472: "010011000", 1536: "010011001",
+    1600: "010011010", 1664: "011000", 1728: "010011011",
+}
+
+#: black terminating codes (0..63)
+BLACK_TERM = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011", 5: "0011",
+    6: "0010", 7: "00011", 8: "000101", 9: "000100", 10: "0000100",
+    11: "0000101", 12: "0000111", 13: "00000100", 14: "00000111",
+    15: "000011000", 16: "0000010111", 17: "0000011000",
+    18: "0000001000", 19: "00001100111", 20: "00001101000",
+    21: "00001101100", 22: "00000110111", 23: "00000101000",
+    24: "00000010111", 25: "00000011000", 26: "000011001010",
+    27: "000011001011", 28: "000011001100", 29: "000011001101",
+    30: "000001101000", 31: "000001101001", 32: "000001101010",
+    33: "000001101011", 34: "000011010010", 35: "000011010011",
+    36: "000011010100", 37: "000011010101", 38: "000011010110",
+    39: "000011010111", 40: "000001101100", 41: "000001101101",
+    42: "000011011010", 43: "000011011011", 44: "000001010100",
+    45: "000001010101", 46: "000001010110", 47: "000001010111",
+    48: "000001100100", 49: "000001100101", 50: "000001010010",
+    51: "000001010011", 52: "000000100100", 53: "000000110111",
+    54: "000000111000", 55: "000000100111", 56: "000000101000",
+    57: "000001011000", 58: "000001011001", 59: "000000101011",
+    60: "000000101100", 61: "000001011010", 62: "000001100110",
+    63: "000001100111",
+}
+
+#: black make-up codes (64..1728)
+BLACK_MAKEUP = {
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+
+#: extended make-up codes (1792..2560), shared by both colours
+COMMON_MAKEUP = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+#: T.6 two-dimensional mode codes (T.4 table 4 / T.6 table 1)
+MODE_PASS = "0001"
+MODE_HORIZ = "001"
+MODE_V = {0: "1", 1: "011", 2: "000011", 3: "0000011",
+          -1: "010", -2: "000010", -3: "0000010"}
+#: T.6 end-of-facsimile-block: two EOLs
+EOFB = "000000000001" * 2
+#: 2D extension escape (incl. uncompressed mode) — rejected
+MODE_EXT_PREFIX = "0000001"
+
+
+def _invert(table: dict[int, str]) -> dict[str, int]:
+    inv = {}
+    for run, code in table.items():
+        if code in inv:  # pragma: no cover - table typo guard
+            raise AssertionError(f"duplicate code {code}")
+        inv[code] = run
+    return inv
+
+
+_WHITE_DEC = _invert({**WHITE_TERM, **WHITE_MAKEUP, **COMMON_MAKEUP})
+_BLACK_DEC = _invert({**BLACK_TERM, **BLACK_MAKEUP, **COMMON_MAKEUP})
+_MAX_CODE_LEN = 14  # longest MH code is 13 bits; one spare for safety
+
+
+class _BitReader:
+    """MSB-first bit reader over bytes, with bounded-length code lookup."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("CCITT bit-stream exhausted")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_code(self, table: dict[str, int], what: str) -> int:
+        buf = ""
+        for _ in range(_MAX_CODE_LEN):
+            buf += str(self.read_bit())
+            if buf in table:
+                return table[buf]
+        raise ValueError(f"invalid CCITT {what} code {buf!r}")
+
+
+def _read_run(rd: _BitReader, white: bool) -> int:
+    """One MH run: zero or more make-up codes then a terminating code."""
+    table = _WHITE_DEC if white else _BLACK_DEC
+    total = 0
+    for _ in range(64):  # bound make-up chains (adversarial streams)
+        run = rd.read_code(table, "white run" if white else "black run")
+        total += run
+        if run < 64:  # terminating code ends the run
+            return total
+    raise ValueError("CCITT make-up chain too long")
+
+
+def _b1_b2(ref: list[int], a0: int, color: int, width: int) -> tuple[int, int]:
+    """First changing element on the reference line right of ``a0`` with
+    colour opposite to ``color`` (T.4 §2.2.4 definitions). ``ref`` holds
+    alternating change positions: even index = change TO black."""
+    i = bisect_right(ref, a0)
+    # need a change to the opposite of `color`: to black (even index) when
+    # current colour is white (0), to white (odd index) when black (1)
+    if (i & 1) != color:
+        i += 1
+    b1 = ref[i] if i < len(ref) else width
+    b2 = ref[i + 1] if i + 1 < len(ref) else width
+    return b1, b2
+
+
+def decode_g4(data: bytes, columns: int, rows: int) -> np.ndarray:
+    """T.6 decode -> ``(rows, columns)`` uint8 array, 1 = black.
+
+    ``rows`` must be known by the caller (PDF ``/Rows``/``/Height``,
+    TIFF ``ImageLength``) — decoding stops after exactly that many rows;
+    a trailing EOFB, zero-fill or byte padding is ignored. Raises
+    ``ValueError`` on invalid codes, runs overshooting the row width,
+    2D extension/uncompressed escapes, or a truncated stream.
+    """
+    if columns <= 0 or rows <= 0:
+        raise ValueError("CCITT decode needs positive columns and rows")
+    rd = _BitReader(data)
+    out = np.zeros((rows, columns), np.uint8)
+    ref: list[int] = []  # imaginary all-white line above the first row
+    for y in range(rows):
+        cur: list[int] = []
+        a0 = -1
+        color = 0  # 0 = white, 1 = black
+        while a0 < columns:
+            b1, b2 = _b1_b2(ref, a0, color, columns)
+            # mode decode: V0=1, VR1=011, VL1=010, H=001, P=0001,
+            # VR2/VL2 = 00001x, VR3/VL3/EXT = 0000 0xx...
+            if rd.read_bit():
+                a1 = b1  # V0
+            elif rd.read_bit():
+                a1 = b1 + 1 if rd.read_bit() else b1 - 1  # VR1 / VL1
+            elif rd.read_bit():  # 001: horizontal
+                start = a0 if a0 > 0 else 0
+                r1 = _read_run(rd, white=color == 0)
+                r2 = _read_run(rd, white=color != 0)
+                t1, t2 = start + r1, start + r1 + r2
+                if not (a0 < t1 <= t2 <= columns) or \
+                        (cur and t1 < cur[-1]):
+                    raise ValueError("CCITT horizontal runs overshoot row")
+                cur.extend((t1, t2))
+                a0 = t2
+                continue
+            elif rd.read_bit():  # 0001: pass
+                if b2 > columns:
+                    raise ValueError("CCITT pass mode overshoots row")
+                a0 = b2
+                continue
+            elif rd.read_bit():
+                a1 = b1 + 2 if rd.read_bit() else b1 - 2  # VR2 / VL2
+            elif rd.read_bit():
+                a1 = b1 + 3 if rd.read_bit() else b1 - 3  # VR3 / VL3
+            else:
+                # 0000000...: EOL/EOFB inside the image, or 2D extension
+                raise ValueError(
+                    "unexpected CCITT EOL/extension code inside G4 image "
+                    "(uncompressed mode and T.4 EOLs unsupported)"
+                )
+            # vertical mode lands a changing element at a1
+            if a1 <= a0 or a1 > columns or a1 < 0 or (cur and a1 < cur[-1]):
+                raise ValueError("CCITT vertical mode out of order")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+        if a0 > columns:
+            raise ValueError("CCITT row overshoots width")
+        # paint the row: changes alternate white->black->white...
+        for k in range(0, len(cur) - 1, 2):
+            out[y, cur[k]:cur[k + 1]] = 1
+        if len(cur) % 2:  # trailing black run to the row edge
+            out[y, cur[-1]:] = 1
+        ref = cur
+    return out
+
+
+# --------------------------------------------------------------------------
+# encoder (fixtures / round-trip; same tables, independent control flow)
+# --------------------------------------------------------------------------
+
+
+def _encode_run(bits: list[str], run: int, white: bool) -> None:
+    term = WHITE_TERM if white else BLACK_TERM
+    makeup = {**(WHITE_MAKEUP if white else BLACK_MAKEUP), **COMMON_MAKEUP}
+    while run >= 64:
+        m = min(2560, run & ~63)
+        while m not in makeup:  # pragma: no cover - all multiples exist
+            m -= 64
+        bits.append(makeup[m])
+        run -= m
+    bits.append(term[run])
+
+
+def _changes(row: np.ndarray) -> list[int]:
+    """Positions where the colour flips, starting from white at x=0."""
+    d = np.flatnonzero(np.diff(row.astype(np.int8)))
+    pos = (d + 1).tolist()
+    if row[0]:
+        pos.insert(0, 0)
+    return pos
+
+
+def encode_g4(bitmap: np.ndarray) -> bytes:
+    """T.6 encode of a ``(rows, cols)`` array (nonzero = black), EOFB
+    terminated, zero-padded to a byte boundary."""
+    if bitmap.ndim != 2 or bitmap.size == 0:
+        raise ValueError("encode_g4 needs a non-empty 2-D bitmap")
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    rows, width = bm.shape
+    bits: list[str] = []
+    ref: list[int] = []
+    for y in range(rows):
+        cur = _changes(bm[y])
+        a0 = -1
+        color = 0
+        i = 0  # index into cur of the next changing element right of a0
+        while a0 < width:
+            a1 = cur[i] if i < len(cur) else width
+            b1, b2 = _b1_b2(ref, a0, color, width)
+            if b2 < a1:
+                bits.append(MODE_PASS)
+                a0 = b2
+                # a0 moved; cur index unchanged (a1 still right of a0)
+            elif abs(a1 - b1) <= 3:
+                bits.append(MODE_V[a1 - b1])
+                a0 = a1
+                color ^= 1
+                i += 1
+            else:
+                a2 = cur[i + 1] if i + 1 < len(cur) else width
+                start = a0 if a0 > 0 else 0
+                bits.append(MODE_HORIZ)
+                _encode_run(bits, a1 - start, white=color == 0)
+                _encode_run(bits, a2 - a1, white=color != 0)
+                a0 = a2
+                i += 2
+        ref = cur
+    bits.append(EOFB)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
