@@ -13,13 +13,18 @@ Supported subset — chosen to cover what scanners/printers actually emit,
 with a hard ``ValueError`` on everything else (never a silent blank or
 wrong raster; the quarantine path keys on ``ValueError``):
 
-* classic cross-reference tables, incremental updates via ``/Prev``
-  chains, free-entry lists. PDF 1.5+ cross-reference *streams* and
-  object streams raise (``xref stream unsupported``).
+* classic cross-reference tables AND PDF 1.5+ cross-reference streams
+  (``/Type /XRef``, any ``/W`` widths, ``/Index`` subsections, PNG
+  predictors), object streams (``/Type /ObjStm``), incremental updates
+  via ``/Prev`` chains (mixed classic/stream), hybrid-reference files
+  (``/XRefStm``), free-entry lists.
 * ``/FlateDecode`` stream filter (zlib), optionally with PNG predictors
   (``/DecodeParms /Predictor >= 10`` — reuses :func:`pngcodec._unfilter`)
   for both content and image streams; ``/DCTDecode`` image streams decode
-  through :func:`jpegcodec.decode_jpeg`. CCITT/JBIG2/JPX/LZW raise.
+  through :func:`jpegcodec.decode_jpeg`; ``/CCITTFaxDecode`` with
+  ``K < 0`` (Group 4 — the standard encoding for scanned bitonal pages)
+  through :func:`ccittcodec.decode_g4` (``BlackIs1`` honoured; G3,
+  ``EncodedByteAlign`` raise). JBIG2/JPX/LZW raise.
 * page content limited to the scanned-page operator set: graphics-state
   stack (``q``/``Q``), matrix concat (``cm``), image XObject paint
   (``Do``), plus inert state/clipping operators. Text-showing and
@@ -44,7 +49,7 @@ import zlib
 
 import numpy as np
 
-from . import jpegcodec, pngcodec, raster
+from . import ccittcodec, jpegcodec, pngcodec, raster
 
 RENDER_DPI = 150  # reference: ocr_tasks.py:47 get_pixmap(dpi=150)
 _POINT_DPI = 72.0
@@ -215,9 +220,23 @@ class _Document:
     def __init__(self, raw: bytes):
         self.raw = raw
         self.xref: dict[int, int] = {}  # obj num -> byte offset
+        #: obj num -> (object-stream num, index within it) — type-2 entries
+        self.compressed: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, tuple] = {}
         self._load_xref()
+
+    def _claim(self, num: int, offset_or_stm: int, idx: int = -1) -> None:
+        """Record an in-use xref entry; first-seen (newest section in the
+        /Prev chain) wins, across BOTH the classic and compressed maps —
+        an update can move an object between a plain slot and an object
+        stream, and the stale location must not shadow the new one."""
+        if num in self.xref or num in self.compressed:
+            return
+        if idx < 0:
+            self.xref[num] = offset_or_stm
+        else:
+            self.compressed[num] = (offset_or_stm, idx)
 
     def _load_xref(self) -> None:
         raw = self.raw
@@ -232,36 +251,112 @@ class _Document:
         while offset and offset not in seen:
             seen.add(offset)
             pos = _skip_ws(raw, offset)
-            if not raw.startswith(b"xref", pos):
-                raise ValueError(
-                    "PDF cross-reference stream unsupported "
-                    "(classic xref tables only)"
-                )
-            pos += 4
-            while True:
-                pos = _skip_ws(raw, pos)
-                if raw.startswith(b"trailer", pos):
-                    pos += 7
-                    trailer, pos = parse_object(raw, pos)
-                    # earlier trailers in a /Prev chain must not override
-                    for k, v in trailer.items():
-                        self.trailer.setdefault(k, v)
-                    offset = trailer.get("Prev", 0)
-                    break
-                m2 = re.match(rb"(\d+)\s+(\d+)", raw[pos:pos + 64])
-                if not m2:
-                    raise ValueError("malformed xref subsection header")
-                first, count = int(m2.group(1)), int(m2.group(2))
-                pos = _skip_ws(raw, pos + m2.end())
-                for i in range(count):
-                    entry = raw[pos:pos + 20]
-                    if len(entry) < 18:
-                        raise ValueError("truncated xref entry")
-                    off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
-                    if kind == b"n":
-                        # newest (first-seen) entry wins across /Prev chain
-                        self.xref.setdefault(first + i, int(off))
-                    pos += 20
+            if raw.startswith(b"xref", pos):
+                offset = self._load_classic_section(pos + 4)
+            else:
+                offset = self._load_xref_stream(pos)
+
+    def _load_classic_section(self, pos: int) -> int:
+        """Classic ``xref`` table at ``pos``; returns the /Prev offset."""
+        raw = self.raw
+        while True:
+            pos = _skip_ws(raw, pos)
+            if raw.startswith(b"trailer", pos):
+                pos += 7
+                trailer, pos = parse_object(raw, pos)
+                # earlier trailers in a /Prev chain must not override
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)
+                # hybrid-reference file (spec 7.5.8.4): the companion
+                # xref STREAM carries the compressed-object entries this
+                # classic section omits; read it before following /Prev
+                # (this section's own entries were claimed first, so
+                # they still win within the level).
+                xstm = trailer.get("XRefStm")
+                if isinstance(xstm, int) and xstm > 0:
+                    self._load_xref_stream(_skip_ws(raw, xstm))
+                return trailer.get("Prev", 0)
+            m2 = re.match(rb"(\d+)\s+(\d+)", raw[pos:pos + 64])
+            if not m2:
+                raise ValueError("malformed xref subsection header")
+            first, count = int(m2.group(1)), int(m2.group(2))
+            pos = _skip_ws(raw, pos + m2.end())
+            for i in range(count):
+                entry = raw[pos:pos + 20]
+                if len(entry) < 18:
+                    raise ValueError("truncated xref entry")
+                off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
+                if kind == b"n":
+                    # newest (first-seen) entry wins across /Prev chain
+                    self._claim(first + i, int(off))
+                pos += 20
+
+    def _load_xref_stream(self, pos: int) -> int:
+        """PDF 1.5 cross-reference stream (spec 7.5.8) at ``pos``;
+        returns the /Prev offset. The stream object is read directly
+        (its own offset came from ``startxref``/``/Prev`` — the xref map
+        does not exist yet), so ``/Length`` must be a direct integer."""
+        raw = self.raw
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj", raw[pos:pos + 64])
+        if not m:
+            raise ValueError(
+                "startxref/Prev target is neither a classic xref table "
+                "nor an indirect object"
+            )
+        d, pos = parse_object(raw, pos + m.end())
+        if not isinstance(d, dict) or str(self.get(d.get("Type", ""))) != "XRef":
+            raise ValueError("xref stream object missing /Type /XRef")
+        pos = _skip_ws(raw, pos)
+        if not raw.startswith(b"stream", pos):
+            raise ValueError("xref stream object has no stream")
+        pos += 6
+        if raw.startswith(b"\r\n", pos):
+            pos += 2
+        elif raw.startswith(b"\n", pos):
+            pos += 1
+        length = d.get("Length")
+        if not isinstance(length, int):
+            raise ValueError("xref stream /Length must be a direct integer")
+        data = self._decode_stream(d, raw[pos:pos + length])
+        size = d.get("Size")
+        w = d.get("W")
+        if not isinstance(size, int) or not isinstance(w, list) or \
+                len(w) != 3 or not all(isinstance(x, int) and 0 <= x <= 8
+                                       for x in w):
+            raise ValueError("xref stream needs integer /Size and 3-int /W")
+        index = d.get("Index", [0, size])
+        if not isinstance(index, list) or len(index) % 2 or \
+                not all(isinstance(x, int) and x >= 0 for x in index):
+            raise ValueError("malformed xref stream /Index")
+        w1, w2, w3 = w
+        ew = w1 + w2 + w3
+        if ew == 0:
+            raise ValueError("xref stream /W is all zeros")
+        p = 0
+        for s in range(0, len(index), 2):
+            first, count = index[s], index[s + 1]
+            for i in range(count):
+                entry = data[p:p + ew]
+                if len(entry) < ew:
+                    raise ValueError("truncated xref stream data")
+                p += ew
+                # field 1 defaults to type 1 when /W[0] == 0 (spec table 17)
+                typ = int.from_bytes(entry[:w1], "big") if w1 else 1
+                f2 = int.from_bytes(entry[w1:w1 + w2], "big")
+                f3 = int.from_bytes(entry[w1 + w2:], "big")
+                if typ == 1:
+                    self._claim(first + i, f2)
+                elif typ == 2:
+                    self._claim(first + i, f2, f3)
+                # type 0 (free) skipped as in the classic loader; unknown
+                # types are "null object" per spec — also skipped
+        for k, v in d.items():
+            if k not in ("Type", "Size", "W", "Index", "Filter",
+                         "DecodeParms", "Length", "Prev"):
+                self.trailer.setdefault(k, v)
+        self.trailer.setdefault("Size", size)
+        prev = d.get("Prev", 0)
+        return prev if isinstance(prev, int) else 0
 
     def get(self, ref):
         """Resolve an indirect reference (or pass through a direct value)."""
@@ -291,6 +386,8 @@ class _Document:
         if num in self._cache:
             return self._cache[num]
         if num not in self.xref:
+            if num in self.compressed:
+                return self._get_compressed(num)
             raise ValueError(f"PDF object {num} not in xref")
         raw = self.raw
         pos = self.xref[num]
@@ -315,6 +412,42 @@ class _Document:
         self._cache[num] = (val, rawstream)
         return val, rawstream
 
+    def _get_compressed(self, num: int):
+        """Resolve a type-2 entry: parse the object out of its
+        ``/Type /ObjStm`` container (spec 7.5.7). Objects in an object
+        stream are always direct (never streams themselves)."""
+        stm_num, idx = self.compressed[num]
+        if stm_num in self.compressed:
+            raise ValueError("object stream inside an object stream")
+        d, data = self.get_stream(_Ref((stm_num, 0)))
+        if str(self.get(d.get("Type", ""))) != "ObjStm":
+            raise ValueError(
+                f"compressed object {num} points at a non-/ObjStm stream"
+            )
+        n = self.get(d.get("N"))
+        first = self.get(d.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int) or \
+                not 0 <= first <= len(data):
+            raise ValueError("object stream needs integer /N and /First")
+        # header: N pairs of "objnum offset" integers before /First —
+        # plain split, NOT parse_object (its `<num> <gen> R` lookahead
+        # could swallow the first object's bytes past the header edge)
+        toks = data[:first].split()
+        if len(toks) < 2 * n or idx >= n:
+            raise ValueError("object stream header shorter than /N pairs")
+        try:
+            onum, ooff = int(toks[2 * idx]), int(toks[2 * idx + 1])
+        except Exception as e:
+            raise ValueError(f"malformed object stream header: {e}") from e
+        if onum != num:
+            raise ValueError(
+                f"object stream index {idx} holds object {onum}, "
+                f"xref claims {num}"
+            )
+        val, _end = parse_object(data, first + ooff)
+        self._cache[num] = (val, None)
+        return val, None
+
     def _decode_stream(self, d: dict, data: bytes) -> bytes:
         filters = self.get(d.get("Filter"))
         if filters is None:
@@ -332,9 +465,9 @@ class _Document:
                 except zlib.error as e:
                     raise ValueError(f"bad FlateDecode stream: {e}") from e
                 data = self._unpredict(self.get(parm), data)
-            elif filt == "DCTDecode":
-                # terminal image filter: handled by the image decoder
-                raise ValueError("DCTDecode outside an image XObject")
+            elif filt in ("DCTDecode", "CCITTFaxDecode"):
+                # terminal image filters: handled by the image decoder
+                raise ValueError(f"{filt} outside an image XObject")
             else:
                 raise ValueError(f"unsupported PDF stream filter /{filt}")
         return data
@@ -517,6 +650,16 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
         if filters[-1] != "DCTDecode" or len(filters) != 1:
             raise ValueError("DCTDecode must be the sole image filter")
         return filters, cs, bpc, decode
+    if "CCITTFaxDecode" in filters:
+        if filters != ["CCITTFaxDecode"]:
+            raise ValueError("CCITTFaxDecode must be the sole image filter")
+        if not (cs == "DeviceGray" and bpc == 1) or \
+                decode not in (None, [0, 1], [1, 0]):
+            raise ValueError(
+                "CCITT image must be DeviceGray 1-bit with default Decode"
+            )
+        _ccitt_parms(doc, d, w, h)  # raises on anything outside G4
+        return filters, cs, bpc, decode
     if filters and filters != ["FlateDecode"]:
         raise ValueError(f"unsupported image filter chain {filters}")
     supported = (
@@ -532,6 +675,37 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
             "(DeviceRGB-8, DeviceGray-8, DeviceGray-1 only)"
         )
     return filters, cs, bpc, decode
+
+
+def _ccitt_parms(doc: _Document, d: dict, w: int, h: int) -> bool:
+    """Validate ``/CCITTFaxDecode`` ``/DecodeParms`` against the G4
+    subset; returns ``BlackIs1``. Shared by :func:`_image_plan` (probe)
+    and :func:`_decode_image` so the pre-flight enforces exactly what
+    decoding enforces."""
+    parms = doc.get(d.get("DecodeParms"))
+    if isinstance(parms, list):
+        parms = doc.get(parms[0]) if parms else None
+    if parms is None:
+        parms = {}
+    if not isinstance(parms, dict):
+        raise ValueError("CCITT /DecodeParms is not a dictionary")
+    k = doc.get(parms.get("K", 0))
+    if not isinstance(k, int) or k >= 0:
+        raise ValueError(
+            f"CCITT K={k} unsupported (Group 4 only, K < 0; "
+            "G3 1D/mixed raise)"
+        )
+    columns = doc.get(parms.get("Columns", 1728))
+    if columns != w:
+        raise ValueError(
+            f"CCITT /Columns {columns} != image /Width {w}"
+        )
+    rows = doc.get(parms.get("Rows", h))
+    if rows != h:
+        raise ValueError(f"CCITT /Rows {rows} != image /Height {h}")
+    if doc.get(parms.get("EncodedByteAlign", False)):
+        raise ValueError("CCITT EncodedByteAlign unsupported")
+    return bool(doc.get(parms.get("BlackIs1", False)))
 
 
 def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
@@ -563,6 +737,14 @@ def _decode_image(doc: _Document, d: dict, data: bytes,
     h = int(doc.get(d.get("Height", 0)))
     if filters and filters[-1] == "DCTDecode":
         return jpegcodec.decode_jpeg(data)  # convert("RGB") parity inside
+    if filters == ["CCITTFaxDecode"]:
+        black = ccittcodec.decode_g4(data, w, h)
+        # filter-output samples: 0 = black unless BlackIs1 (PDF 7.4.6)
+        bits = black if _ccitt_parms(doc, d, w, h) else 1 - black
+        if decode == [1, 0]:
+            bits = 1 - bits
+        g = (bits * 255).astype(np.uint8)
+        return g if gray else np.stack([g] * 3, axis=-1)
     if filters == ["FlateDecode"]:
         try:
             data = zlib.decompress(data)

@@ -11,8 +11,11 @@ The load-bearing pins:
 * PDF y-up vs raster y-down placement, sub-rect margins, negative-scale
   flips;
 * the ValueError contract on everything outside the scanned subset
-  (vector text, path painting, CCITT, xref streams, Form XObjects) — a
-  vector page must never silently render blank.
+  (vector text, path painting, CCITT, Form XObjects) — a vector page
+  must never silently render blank;
+* PDF 1.5 xref streams / object streams decode identically to the
+  classic-xref encoding of the same objects (all four encoding
+  variants), with their own adversarial-mutation contract.
 """
 
 from __future__ import annotations
@@ -63,9 +66,11 @@ def rgb_image_obj(arr: np.ndarray) -> bytes:
     )
 
 
-def scanned_pdf(images: list[np.ndarray], mediaboxes: list[str],
-                cms: list[str] | None = None) -> bytes:
-    """One page per image; content = q <cm> /Im0 Do Q."""
+def scanned_objs(images: list[np.ndarray], mediaboxes: list[str],
+                 cms: list[str] | None = None) -> dict[int, bytes]:
+    """Object set for a scanned PDF: one page per image, content =
+    q <cm> /Im0 Do Q. Objects 1/2/page-dicts are plain dictionaries
+    (object-stream compressible); content/image objects are streams."""
     objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
     kids, next_num = [], 3
     for i, (img, mb) in enumerate(zip(images, mediaboxes)):
@@ -82,7 +87,87 @@ def scanned_pdf(images: list[np.ndarray], mediaboxes: list[str],
         objs[im] = rgb_image_obj(img)
     objs[2] = (f"<< /Type /Pages /Kids [{' '.join(kids)}] "
                f"/Count {len(kids)} >>").encode()
-    return build_pdf(objs)
+    return objs
+
+
+def scanned_pdf(images: list[np.ndarray], mediaboxes: list[str],
+                cms: list[str] | None = None) -> bytes:
+    return build_pdf(scanned_objs(images, mediaboxes, cms))
+
+
+def _png_up_predict(rows: list[bytes]) -> bytes:
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for r in rows:
+        out.append(2)  # PNG "Up" filter
+        out += bytes((c - p) & 0xFF for c, p in zip(r, prev))
+        prev = r
+    return bytes(out)
+
+
+def build_pdf_xrefstream(objects: dict[int, bytes], root: int = 1,
+                         compressed=frozenset(), predictor: bool = False,
+                         split_index: bool = False,
+                         tamper_rows: dict[int, tuple] | None = None) -> bytes:
+    """Assemble a PDF 1.5 file: ``compressed`` object numbers (plain
+    dictionaries only) packed into one /ObjStm, everything referenced by
+    an xref STREAM (/W [1 4 2], optional PNG Up predictor, optional
+    one-subsection-per-object /Index). ``tamper_rows`` overrides packed
+    (type, f2, f3) rows by object number — for error-contract tests."""
+    comp = sorted(set(compressed))
+    objstm_num = max(objects) + 1
+    xref_num = objstm_num + 1 if comp else objstm_num
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        if num in comp:
+            continue
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    if comp:
+        hdr_parts, data = [], bytearray()
+        for num in comp:
+            hdr_parts.append(f"{num} {len(data)}")
+            data += objects[num] + b" "
+        hdr = (" ".join(hdr_parts) + " ").encode()
+        payload = zlib.compress(hdr + bytes(data))
+        offsets[objstm_num] = len(out)
+        out += (f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(comp)} "
+                f"/First {len(hdr)} /Filter /FlateDecode "
+                f"/Length {len(payload)} >>\nstream\n").encode()
+        out += payload + b"\nendstream\nendobj\n"
+    xref_pos = len(out)
+    size = xref_num + 1
+    rows = []
+    for num in range(size):
+        if tamper_rows and num in tamper_rows:
+            rows.append(tamper_rows[num])
+        elif num in offsets:
+            rows.append((1, offsets[num], 0))
+        elif num in comp:
+            rows.append((2, objstm_num, comp.index(num)))
+        elif num == xref_num:
+            rows.append((1, xref_pos, 0))
+        else:
+            rows.append((0, 0, 65535 if num == 0 else 0))
+    packed = [bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+              for t, f2, f3 in rows]
+    index = ""
+    if split_index:
+        index = ("/Index [ " +
+                 " ".join(f"{n} 1" for n in range(size)) + " ] ")
+    if predictor:
+        body = zlib.compress(_png_up_predict(packed))
+        parms = "/DecodeParms << /Predictor 12 /Columns 7 >> "
+    else:
+        body = zlib.compress(b"".join(packed))
+        parms = ""
+    out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+            f"{index}/Root {root} 0 R /Filter /FlateDecode {parms}"
+            f"/Length {len(body)} >>\nstream\n").encode()
+    out += body + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_pos}\n%%EOF".encode()
+    return bytes(out)
 
 
 def _fill_cm(mb: str) -> str:
@@ -323,14 +408,98 @@ def test_path_painting_raises():
         pdfcodec.decode_pdf(raw)
 
 
-def test_ccitt_filter_raises():
-    img = stream_obj(
-        "/Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceGray "
-        "/BitsPerComponent 1 /Filter /CCITTFaxDecode", b"\x00" * 8)
-    raw = _one_page(b"q 48 0 0 24 0 0 cm /Im0 Do Q", {5: img},
-                    b"<< /XObject << /Im0 5 0 R >> >>")
-    with pytest.raises(ValueError, match="filter"):
+def _ccitt_img_obj(bm: np.ndarray, parms: str = "",
+                   extra: str = "") -> bytes:
+    """Image XObject carrying our own G4 encoding of ``bm`` (1 = black)."""
+    from ocr_platform_spark import ccittcodec
+
+    h, w = bm.shape
+    return stream_obj(
+        f"/Subtype /Image /Width {w} /Height {h} /ColorSpace /DeviceGray "
+        f"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+        f"/DecodeParms << /K -1 /Columns {w} /Rows {h} {parms} >>{extra}",
+        ccittcodec.encode_g4(bm),
+    )
+
+
+def _ccitt_page(bm: np.ndarray, parms: str = "", extra: str = "") -> bytes:
+    h, w = bm.shape
+    # identity scale: MediaBox = dims * 72/150 -> no resample
+    mb = f"0 0 {w * 72 / 150} {h * 72 / 150}"
+    return _one_page(
+        f"q {w * 72 / 150} 0 0 {h * 72 / 150} 0 0 cm /Im0 Do Q".encode(),
+        {5: _ccitt_img_obj(bm, parms, extra),
+         3: (f"<< /Type /Page /Parent 2 0 R /MediaBox [{mb}] /Resources "
+             f"<< /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>").encode()},
+    )
+
+
+def test_ccitt_g4_page_decodes_bit_exact():
+    """A G4 scanned page renders byte-exactly: black bits -> 0, white ->
+    255 (default BlackIs1=false, default Decode)."""
+    bm = (_rng(31).random((24, 40)) < 0.2).astype(np.uint8)
+    raw = _ccitt_page(bm)
+    assert pdfcodec.validate_scanned(raw) == (1, 40, 24)  # no inflation
+    pages = pdfcodec.decode_pdf(raw)
+    want = np.stack([(1 - bm) * 255] * 3, axis=-1).astype(np.uint8)
+    np.testing.assert_array_equal(pages[0], want)
+    # mode="L" native-gray path agrees with rgb_to_gray of the RGB render
+    gray = pdfcodec.decode_pdf(raw, mode="L")[0]
+    np.testing.assert_array_equal(gray, pdfcodec.rgb_to_gray(pages[0]))
+
+
+def test_ccitt_blackis1_and_decode_inversion():
+    """PDF 7.4.6 semantics: BlackIs1=false (default) emits 0-samples for
+    black, so DeviceGray renders ink dark; BlackIs1=true emits 1-samples
+    — spec-literally that renders ink WHITE under the default /Decode,
+    which is why real scanners pair it with /Decode [1 0]. Both axes and
+    their composition are pinned."""
+    bm = (_rng(32).random((10, 16)) < 0.4).astype(np.uint8)
+    p0 = pdfcodec.decode_pdf(_ccitt_page(bm))[0]
+    np.testing.assert_array_equal(
+        p0, np.stack([(1 - bm) * 255] * 3, axis=-1))
+    p1 = pdfcodec.decode_pdf(_ccitt_page(bm, parms="/BlackIs1 true"))[0]
+    np.testing.assert_array_equal(p1, 255 - p0)
+    both = pdfcodec.decode_pdf(_ccitt_page(
+        bm, parms="/BlackIs1 true", extra=" /Decode [ 1 0 ]"))[0]
+    np.testing.assert_array_equal(both, p0)
+    inv = pdfcodec.decode_pdf(_ccitt_page(bm, extra=" /Decode [ 1 0 ]"))[0]
+    np.testing.assert_array_equal(inv, 255 - p0)
+
+
+def test_ccitt_unsupported_variants_raise():
+    bm = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError, match="K=0"):
+        pdfcodec.decode_pdf(_one_page(
+            b"q 3.84 0 0 3.84 0 0 cm /Im0 Do Q",
+            {5: stream_obj(
+                "/Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceGray "
+                "/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+                "/DecodeParms << /K 0 /Columns 8 >>", b"\x00" * 8)},
+            b"<< /XObject << /Im0 5 0 R >> >>"))
+    with pytest.raises(ValueError, match="Columns"):
+        pdfcodec.decode_pdf(_ccitt_page(bm, parms="/Columns 16"))
+    with pytest.raises(ValueError, match="EncodedByteAlign"):
+        pdfcodec.decode_pdf(_ccitt_page(bm, parms="/EncodedByteAlign true"))
+    with pytest.raises(ValueError, match="DeviceGray 1-bit"):
+        # 8-bit gray with a CCITT filter is malformed
+        raw = _one_page(
+            b"q 3.84 0 0 3.84 0 0 cm /Im0 Do Q",
+            {5: stream_obj(
+                "/Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceGray "
+                "/BitsPerComponent 8 /Filter /CCITTFaxDecode "
+                "/DecodeParms << /K -1 /Columns 8 >>", b"\x00" * 8)},
+            b"<< /XObject << /Im0 5 0 R >> >>")
         pdfcodec.decode_pdf(raw)
+    # validate_scanned enforces the same subset at probe time
+    with pytest.raises(ValueError, match="K=0"):
+        pdfcodec.validate_scanned(_one_page(
+            b"q 3.84 0 0 3.84 0 0 cm /Im0 Do Q",
+            {5: stream_obj(
+                "/Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceGray "
+                "/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+                "/DecodeParms << /K 0 /Columns 8 >>", b"\x00" * 8)},
+            b"<< /XObject << /Im0 5 0 R >> >>"))
 
 
 def test_form_xobject_raises():
@@ -341,12 +510,145 @@ def test_form_xobject_raises():
         pdfcodec.decode_pdf(raw)
 
 
-def test_xref_stream_raises():
-    # startxref pointing at an object header instead of a classic table
+def test_malformed_xref_stream_raises():
+    # /Type /XRef but no /Length — must be a direct integer
     body = (b"%PDF-1.5\n1 0 obj\n<< /Type /XRef >>\nstream\nendstream\n"
             b"endobj\nstartxref\n9\n%%EOF")
-    with pytest.raises(ValueError, match="cross-reference stream"):
+    with pytest.raises(ValueError, match="xref stream"):
         pdfcodec.decode_pdf(body)
+    # startxref at an object that is not /Type /XRef
+    body = (b"%PDF-1.5\n1 0 obj\n<< /Type /Catalog >>\n"
+            b"endobj\nstartxref\n9\n%%EOF")
+    with pytest.raises(ValueError, match="/Type /XRef"):
+        pdfcodec.decode_pdf(body)
+    # startxref at something that is not even an object
+    with pytest.raises(ValueError, match="neither"):
+        pdfcodec.decode_pdf(b"%PDF-1.5\njunk\nstartxref\n9\n%%EOF")
+
+
+# --- PDF 1.5 xref streams + object streams ------------------------------------
+
+
+def _xrefstream_variants(objs):
+    """The same document in every 1.5 encoding the codec supports."""
+    nonstream = {n for n, b in objs.items() if not b.startswith(b"<<") or
+                 b"stream" not in b}
+    # compress exactly the plain dictionaries (catalog/pages/page dicts)
+    comp = {n for n in objs
+            if b"endstream" not in objs[n] and b"\nstream\n" not in objs[n]}
+    assert nonstream  # sanity: helper used on real object sets
+    return [
+        build_pdf_xrefstream(objs),
+        build_pdf_xrefstream(objs, predictor=True),
+        build_pdf_xrefstream(objs, compressed=comp),
+        build_pdf_xrefstream(objs, compressed=comp, predictor=True,
+                             split_index=True),
+    ]
+
+
+def test_xref_stream_objstm_decode_equality():
+    """Every 1.5 encoding (xref stream, +predictor, +ObjStm, +split
+    /Index) renders pixel-identically to the classic-xref build, and the
+    whole probe/validate/slice surface works on it."""
+    imgs = [_rng(21).integers(0, 256, (30, 40, 3), dtype=np.uint8),
+            _rng(22).integers(0, 256, (20, 20, 3), dtype=np.uint8)]
+    objs = scanned_objs(imgs, ["0 0 100 200", "0 0 50 50"])
+    classic_pages = pdfcodec.decode_pdf(build_pdf(objs))
+    for raw in _xrefstream_variants(objs):
+        assert pdfcodec.page_count(raw) == 2
+        assert pdfcodec.validate_scanned(raw) == (2, 208, 417)
+        pages = pdfcodec.decode_pdf(raw)
+        for got, want in zip(pages, classic_pages):
+            np.testing.assert_array_equal(got, want)
+        # slicing re-emits classic xref; page 1 of the slice == page 1 here
+        sliced = pdfcodec.decode_pdf(pdfcodec.slice_pages(raw, [1]))
+        np.testing.assert_array_equal(sliced[0], classic_pages[1])
+
+
+def test_xref_stream_update_over_classic_base_newest_wins():
+    """Mixed /Prev chain: an xref-STREAM incremental update on a classic
+    base replaces the image object; the newest (stream) entry must win."""
+    old = np.full((10, 10, 3), 9, np.uint8)
+    new = np.full((10, 10, 3), 200, np.uint8)
+    base = scanned_pdf([old], ["0 0 4.8 4.8"])
+    img_num = 5  # scanned_objs: page=3, content=4, image=5
+    m = __import__("re").search(rb"startxref\s+(\d+)", base[-64:])
+    prev_xref = int(m.group(1))
+    upd = bytearray(base)
+    new_off = len(upd)
+    upd += f"{img_num} 0 obj\n".encode() + rgb_image_obj(new) + b"\nendobj\n"
+    xref_pos = len(upd)
+    # xref stream covering ONLY the replaced object (/Index [5 1]) + itself
+    xref_num = 6
+    rows = [(1, new_off, 0), (1, xref_pos, 0)]
+    packed = b"".join(bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+                      for t, f2, f3 in rows)
+    body = zlib.compress(packed)
+    upd += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {xref_num + 1} "
+            f"/W [1 4 2] /Index [ {img_num} 1 {xref_num} 1 ] "
+            f"/Root 1 0 R /Prev {prev_xref} /Filter /FlateDecode "
+            f"/Length {len(body)} >>\nstream\n").encode()
+    upd += body + b"\nendstream\nendobj\n"
+    upd += f"startxref\n{xref_pos}\n%%EOF".encode()
+    pages = pdfcodec.decode_pdf(bytes(upd))
+    np.testing.assert_array_equal(pages[0], new)
+    # the slicer resolves through the same chain
+    sliced = pdfcodec.decode_pdf(pdfcodec.slice_pages(bytes(upd), [0]))
+    np.testing.assert_array_equal(sliced[0], new)
+
+
+def test_objstm_error_contract():
+    imgs = [np.full((8, 8, 3), 77, np.uint8)]
+    objs = scanned_objs(imgs, ["0 0 3.84 3.84"])
+    comp = {1, 2, 3}
+    # type-2 entry pointing at a non-ObjStm stream (the image object)
+    raw = build_pdf_xrefstream(objs, compressed=comp,
+                               tamper_rows={1: (2, 5, 0)})
+    with pytest.raises(ValueError, match="ObjStm|object stream|holds"):
+        pdfcodec.decode_pdf(raw)
+    # index mismatch: entry claims index 2 holds object 1
+    raw = build_pdf_xrefstream(objs, compressed=comp,
+                               tamper_rows={1: (2, 6, 2)})
+    with pytest.raises(ValueError, match="holds object"):
+        pdfcodec.decode_pdf(raw)
+    # the object stream marked as itself stored in an object stream
+    raw = build_pdf_xrefstream(objs, compressed=comp,
+                               tamper_rows={6: (2, 6, 0)})
+    with pytest.raises(ValueError, match="inside an object stream"):
+        pdfcodec.decode_pdf(raw)
+    # index past the /N pairs
+    raw = build_pdf_xrefstream(objs, compressed=comp,
+                               tamper_rows={1: (2, 6, 99)})
+    with pytest.raises(ValueError, match="header|holds"):
+        pdfcodec.decode_pdf(raw)
+
+
+def test_xref_stream_fuzz_mutations_raise_only_valueerror():
+    """Same adversarial contract as the classic fuzz, over the densest
+    1.5 encoding (ObjStm + predictor): mutations in the xref stream,
+    predictor rows, object-stream header and payload must surface as
+    ValueError, never a parser leak."""
+    src = _rng(55).integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    objs = scanned_objs([src, src], ["0 0 7.68 5.76", "0 0 7.68 5.76"])
+    base = bytearray(build_pdf_xrefstream(
+        objs, compressed={1, 2, 3, 6}, predictor=True))
+    rng = np.random.default_rng(4321)
+    decoded = errored = 0
+    for _ in range(400):
+        raw = bytearray(base)
+        raw[int(rng.integers(0, len(raw)))] = int(rng.integers(0, 256))
+        try:
+            pages = pdfcodec.decode_pdf(bytes(raw))
+            assert all(p.ndim == 3 for p in pages)
+            decoded += 1
+        except ValueError:
+            errored += 1
+    assert errored > 50
+    for cut in range(1, len(base), max(1, len(base) // 60)):
+        try:
+            pdfcodec.decode_pdf(bytes(base[:cut]))
+        except ValueError:
+            pass
 
 
 def test_rotated_placement_raises():
