@@ -46,13 +46,15 @@ MAGIC_IMG = b"SIMG1"
 MAGIC_REAL_PDF = b"%PDF-"
 MAGIC_REAL_PNG = b"\x89PNG\r\n\x1a\n"
 MAGIC_REAL_JPEG = b"\xff\xd8\xff"
+MAGIC_REAL_TIFF = (b"II\x2a\x00", b"MM\x00\x2a")
 
 
 def sniff_kind(raw: bytes) -> str:
     """Byte-level content sniffing (the reference dispatches on
     content-type/extension, ``ocr_tasks.py:36-39``; serving sniffs magic
-    bytes). Returns one of ``spdf | simg | pdf | png | jpeg | unknown`` —
-    ``pdf``/``png``/``jpeg`` are REAL codecs handled by the optional
+    bytes). Returns one of ``spdf | simg | pdf | png | jpeg | tiff |
+    unknown`` — ``pdf``/``png``/``jpeg``/``tiff`` are REAL codecs handled
+    by the optional
     :func:`ocr_platform_spark.multimodal.decode_real_media` seam."""
     if raw.startswith(MAGIC_PDF):
         return "spdf"
@@ -64,6 +66,8 @@ def sniff_kind(raw: bytes) -> str:
         return "png"
     if raw.startswith(MAGIC_REAL_JPEG):
         return "jpeg"
+    if raw.startswith(MAGIC_REAL_TIFF):
+        return "tiff"
     return "unknown"
 
 RENDER_DPI = 150  # ref: apps/worker/app/tasks/ocr_tasks.py:47 (get_pixmap(dpi=150))

@@ -92,9 +92,10 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
         )
     if kind == "pdf":
         if _pdfium is None:
-            # pure-stdlib scanned-PDF fallback (classic xref + image-only
-            # pages; Flate/DCT XObjects through the stdlib codecs). Vector
-            # PDFs and PDF-1.5 xref streams raise ValueError -> quarantine.
+            # pure-stdlib scanned-PDF fallback (classic + 1.5 xref
+            # streams, image-only pages; Flate/DCT/CCITT-G4 XObjects
+            # through the stdlib codecs). Vector PDFs raise ValueError
+            # -> quarantine.
             from . import pdfcodec
 
             return "pdf", pdfcodec.decode_pdf(raw)
@@ -127,6 +128,19 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
             return "image", [jpegcodec.decode_jpeg(raw)]
         img = _PILImage.open(io.BytesIO(raw)).convert("RGB")
         return "image", [np.asarray(img, dtype=np.uint8)]
+    if kind == "tiff":
+        if _PILImage is None:
+            # pure-stdlib fallback: multi-page bilevel/gray/RGB TIFF,
+            # CCITT G4 + uncompressed — the classic fax/book-scan input
+            from . import tiffcodec
+
+            return "tiff", tiffcodec.decode_tiff(raw)
+        img = _PILImage.open(io.BytesIO(raw))
+        pages = []
+        for i in range(getattr(img, "n_frames", 1)):
+            img.seek(i)
+            pages.append(np.asarray(img.convert("RGB"), dtype=np.uint8))
+        return "tiff", pages
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 
 
@@ -256,6 +270,13 @@ def probe_real_media(raw: bytes, deep: bool = False) -> tuple[str, int, int, int
     if kind == "jpeg":
         w, h = jpegcodec.validate_jpeg(raw)
         return "image", 1, w, h
+    if kind == "tiff":
+        from . import tiffcodec
+
+        # probe_tiff already validates every page's plan without
+        # inflating samples, so deep and shallow coincide
+        n, w, h = tiffcodec.probe_tiff(raw)
+        return "tiff", n, w, h
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 
 

@@ -1,5 +1,6 @@
-"""Distributed OCR over REAL-codec media (scanned PDF / PNG / baseline
-JPEG) — the end-to-end path a user of the reference actually runs
+"""Distributed OCR over REAL-codec media (scanned PDF, multi-page G4
+TIFF, PNG, baseline JPEG) — the end-to-end path a user of the reference
+actually runs
 (``apps/worker/app/tasks/ocr_tasks.py:34-55`` decodes uploaded
 PDF/image bytes with fitz/PIL before detect+recognize).
 
@@ -53,7 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import formats, jpegcodec, multimodal, pdfcodec, pngcodec
+from .. import formats, jpegcodec, multimodal, pdfcodec, pngcodec, tiffcodec
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -119,23 +120,29 @@ def _bucket_batches(bucket_pages: int | None, slice_payloads: bool = True):
                     continue
                 k = bucket_pages or max(1, n_pages)
                 n_buckets = max(1, (n_pages + k - 1) // k)
-                slicer = None
-                if slice_payloads and kind == "pdf" and n_buckets > 1:
+                slice_fn = None
+                if slice_payloads and n_buckets > 1:
                     # parse once per document; each bucket row then
-                    # carries a minimal sub-PDF (only its own pages'
-                    # streams) instead of a full-payload copy — the
-                    # whole document crosses the bucket shuffle ~once
-                    # in total instead of ⌈pages/K⌉ times
+                    # carries a minimal sub-document (only its own
+                    # pages' streams) instead of a full-payload copy —
+                    # the whole document crosses the bucket shuffle
+                    # ~once in total instead of ⌈pages/K⌉ times
                     try:
-                        slicer = pdfcodec._Slicer(raw)
+                        if kind == "pdf":
+                            slice_fn = pdfcodec._Slicer(raw).slice
+                        elif kind == "tiff":
+                            slice_fn = (
+                                lambda idx, _r=raw:
+                                tiffcodec.slice_pages(_r, idx)
+                            )
                     except ValueError:
-                        slicer = None
+                        slice_fn = None
                 for b in range(n_buckets):
                     lo, hi = b * k, min(n_pages, (b + 1) * k)
                     payload, sliced = raw, False
-                    if slicer is not None:
+                    if slice_fn is not None:
                         try:
-                            payload = slicer.slice(range(lo, hi))
+                            payload = slice_fn(range(lo, hi))
                             sliced = True
                         except ValueError:
                             # probe already validated the doc, so this
@@ -184,6 +191,12 @@ def _ocr_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                            else list(range(int(lo), int(hi))))
                     pages = pdfcodec.decode_pdf(
                         raw, page_indices=idx, mode="L",
+                    )
+                elif kind == "tiff":
+                    idx = (None if sliced
+                           else list(range(int(lo), int(hi))))
+                    pages = tiffcodec.decode_tiff(
+                        raw, mode="L", page_indices=idx,
                     )
                 elif formats.sniff_kind(raw) == "png":
                     pages = [pdfcodec.rgb_to_gray(pngcodec.decode_png(raw))]

@@ -1,0 +1,385 @@
+"""Pure-stdlib TIFF container codec for scanned documents.
+
+TIFF with CCITT Group 4 compression is the classic OCR input format —
+fax archives, book scans, records digitization all ship multi-page
+bitonal G4 TIFFs (the reference decodes them through PIL's ``Image.open``
+like any other image, ``apps/worker/app/tasks/ocr_tasks.py:54-55``).
+This module gives :func:`multimodal.decode_real_media` a dependency-free
+TIFF branch the way :mod:`pngcodec` / :mod:`jpegcodec` / :mod:`pdfcodec`
+cover their formats, with the same ValueError quarantine contract.
+
+Supported subset (scanner output; anything else raises — never a silent
+wrong raster):
+
+* classic TIFF, both byte orders (``II``/``MM``); BigTIFF raises;
+* multi-page via the IFD chain (cycle-guarded);
+* Compression 1 (uncompressed) for 1-bit bilevel, 8-bit gray and
+  8-bit RGB (chunky), and Compression 4 (CCITT T.6 through
+  :mod:`ccittcodec` — strips decode independently per the TIFF spec)
+  for 1-bit bilevel;
+* PhotometricInterpretation 0 (WhiteIsZero) / 1 (BlackIsZero) / 2 (RGB);
+* multi-strip images (``RowsPerStrip``), FillOrder 1, chunky planar
+  config, default orientation; ``T6Options`` uncompressed-mode bit
+  raises.
+
+:func:`probe_tiff` walks only the IFD headers (page count + first-page
+dims, no sample inflation) — the metadata-probe analog of
+``pdfcodec.probe_dims``. :func:`encode_g4_tiff` writes minimal G4 files
+so fixtures and the Java-ImageIO interop test need no external library.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import ccittcodec
+from .pdfcodec import MAX_PIXELS
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+_INT_TYPES = {1, 3, 4}  # BYTE, SHORT, LONG
+_MAX_PAGES = 10_000
+
+
+def _strict_valueerror(fn):
+    """Same public-API contract as the other codecs: adversarial bytes
+    raise ``ValueError``, never a struct/index/key leak."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (AttributeError, IndexError, KeyError, TypeError,
+                struct.error, ArithmeticError) as e:
+            raise ValueError(
+                f"malformed TIFF ({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapper
+
+
+def _read_ifds(raw: bytes) -> tuple[str, list[dict[int, list[int]]]]:
+    """Parse the IFD chain -> (endian char, [{tag: [int values]}, ...]).
+
+    Only integer-typed tags are materialized (the tags this subset
+    needs); others are skipped structurally."""
+    if len(raw) < 8:
+        raise ValueError("TIFF too short for a header")
+    if raw[:2] == b"II":
+        e = "<"
+    elif raw[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, off = struct.unpack(e + "HI", raw[2:8])
+    if magic == 43:
+        raise ValueError("BigTIFF unsupported")
+    if magic != 42:
+        raise ValueError(f"not a TIFF: magic {magic}")
+    ifds: list[dict[int, list[int]]] = []
+    seen = set()
+    while off:
+        if off in seen or len(ifds) >= _MAX_PAGES:
+            raise ValueError("TIFF IFD chain cycles or is too long")
+        seen.add(off)
+        if off + 2 > len(raw):
+            raise ValueError("TIFF IFD offset past end of file")
+        (n,) = struct.unpack_from(e + "H", raw, off)
+        end = off + 2 + n * 12
+        if end + 4 > len(raw):
+            raise ValueError("truncated TIFF IFD")
+        tags: dict[int, list[int]] = {}
+        for i in range(n):
+            tag, typ, cnt = struct.unpack_from(e + "HHI", raw, off + 2 + i * 12)
+            vpos = off + 2 + i * 12 + 8
+            if typ not in _TYPE_SIZE or typ not in _INT_TYPES:
+                continue  # skip non-integer tags structurally
+            size = _TYPE_SIZE[typ] * cnt
+            if cnt > 1 << 20:
+                raise ValueError("TIFF tag count implausibly large")
+            if size > 4:
+                (vpos,) = struct.unpack_from(e + "I", raw, vpos)
+                if vpos + size > len(raw):
+                    raise ValueError("TIFF tag value past end of file")
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack_from(e + fmt * cnt, raw, vpos))
+        (off,) = struct.unpack_from(e + "I", raw, end)
+        ifds.append(tags)
+    if not ifds:
+        raise ValueError("TIFF has no IFD")
+    return e, ifds
+
+
+def _tag1(tags: dict, tag: int, default=None) -> int:
+    v = tags.get(tag)
+    if v is None:
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+    return v[0]
+
+
+def _page_plan(tags: dict) -> tuple[int, int, int, int, int, int]:
+    """Validate one IFD against the subset WITHOUT touching samples.
+    Returns ``(w, h, compression, photometric, bps, spp)``."""
+    w = _tag1(tags, 256)
+    h = _tag1(tags, 257)
+    if w <= 0 or h <= 0:
+        raise ValueError("TIFF page with non-positive dimensions")
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"TIFF page {w}x{h} exceeds MAX_PIXELS")
+    comp = _tag1(tags, 259, 1)
+    pi = _tag1(tags, 262)
+    spp = _tag1(tags, 277, 1)
+    bps_list = tags.get(258, [1])
+    if len(set(bps_list)) != 1 or len(bps_list) not in (1, spp):
+        raise ValueError(f"unsupported TIFF BitsPerSample {bps_list}")
+    bps = bps_list[0]
+    if _tag1(tags, 266, 1) != 1:
+        raise ValueError("TIFF FillOrder 2 unsupported")
+    if _tag1(tags, 284, 1) != 1:
+        raise ValueError("planar TIFF unsupported")
+    if _tag1(tags, 274, 1) != 1:
+        raise ValueError("rotated/mirrored TIFF orientation unsupported")
+    if _tag1(tags, 317, 1) != 1:
+        raise ValueError("TIFF Predictor unsupported")
+    if comp == 4:
+        if not (bps == 1 and spp == 1 and pi in (0, 1)):
+            raise ValueError(
+                "TIFF G4 must be 1-bit single-sample bilevel"
+            )
+        if _tag1(tags, 293, 0) & 0b10:
+            raise ValueError("T6Options uncompressed mode unsupported")
+    elif comp == 1:
+        ok = (spp == 1 and bps in (1, 8) and pi in (0, 1)) or \
+             (spp == 3 and bps == 8 and pi == 2)
+        if not ok:
+            raise ValueError(
+                f"unsupported uncompressed TIFF pi/bps/spp {pi}/{bps}/{spp}"
+            )
+    else:
+        raise ValueError(
+            f"TIFF compression {comp} unsupported (none=1, G4=4 only)"
+        )
+    if 273 not in tags or 279 not in tags:
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    if len(tags[273]) != len(tags[279]):
+        raise ValueError("TIFF strip offset/count arrays disagree")
+    return w, h, comp, pi, bps, spp
+
+
+@_strict_valueerror
+def probe_tiff(raw: bytes) -> tuple[int, int, int]:
+    """``(n_pages, first-page W, H)`` — IFD walk only, every page
+    validated against the subset, no sample bytes touched."""
+    _e, ifds = _read_ifds(raw)
+    w0 = h0 = 0
+    for i, tags in enumerate(ifds):
+        w, h, *_ = _page_plan(tags)
+        if i == 0:
+            w0, h0 = w, h
+    return len(ifds), w0, h0
+
+
+def _decode_page(raw: bytes, tags: dict, gray: bool) -> np.ndarray:
+    w, h, comp, pi, bps, spp = _page_plan(tags)
+    rps = _tag1(tags, 278, h)
+    if rps <= 0:
+        raise ValueError("TIFF RowsPerStrip must be positive")
+    offs, cnts = tags[273], tags[279]
+    if len(offs) != (h + rps - 1) // rps:
+        raise ValueError("TIFF strip count does not cover the image")
+    strips = []
+    for si, (o, c) in enumerate(zip(offs, cnts)):
+        if o + c > len(raw):
+            raise ValueError("TIFF strip past end of file")
+        rows = min(rps, h - si * rps)
+        data = raw[o:o + c]
+        if comp == 4:
+            # decode_g4 gives ink=1; PI=0 (WhiteIsZero, standard for fax)
+            # renders that as luminance 0, PI=1 inverts
+            bits = ccittcodec.decode_g4(data, w, rows)
+            g = (1 - bits) * 255 if pi == 0 else bits * 255
+            strips.append(g.astype(np.uint8))
+        elif bps == 1:
+            stride = (w + 7) // 8
+            if len(data) < stride * rows:
+                raise ValueError("truncated TIFF bilevel strip")
+            bits = np.unpackbits(
+                np.frombuffer(data[:stride * rows], np.uint8)
+                .reshape(rows, stride), axis=1)[:, :w]
+            g = (1 - bits) * 255 if pi == 0 else bits * 255
+            strips.append(g.astype(np.uint8))
+        elif spp == 1:  # 8-bit gray
+            if len(data) < w * rows:
+                raise ValueError("truncated TIFF gray strip")
+            g = np.frombuffer(data[:w * rows], np.uint8).reshape(rows, w)
+            strips.append(255 - g if pi == 0 else g.copy())
+        else:  # 8-bit RGB chunky
+            need = w * rows * 3
+            if len(data) < need:
+                raise ValueError("truncated TIFF RGB strip")
+            strips.append(
+                np.frombuffer(data[:need], np.uint8).reshape(rows, w, 3).copy()
+            )
+    page = np.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
+    if page.ndim == 3:
+        if gray:
+            from .pdfcodec import rgb_to_gray
+
+            return rgb_to_gray(page)
+        return page
+    return page if gray else np.stack([page] * 3, axis=-1)
+
+
+@_strict_valueerror
+def decode_tiff(
+    raw: bytes,
+    mode: str = "RGB",
+    page_indices: "list[int] | None" = None,
+) -> list[np.ndarray]:
+    """TIFF bytes -> list of uint8 page rasters at native size
+    (``mode="RGB"``: HxWx3; ``mode="L"``: HxW luma — native for bilevel
+    and gray pages; RGB pages reduce via the PIL-exact integer luma,
+    matching ``pdfcodec.decode_pdf``'s resample-then-luma convention
+    trivially since TIFF never resamples).
+
+    ``page_indices`` decodes only the selected 0-based pages (in the
+    given order) — the distributed-OCR bucket path decodes a page range
+    per task; the IFD chain means only the selected pages' strips are
+    ever inflated."""
+    if mode not in ("RGB", "L"):
+        raise ValueError(f"mode must be 'RGB' or 'L', got {mode!r}")
+    _e, ifds = _read_ifds(raw)
+    if page_indices is not None:
+        try:
+            ifds = [ifds[i] for i in page_indices]
+        except IndexError as e:
+            raise ValueError(
+                f"page index out of range (TIFF has {len(ifds)})"
+            ) from e
+    return [_decode_page(raw, tags, gray=mode == "L") for tags in ifds]
+
+
+#: serialization types for the tags the subset understands (for slicing)
+_TAG_TYPE = {256: 4, 257: 4, 258: 3, 259: 3, 262: 3, 266: 3, 273: 4,
+             274: 3, 277: 3, 278: 4, 279: 4, 284: 3, 293: 4, 317: 3}
+
+
+@_strict_valueerror
+def slice_pages(raw: bytes, page_indices) -> bytes:
+    """Minimal standalone TIFF holding only ``page_indices`` (0-based,
+    in the given order): strip bytes copied VERBATIM (never inflated),
+    IFDs rebuilt from the validated subset tags. The TIFF analog of
+    ``pdfcodec.slice_pages`` for the distributed-OCR bucket explode —
+    each bucket row carries only its own pages' strips, so the whole
+    document crosses the bucket shuffle ~once in total.
+
+    ``decode_tiff(slice_pages(raw, idx))`` is pixel-identical to
+    ``decode_tiff(raw, page_indices=idx)`` (test-pinned)."""
+    e, ifds = _read_ifds(raw)
+    try:
+        sel = [ifds[i] for i in page_indices]
+    except IndexError as err:
+        raise ValueError(
+            f"page index out of range (TIFF has {len(ifds)})"
+        ) from err
+    if not sel:
+        raise ValueError("cannot slice zero pages")
+    bom = b"II" if e == "<" else b"MM"
+    out = bytearray(struct.pack(e + "2sHI", bom, 42, 8))
+    fmt = {3: "H", 4: "I"}
+    pending = 4  # patch position of the previous "next IFD" word
+    for tags in sel:
+        _page_plan(tags)  # only validated pages are re-emitted
+        strips = []
+        for o, c in zip(tags[273], tags[279]):
+            if o + c > len(raw):
+                raise ValueError("TIFF strip past end of file")
+            strips.append(raw[o:o + c])
+        entries = []
+        for tag in sorted(_TAG_TYPE):
+            if tag == 273:
+                vals = [0] * len(strips)  # assigned below
+            elif tag == 279:
+                vals = [len(s) for s in strips]
+            elif tag in tags:
+                vals = tags[tag]
+            else:
+                continue
+            entries.append((tag, _TAG_TYPE[tag], vals))
+        ifd_off = len(out)
+        struct.pack_into(e + "I", out, pending, ifd_off)
+        overflow_off = ifd_off + 2 + len(entries) * 12 + 4
+
+        def esize(typ: int, vals: list) -> int:
+            return _TYPE_SIZE[typ] * len(vals)
+
+        data_start = overflow_off + sum(
+            esize(t, v) for _, t, v in entries if esize(t, v) > 4
+        )
+        so, pos = [], data_start
+        for s in strips:
+            so.append(pos)
+            pos += len(s)
+        entries = [(t, ty, so if t == 273 else v) for t, ty, v in entries]
+        out += struct.pack(e + "H", len(entries))
+        overflow = bytearray()
+        ov_pos = overflow_off
+        for tag, typ, vals in entries:
+            packed = struct.pack(e + fmt[typ] * len(vals), *vals)
+            if len(packed) <= 4:
+                out += struct.pack(e + "HHI", tag, typ, len(vals))
+                out += packed + b"\x00" * (4 - len(packed))
+            else:
+                out += struct.pack(e + "HHII", tag, typ, len(vals), ov_pos)
+                overflow += packed
+                ov_pos += len(packed)
+        pending = len(out)
+        out += struct.pack(e + "I", 0)
+        out += overflow
+        for s in strips:
+            out += s
+    return bytes(out)
+
+
+def encode_g4_tiff(bitmaps: "list[np.ndarray]", endian: str = "<") -> bytes:
+    """Minimal multi-page G4 TIFF (one strip per page, chunky,
+    PhotometricInterpretation=0 so a 1 bit renders black — matching
+    :func:`ccittcodec.encode_g4`'s convention directly). Fixture writer
+    for tests and the ImageIO interop pin; not a general encoder."""
+    if endian not in ("<", ">"):
+        raise ValueError("endian must be '<' or '>'")
+    if not bitmaps:
+        raise ValueError("encode_g4_tiff needs at least one page")
+    bom = b"II" if endian == "<" else b"MM"
+    out = bytearray(struct.pack(endian + "2sHI", bom, 42, 8))
+    SHORT, LONG = 3, 4
+    pending_next: int | None = 4  # patch position of the "next IFD" word
+    for bm in bitmaps:
+        bm = (np.asarray(bm) != 0).astype(np.uint8)
+        h, w = bm.shape
+        data = ccittcodec.encode_g4(bm)
+        ifd_off = len(out)
+        struct.pack_into(endian + "I", out, pending_next, ifd_off)
+        entries = [
+            (256, LONG, w), (257, LONG, h), (258, SHORT, 1),
+            (259, SHORT, 4), (262, SHORT, 0), (273, LONG, 0),
+            (277, SHORT, 1), (278, LONG, h), (279, LONG, len(data)),
+        ]
+        data_off = ifd_off + 2 + len(entries) * 12 + 4
+        out += struct.pack(endian + "H", len(entries))
+        for tag, typ, val in entries:
+            if tag == 273:
+                val = data_off
+            if typ == SHORT:
+                out += struct.pack(endian + "HHIHH", tag, typ, 1, val, 0)
+            else:
+                out += struct.pack(endian + "HHII", tag, typ, 1, val)
+        pending_next = len(out)
+        out += struct.pack(endian + "I", 0)
+        out += data
+    return bytes(out)

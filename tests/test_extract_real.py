@@ -115,6 +115,83 @@ def test_real_pipeline_equals_synthetic_flagship(real_corpus):
         assert got[doc_id] == expected[doc_id], doc_id
 
 
+def reencode_tiff(payload: bytes) -> bytes:
+    """Synthetic container bytes -> a multi-page CCITT G4 TIFF.
+
+    The synthetic rasters are strictly bitonal (INK=0/WHITE=255), so the
+    1-bit G4 re-encoding is lossless and span-sequence equality with the
+    flagship is exact — the same contract the PNG/PDF re-encodings pin."""
+    kind, pages = _render_pages(payload)
+    from ocr_platform_spark import tiffcodec
+
+    bitmaps = []
+    for p in pages:
+        assert set(np.unique(p)) <= {0, 255}, "corpus raster not bitonal"
+        bitmaps.append((p < 128).astype(np.uint8))
+    return tiffcodec.encode_g4_tiff(bitmaps)
+
+
+@pytest.fixture(scope="module")
+def tiff_corpus(spark):
+    docs, media = corpus.generate(24, seed=909, max_pages=6)
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    tiff = spark.createDataFrame(
+        [(ref, bytearray(reencode_tiff(m["data"])))
+         for ref, m in media.items()],
+        "media_ref string, data binary",
+    )
+    return docs_df, tiff
+
+
+def test_tiff_pipeline_equals_synthetic_flagship(real_corpus, tiff_corpus):
+    """Same span-sequence equality over multi-page G4 TIFF media —
+    covering tiffcodec decode, the TIFF bucket/slice path and the shared
+    OCR core in one assertion."""
+    docs_df, synth, _real = real_corpus
+    tdocs_df, tiff = tiff_corpus
+    expected = _spans_by_doc(extract.extract_documents(docs_df, synth))
+    got = _spans_by_doc(
+        extract_real.extract_real_documents(tdocs_df, tiff, bucket_pages=2)
+    )
+    assert set(got) == set(expected)
+    for doc_id in expected:
+        assert got[doc_id] == expected[doc_id], doc_id
+
+
+def test_tiff_bucket_rows_slice_and_quarantine(tiff_corpus, spark):
+    """Multi-page TIFFs slice per bucket (sliced=True, payload smaller
+    than the original), and a corrupt TIFF quarantines at probe time."""
+    docs_df, tiff = tiff_corpus
+    rows = extract_real.real_page_buckets(
+        docs_df, tiff, bucket_pages=2
+    ).collect()
+    multi = [r for r in rows if r["sliced"]]
+    assert multi, "corpus should contain a multi-bucket TIFF"
+    from ocr_platform_spark import tiffcodec
+
+    by_ref: dict = {}
+    for r in tiff.collect():
+        by_ref[r["media_ref"]] = bytes(r["data"])
+    for r in multi[:4]:
+        full = by_ref[r["media_ref"]]
+        assert len(bytes(r["data"])) < len(full)
+        pages = tiffcodec.decode_tiff(bytes(r["data"]), mode="L")
+        assert len(pages) == r["page_hi"] - r["page_lo"]
+    # corrupt payload -> error row, no crash
+    bad = spark.createDataFrame(
+        [("m-bad", bytearray(b"II\x2a\x00" + b"\xff" * 40))],
+        "media_ref string, data binary",
+    )
+    one_doc = docs_df.limit(1)
+    errs = extract_real.real_page_buckets(
+        one_doc.withColumn("spans", F.expr(
+            "array(named_struct('kind', 'media', 'text', '', "
+            "'media_ref', 'm-bad', 'offset', 0))")),
+        bad, bucket_pages=2,
+    ).filter(F.col("media_kind") == extract_real.MEDIA_KIND_ERROR)
+    assert errs.count() == 1
+
+
 def test_bucket_size_invariance(real_corpus):
     """The bucket explode is pure parallelism: K must never change output."""
     docs_df, _synth, real = real_corpus

@@ -452,6 +452,104 @@ def test_jpeg_matches_java_imageio_on_real_photos(spark):
         assert (d <= 2).mean() >= 0.98, path
 
 
+def _g4_tiff(bm) -> bytes:
+    """Minimal single-strip little-endian TIFF wrapping our own Group 4
+    encoding of ``bm`` (1 = black): Compression=4 (T.6),
+    PhotometricInterpretation=0 (WhiteIsZero — sample 1 renders black,
+    matching ccittcodec's bit convention directly)."""
+    import struct
+
+    from ocr_platform_spark import ccittcodec
+
+    h, w = bm.shape
+    data = ccittcodec.encode_g4(bm)
+    SHORT, LONG = 3, 4
+    entries = [
+        (256, LONG, 1, w),            # ImageWidth
+        (257, LONG, 1, h),            # ImageLength
+        (258, SHORT, 1, 1),           # BitsPerSample
+        (259, SHORT, 1, 4),           # Compression: CCITT T.6
+        (262, SHORT, 1, 0),           # Photometric: WhiteIsZero
+        (273, LONG, 1, 0),            # StripOffsets (patched below)
+        (277, SHORT, 1, 1),           # SamplesPerPixel
+        (278, LONG, 1, h),            # RowsPerStrip
+        (279, LONG, 1, len(data)),    # StripByteCounts
+    ]
+    data_off = 8 + 2 + len(entries) * 12 + 4
+    out = struct.pack("<2sHI", b"II", 42, 8) + struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        if typ == SHORT:
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    return out + data
+
+
+def test_g4_matches_java_imageio_tiff_reader(spark, tmp_path):
+    """Third-party interop pin that RUNS in-sandbox: bitmaps compressed
+    with ccittcodec.encode_g4, wrapped in a minimal TIFF, decoded by
+    Java ImageIO's TIFF reader (JDK 9+ ships CCITT T.6) through Spark's
+    `image` source. G4 is lossless, so the pin is BIT-EXACT equality —
+    round-trip through a foreign decoder rules out a self-consistent but
+    wrong code table (the failure round-trip tests cannot see)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    cases = {
+        "sparse": (rng.random((40, 120)) < 0.07).astype(np.uint8),
+        "dense": (rng.random((33, 65)) < 0.6).astype(np.uint8),
+        "strokes": np.zeros((48, 180), np.uint8),
+    }
+    cases["strokes"][10:13, 8:170] = 1
+    cases["strokes"][30:44, 60:63] = 1
+    for name, bm in cases.items():
+        (tmp_path / f"{name}.tiff").write_bytes(_g4_tiff(bm))
+    rows = (
+        spark.read.format("image")
+        .load(str(tmp_path / "*.tiff"))
+        .select("image.origin", "image.height", "image.width",
+                "image.nChannels", "image.mode", "image.data")
+        .collect()
+    )
+    assert len(rows) == len(cases)
+    for r in rows:
+        name = r.origin.rsplit("/", 1)[1].split(".")[0]
+        bm = cases[name]
+        assert r.mode != -1, f"ImageIO could not decode {name}"
+        java = np.frombuffer(bytes(r.data), np.uint8).reshape(
+            r.height, r.width, r.nChannels)[:, :, 0]
+        # (gray-as-BGR hands back equal channels; channel 0 suffices)
+        # WhiteIsZero: black sample (1) -> luminance 0
+        np.testing.assert_array_equal(java, (1 - bm) * 255, err_msg=name)
+
+
+def test_decode_real_media_tiff_fallback_runs_in_sandbox():
+    """Multi-page G4 TIFF decodes through the stdlib tiffcodec fallback:
+    dispatch, page count, pixel values and the header-only probe."""
+    import numpy as np
+
+    from ocr_platform_spark import tiffcodec
+
+    rng = np.random.default_rng(23)
+    pages = [(rng.random((18, 33)) < 0.3).astype(np.uint8)
+             for _ in range(3)]
+    raw = tiffcodec.encode_g4_tiff(pages)
+    assert formats.sniff_kind(raw) == "tiff"
+    kind, rasters = multimodal.decode_real_media(raw)
+    assert kind == "tiff" and len(rasters) == 3
+    for r, p in zip(rasters, pages):
+        assert r.shape == (p.shape[0], p.shape[1], 3)
+        np.testing.assert_array_equal(r[:, :, 0], (1 - p) * 255)
+    # header-only probe agrees and never inflates
+    assert multimodal.probe_real_media(raw) == ("tiff", 3, 33, 18)
+    assert multimodal.probe_real_media(raw, deep=True) == ("tiff", 3, 33, 18)
+    with pytest.raises(ValueError):
+        multimodal.probe_real_media(b"II\x2a\x00" + b"\xff" * 16)
+
+
 def test_real_pdf_decode_at_150dpi():
     pytest.importorskip("pypdfium2")
     kind, pages = multimodal.decode_real_media(MINIMAL_PDF)
