@@ -138,42 +138,60 @@ def _invert(table: dict[int, str]) -> dict[str, int]:
 
 _WHITE_DEC = _invert({**WHITE_TERM, **WHITE_MAKEUP, **COMMON_MAKEUP})
 _BLACK_DEC = _invert({**BLACK_TERM, **BLACK_MAKEUP, **COMMON_MAKEUP})
-_MAX_CODE_LEN = 14  # longest MH code is 13 bits; one spare for safety
+
+# --- decode acceleration: flat prefix-expanded lookup tables ----------------
+# Bit-serial dict lookups cost ~100 ms on a realistic 150-DPI text page;
+# the decoder instead precomputes, once at import, (a) a 128-entry table
+# mapping any 7-bit prefix to its 2D mode and (b) 8192-entry tables
+# mapping any 13-bit prefix to (run, code length) per colour — prefix
+# expansion is valid exactly because the alphabets are prefix-free
+# (pinned in tests). The bit-stream itself becomes a list of 16-bit
+# sliding windows built with vectorized shifts, so the hot loop is pure
+# int indexing (~15 ms/page on the same input).
+
+#: mode actions in _MODE_TBL: -3..3 = vertical delta, _H / _P sentinels
+_H, _P = 99, 98
+_MODE_SPECS = [
+    (MODE_V[0], 0), (MODE_V[1], 1), (MODE_V[-1], -1),
+    (MODE_HORIZ, _H), (MODE_PASS, _P),
+    (MODE_V[2], 2), (MODE_V[-2], -2), (MODE_V[3], 3), (MODE_V[-3], -3),
+]
 
 
-class _BitReader:
-    """MSB-first bit reader over bytes, with bounded-length code lookup."""
-
-    def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
-        self.pos = 0
-
-    def read_bit(self) -> int:
-        if self.pos >= len(self.bits):
-            raise ValueError("CCITT bit-stream exhausted")
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
-
-    def read_code(self, table: dict[str, int], what: str) -> int:
-        buf = ""
-        for _ in range(_MAX_CODE_LEN):
-            buf += str(self.read_bit())
-            if buf in table:
-                return table[buf]
-        raise ValueError(f"invalid CCITT {what} code {buf!r}")
+def _expand(specs, width: int) -> list:
+    tbl: list = [None] * (1 << width)
+    for code, action in specs:
+        ln = len(code)
+        base = int(code, 2) << (width - ln)
+        for fill in range(1 << (width - ln)):
+            tbl[base | fill] = (action, ln)
+    return tbl
 
 
-def _read_run(rd: _BitReader, white: bool) -> int:
-    """One MH run: zero or more make-up codes then a terminating code."""
-    table = _WHITE_DEC if white else _BLACK_DEC
-    total = 0
-    for _ in range(64):  # bound make-up chains (adversarial streams)
-        run = rd.read_code(table, "white run" if white else "black run")
-        total += run
-        if run < 64:  # terminating code ends the run
-            return total
-    raise ValueError("CCITT make-up chain too long")
+_MODE_TBL = _expand(_MODE_SPECS, 7)
+_RUN_WIDTH = 13  # longest MH code
+_WHITE_TBL = _expand(list(_WHITE_DEC.items()), _RUN_WIDTH)
+_BLACK_TBL = _expand(list(_BLACK_DEC.items()), _RUN_WIDTH)
+
+
+def _windows(data: bytes):
+    """16-bit MSB-first sliding windows: ``win[i]`` holds bits i..i+15
+    (zero-padded past the end, where no valid code can match — the
+    all-zero prefix region is EOL/extension, which the decoder rejects).
+    Stored as ``array('I')``: Python-int indexing speed at 4 bytes/entry,
+    so an adversarial maximum-entropy stream costs 32x its own size, not
+    the ~300x a list of boxed ints would."""
+    import array
+
+    bits = np.unpackbits(np.frombuffer(data, np.uint8)).astype(np.uint32)
+    n = len(bits)
+    bits = np.concatenate([bits, np.zeros(16, np.uint32)])
+    acc = np.zeros(n, np.uint32)
+    for k in range(16):
+        acc = (acc << 1) | bits[k:k + n]
+    win = array.array("I")
+    win.frombytes(acc.tobytes())
+    return win
 
 
 def _b1_b2(ref: list[int], a0: int, color: int, width: int) -> tuple[int, int]:
@@ -190,6 +208,24 @@ def _b1_b2(ref: list[int], a0: int, color: int, width: int) -> tuple[int, int]:
     return b1, b2
 
 
+def _run(win: list, pos: int, white: bool) -> tuple[int, int]:
+    """One MH run (make-up chain + terminating code) -> (length, pos)."""
+    tbl = _WHITE_TBL if white else _BLACK_TBL
+    total = 0
+    for _ in range(64):  # bound make-up chains (adversarial streams)
+        e = tbl[win[pos] >> 3]  # top 13 of the 16-bit window
+        if e is None:
+            raise ValueError(
+                f"invalid CCITT {'white' if white else 'black'} run code"
+            )
+        run, ln = e
+        pos += ln
+        total += run
+        if run < 64:  # terminating code ends the run
+            return total, pos
+    raise ValueError("CCITT make-up chain too long")
+
+
 def decode_g4(data: bytes, columns: int, rows: int) -> np.ndarray:
     """T.6 decode -> ``(rows, columns)`` uint8 array, 1 = black.
 
@@ -201,62 +237,83 @@ def decode_g4(data: bytes, columns: int, rows: int) -> np.ndarray:
     """
     if columns <= 0 or rows <= 0:
         raise ValueError("CCITT decode needs positive columns and rows")
-    rd = _BitReader(data)
-    out = np.zeros((rows, columns), np.uint8)
+    win = _windows(data)
+    pos = 0
+    stride = columns + 1
+    # parity paint: changing elements collect as flat plane indices; one
+    # bincount + XOR-accumulate at the end replaces per-change numpy
+    # writes (which dominated the profile on text-density pages)
+    flat: list[int] = []
     ref: list[int] = []  # imaginary all-white line above the first row
-    for y in range(rows):
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 = white, 1 = black
-        while a0 < columns:
-            b1, b2 = _b1_b2(ref, a0, color, columns)
-            # mode decode: V0=1, VR1=011, VL1=010, H=001, P=0001,
-            # VR2/VL2 = 00001x, VR3/VL3/EXT = 0000 0xx...
-            if rd.read_bit():
-                a1 = b1  # V0
-            elif rd.read_bit():
-                a1 = b1 + 1 if rd.read_bit() else b1 - 1  # VR1 / VL1
-            elif rd.read_bit():  # 001: horizontal
-                start = a0 if a0 > 0 else 0
-                r1 = _read_run(rd, white=color == 0)
-                r2 = _read_run(rd, white=color != 0)
-                t1, t2 = start + r1, start + r1 + r2
-                if not (a0 < t1 <= t2 <= columns) or \
-                        (cur and t1 < cur[-1]):
-                    raise ValueError("CCITT horizontal runs overshoot row")
-                cur.extend((t1, t2))
-                a0 = t2
-                continue
-            elif rd.read_bit():  # 0001: pass
-                if b2 > columns:
-                    raise ValueError("CCITT pass mode overshoots row")
-                a0 = b2
-                continue
-            elif rd.read_bit():
-                a1 = b1 + 2 if rd.read_bit() else b1 - 2  # VR2 / VL2
-            elif rd.read_bit():
-                a1 = b1 + 3 if rd.read_bit() else b1 - 3  # VR3 / VL3
-            else:
-                # 0000000...: EOL/EOFB inside the image, or 2D extension
-                raise ValueError(
-                    "unexpected CCITT EOL/extension code inside G4 image "
-                    "(uncompressed mode and T.4 EOLs unsupported)"
-                )
-            # vertical mode lands a changing element at a1
-            if a1 <= a0 or a1 > columns or a1 < 0 or (cur and a1 < cur[-1]):
-                raise ValueError("CCITT vertical mode out of order")
-            cur.append(a1)
-            a0 = a1
-            color ^= 1
-        if a0 > columns:
-            raise ValueError("CCITT row overshoots width")
-        # paint the row: changes alternate white->black->white...
-        for k in range(0, len(cur) - 1, 2):
-            out[y, cur[k]:cur[k + 1]] = 1
-        if len(cur) % 2:  # trailing black run to the row edge
-            out[y, cur[-1]:] = 1
-        ref = cur
-    return out
+    mode_tbl = _MODE_TBL
+    H, P = _H, _P
+    try:
+        for y in range(rows):
+            cur: list[int] = []
+            append = cur.append
+            a0 = -1
+            color = 0  # 0 = white, 1 = black
+            ri = 0  # monotone pointer: first ref change right of a0
+            nref = len(ref)
+            while a0 < columns:
+                m = mode_tbl[win[pos] >> 9]  # top 7 bits
+                if m is None:
+                    # 0000000...: EOL/EOFB inside the image, or extension
+                    raise ValueError(
+                        "unexpected CCITT EOL/extension code inside G4 "
+                        "image (uncompressed mode and T.4 EOLs unsupported)"
+                    )
+                action, ln = m
+                pos += ln
+                if action == H:
+                    start = a0 if a0 > 0 else 0
+                    r1, pos = _run(win, pos, color == 0)
+                    r2, pos = _run(win, pos, color != 0)
+                    t1, t2 = start + r1, start + r1 + r2
+                    if not (a0 < t1 <= t2 <= columns) or \
+                            (cur and t1 < cur[-1]):
+                        raise ValueError(
+                            "CCITT horizontal runs overshoot row"
+                        )
+                    cur.extend((t1, t2))
+                    a0 = t2
+                    continue
+                # b1 = first ref change > a0 of colour opposite to a0's
+                # (even ref index = change to black); a0 only grows, so a
+                # monotone pointer replaces per-mode bisect
+                while ri < nref and ref[ri] <= a0:
+                    ri += 1
+                i = ri if (ri & 1) == color else ri + 1
+                if action == P:
+                    b2 = ref[i + 1] if i + 1 < nref else columns
+                    if b2 > columns:
+                        raise ValueError("CCITT pass mode overshoots row")
+                    a0 = b2
+                    continue
+                b1 = ref[i] if i < nref else columns
+                a1 = b1 + action  # vertical: a changing element at a1
+                if a1 <= a0 or a1 > columns or a1 < 0 or \
+                        (cur and a1 < cur[-1]):
+                    raise ValueError("CCITT vertical mode out of order")
+                append(a1)
+                a0 = a1
+                color ^= 1
+            if a0 > columns:
+                raise ValueError("CCITT row overshoots width")
+            if cur:
+                base = y * stride
+                flat.extend(base + x for x in cur)
+            ref = cur
+    except IndexError as e:
+        raise ValueError("CCITT bit-stream exhausted") from e
+    # changes alternate white->black->white...; a trailing odd change
+    # keeps its run black to the row edge, which parity gives for free
+    delta = (np.bincount(
+        np.asarray(flat, dtype=np.int64), minlength=rows * stride
+    ) & 1).astype(np.uint8)
+    return np.bitwise_xor.accumulate(
+        delta.reshape(rows, stride), axis=1
+    )[:, :columns]
 
 
 # --------------------------------------------------------------------------
