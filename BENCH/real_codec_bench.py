@@ -1,6 +1,7 @@
 """Real-codec extraction throughput exhibit: synthetic flagship vs
 extract_real_documents over the SAME corpus re-encoded as real media
-(PNG files + scanned PDFs), plus a bucket_pages sweep.
+(PNG files + scanned PDFs, and a CCITT-G4 multi-page TIFF arm), plus a
+bucket_pages sweep.
 
 What this pins: the page-bucket pipeline is not a correctness-only toy —
 its throughput is within small-integer range of the descriptor pipeline
@@ -39,26 +40,33 @@ def _ensure_corpus() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from test_extract_real import reencode_real
+    from test_extract_real import reencode_real, reencode_tiff
 
-    if os.path.exists(os.path.join(CACHE, "media_real.parquet")):
+    targets = {"media_real.parquet": reencode_real,
+               "media_tiff.parquet": reencode_tiff}
+    missing = {f: fn for f, fn in targets.items()
+               if not os.path.exists(os.path.join(CACHE, f))}
+    if not missing:
         return CACHE
-    corpus_mod.write_parquet(CACHE, N_DOCS, max_pages=MAX_PAGES, n_files=32)
+    if not os.path.exists(os.path.join(CACHE, "documents.parquet")):
+        corpus_mod.write_parquet(CACHE, N_DOCS, max_pages=MAX_PAGES,
+                                 n_files=32)
     _docs, media = corpus_mod.generate(N_DOCS, max_pages=MAX_PAGES)
     rows = sorted(media.items())
-    t0 = time.time()
-    refs, payloads = [], []
-    for ref, m in rows:
-        refs.append(ref)
-        payloads.append(reencode_real(m["data"]))
-    os.makedirs(os.path.join(CACHE, "media_real.parquet"), exist_ok=True)
-    pq.write_table(
-        pa.Table.from_pandas(pd.DataFrame(
-            {"media_ref": refs, "data": payloads})),
-        os.path.join(CACHE, "media_real.parquet", "part-0.parquet"),
-    )
-    print(f"re-encoded {len(rows)} media in {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    for fname, fn in missing.items():
+        t0 = time.time()
+        refs, payloads = [], []
+        for ref, m in rows:
+            refs.append(ref)
+            payloads.append(fn(m["data"]))
+        os.makedirs(os.path.join(CACHE, fname), exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(
+                {"media_ref": refs, "data": payloads})),
+            os.path.join(CACHE, fname, "part-0.parquet"),
+        )
+        print(f"{fname}: re-encoded {len(rows)} media in "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
     return CACHE
 
 
@@ -74,6 +82,7 @@ def main() -> None:
     docs = spark.read.parquet(f"{d}/documents.parquet")
     media_synth = spark.read.parquet(f"{d}/media.parquet")
     media_real = spark.read.parquet(f"{d}/media_real.parquet")
+    media_tiff = spark.read.parquet(f"{d}/media_tiff.parquet")
     n_pages = media_synth.groupBy().sum("page_count").collect()[0][0] or 0
 
     # warm-up (JVM + codegen), excluded
@@ -94,6 +103,9 @@ def main() -> None:
         "real_unbucketed": best2(
             lambda: extract_real.extract_real_documents(
                 docs, media_real, bucket_pages=None)),
+        "tiff_g4_bucket8": best2(
+            lambda: extract_real.extract_real_documents(
+                docs, media_tiff, bucket_pages=8)),
     }
     out = {
         "n_docs": N_DOCS,

@@ -94,8 +94,9 @@ sections.append(("Real-codec extraction (extract_real_documents)",
   " (operators/extract_real.py, docs/SCALE.md): broadcast span-ref join"
   " over the SHARED lazily-checkpointed explode (the flagship's"
   " single-scan shape — the Scan ExistingRDD leaves below),"
-  " probe+bucket-explode MapInPandas (multi-bucket PDFs are SLICED at"
-  " probe time into per-bucket sub-PDFs — pdfcodec._Slicer — so the"
+  " probe+bucket-explode MapInPandas (multi-bucket PDFs and multi-page"
+  " G4 TIFFs are SLICED at probe time into per-bucket sub-documents —"
+  " pdfcodec._Slicer / tiffcodec.slice_pages — so the"
   " document's bytes cross the one Exchange ~once in total instead of"
   " ceil(pages/K) full copies; slice_payloads=False restores the"
   " full-payload rows), hash repartition on (doc_id, offset, bucket_index) so a"
