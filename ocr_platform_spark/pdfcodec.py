@@ -18,13 +18,17 @@ wrong raster; the quarantine path keys on ``ValueError``):
   predictors), object streams (``/Type /ObjStm``), incremental updates
   via ``/Prev`` chains (mixed classic/stream), hybrid-reference files
   (``/XRefStm``), free-entry lists.
-* ``/FlateDecode`` stream filter (zlib), optionally with PNG predictors
-  (``/DecodeParms /Predictor >= 10`` — reuses :func:`pngcodec._unfilter`)
-  for both content and image streams; ``/DCTDecode`` image streams decode
-  through :func:`jpegcodec.decode_jpeg`; ``/CCITTFaxDecode`` with
-  ``K < 0`` (Group 4 — the standard encoding for scanned bitonal pages)
-  through :func:`ccittcodec.decode_g4` (``BlackIs1`` honoured; G3,
-  ``EncodedByteAlign`` raise). JBIG2/JPX/LZW raise.
+* byte-stream filters for both content and image streams:
+  ``/FlateDecode`` (zlib) and ``/LZWDecode`` (:mod:`compression`, both
+  ``/EarlyChange`` variants), each optionally with PNG predictors
+  (``/DecodeParms /Predictor >= 10`` — reuses :func:`pngcodec._unfilter`);
+  ``/RunLengthDecode``; ``/ASCIIHexDecode`` / ``/ASCII85Decode`` armor
+  (legal anywhere in a chain, and as the only filters allowed BEFORE a
+  terminal image filter). ``/DCTDecode`` image streams decode through
+  :func:`jpegcodec.decode_jpeg`; ``/CCITTFaxDecode`` with ``K < 0``
+  (Group 4 — the standard encoding for scanned bitonal pages) through
+  :func:`ccittcodec.decode_g4` (``BlackIs1`` honoured; G3,
+  ``EncodedByteAlign`` raise). JBIG2/JPX raise.
 * page content limited to the scanned-page operator set: graphics-state
   stack (``q``/``Q``), matrix concat (``cm``), image XObject paint
   (``Do``), plus inert state/clipping operators. Text-showing and
@@ -49,7 +53,15 @@ import zlib
 
 import numpy as np
 
-from . import ccittcodec, jpegcodec, pngcodec, raster
+from . import ccittcodec, compression, jpegcodec, pngcodec, raster
+
+#: image filters whose output is samples (must be last in a chain)
+_TERMINAL_FILTERS = ("DCTDecode", "CCITTFaxDecode")
+#: ASCII armor filters — the only ones allowed BEFORE a terminal filter
+_ARMOR_FILTERS = ("ASCIIHexDecode", "ASCII85Decode")
+#: general byte-stream filters usable in any content/sample-image chain
+_BYTE_FILTERS = ("FlateDecode", "LZWDecode", "RunLengthDecode") + \
+    _ARMOR_FILTERS
 
 RENDER_DPI = 150  # reference: ocr_tasks.py:47 get_pixmap(dpi=150)
 _POINT_DPI = 72.0
@@ -459,18 +471,35 @@ class _Document:
             parms = [parms] * len(filters)
         for filt, parm in zip(filters, parms):
             filt = str(self.get(filt))
-            if filt == "FlateDecode":
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error as e:
-                    raise ValueError(f"bad FlateDecode stream: {e}") from e
-                data = self._unpredict(self.get(parm), data)
-            elif filt in ("DCTDecode", "CCITTFaxDecode"):
+            if filt in _TERMINAL_FILTERS:
                 # terminal image filters: handled by the image decoder
                 raise ValueError(f"{filt} outside an image XObject")
-            else:
-                raise ValueError(f"unsupported PDF stream filter /{filt}")
+            data = self._apply_byte_filter(filt, self.get(parm), data)
         return data
+
+    def _apply_byte_filter(self, filt: str, parm, data: bytes) -> bytes:
+        """One non-terminal stream filter pass (PDF 7.4): Flate and LZW
+        honour ``/DecodeParms`` predictors (and LZW ``/EarlyChange``);
+        the ASCII armor and run-length filters are parameterless."""
+        if filt == "FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise ValueError(f"bad FlateDecode stream: {e}") from e
+            return self._unpredict(parm, data)
+        if filt == "LZWDecode":
+            ec = self.get(parm.get("EarlyChange", 1)) if isinstance(
+                parm, dict) else 1
+            if ec not in (0, 1):
+                raise ValueError(f"LZW /EarlyChange must be 0 or 1, got {ec}")
+            return self._unpredict(parm, compression.decode_lzw(data, ec))
+        if filt == "RunLengthDecode":
+            return compression.decode_rle_pdf(data)
+        if filt == "ASCIIHexDecode":
+            return compression.decode_ascii_hex(data)
+        if filt == "ASCII85Decode":
+            return compression.decode_ascii85(data)
+        raise ValueError(f"unsupported PDF stream filter /{filt}")
 
     def _unpredict(self, parm, data: bytes) -> bytes:
         if not parm:
@@ -646,21 +675,23 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
     cs = str(doc.get(cs)) if not isinstance(cs, list) else str(cs)
     bpc = int(doc.get(d.get("BitsPerComponent", 8)))
     decode = doc.get(d.get("Decode"))
-    if "DCTDecode" in filters:
-        if filters[-1] != "DCTDecode" or len(filters) != 1:
-            raise ValueError("DCTDecode must be the sole image filter")
-        return filters, cs, bpc, decode
-    if "CCITTFaxDecode" in filters:
-        if filters != ["CCITTFaxDecode"]:
-            raise ValueError("CCITTFaxDecode must be the sole image filter")
+    if any(f in _TERMINAL_FILTERS for f in filters):
+        if filters[-1] not in _TERMINAL_FILTERS or \
+                any(f not in _ARMOR_FILTERS for f in filters[:-1]):
+            raise ValueError(
+                f"{'/'.join(_TERMINAL_FILTERS)} must be the last image "
+                f"filter, preceded only by ASCII armor; got {filters}"
+            )
+        if filters[-1] == "DCTDecode":
+            return filters, cs, bpc, decode
         if not (cs == "DeviceGray" and bpc == 1) or \
                 decode not in (None, [0, 1], [1, 0]):
             raise ValueError(
                 "CCITT image must be DeviceGray 1-bit with default Decode"
             )
-        _ccitt_parms(doc, d, w, h)  # raises on anything outside G4
+        _ccitt_parms(doc, d, w, h)  # raises on anything outside G3/G4
         return filters, cs, bpc, decode
-    if filters and filters != ["FlateDecode"]:
+    if any(f not in _BYTE_FILTERS for f in filters):
         raise ValueError(f"unsupported image filter chain {filters}")
     supported = (
         (cs == "DeviceRGB" and bpc == 8 and
@@ -684,7 +715,13 @@ def _ccitt_parms(doc: _Document, d: dict, w: int, h: int) -> bool:
     decoding enforces."""
     parms = doc.get(d.get("DecodeParms"))
     if isinstance(parms, list):
-        parms = doc.get(parms[0]) if parms else None
+        # position-matched to /Filter: take the CCITT filter's slot
+        # (armor filters may precede it in the chain)
+        filters = doc.get(d.get("Filter"))
+        if not isinstance(filters, list):
+            filters = [filters]
+        idx = [str(doc.get(f)) for f in filters].index("CCITTFaxDecode")
+        parms = doc.get(parms[idx]) if idx < len(parms) else None
     if parms is None:
         parms = {}
     if not isinstance(parms, dict):
@@ -735,9 +772,19 @@ def _decode_image(doc: _Document, d: dict, data: bytes,
     filters, cs, bpc, decode = _image_plan(doc, d)
     w = int(doc.get(d.get("Width", 0)))
     h = int(doc.get(d.get("Height", 0)))
-    if filters and filters[-1] == "DCTDecode":
+    term = filters[-1] if filters and filters[-1] in _TERMINAL_FILTERS \
+        else None
+    parms = doc.get(d.get("DecodeParms"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    # run every non-terminal filter (ASCII armor before DCT/CCITT, or the
+    # whole chain for raw-sample images) through the shared filter pass
+    pre = filters[:-1] if term else filters
+    for f, p in zip(pre, parms):
+        data = doc._apply_byte_filter(f, doc.get(p), data)
+    if term == "DCTDecode":
         return jpegcodec.decode_jpeg(data)  # convert("RGB") parity inside
-    if filters == ["CCITTFaxDecode"]:
+    if term == "CCITTFaxDecode":
         black = ccittcodec.decode_g4(data, w, h)
         # filter-output samples: 0 = black unless BlackIs1 (PDF 7.4.6)
         bits = black if _ccitt_parms(doc, d, w, h) else 1 - black
@@ -745,13 +792,6 @@ def _decode_image(doc: _Document, d: dict, data: bytes,
             bits = 1 - bits
         g = (bits * 255).astype(np.uint8)
         return g if gray else np.stack([g] * 3, axis=-1)
-    if filters == ["FlateDecode"]:
-        try:
-            data = zlib.decompress(data)
-        except zlib.error as e:
-            raise ValueError(f"bad FlateDecode image stream: {e}") from e
-        parms = doc.get(d.get("DecodeParms"))
-        data = doc._unpredict(parms, data)
     if cs == "DeviceRGB" and bpc == 8:
         need = w * h * 3
         if len(data) < need:

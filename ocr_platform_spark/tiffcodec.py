@@ -13,10 +13,13 @@ wrong raster):
 
 * classic TIFF, both byte orders (``II``/``MM``); BigTIFF raises;
 * multi-page via the IFD chain (cycle-guarded);
-* Compression 1 (uncompressed) for 1-bit bilevel, 8-bit gray and
-  8-bit RGB (chunky), and Compression 4 (CCITT T.6 through
-  :mod:`ccittcodec` — strips decode independently per the TIFF spec)
-  for 1-bit bilevel;
+* Compression 1 (uncompressed), 5 (LZW), 8/32946 (Deflate) and 32773
+  (PackBits) for 1-bit bilevel, 8-bit gray and 8-bit RGB (chunky), and
+  Compression 4 (CCITT T.6 through :mod:`ccittcodec` — strips decode
+  independently per the TIFF spec) for 1-bit bilevel; Predictor 2
+  (horizontal differencing) with the LZW/Deflate family on 8-bit
+  samples. All pinned bit-exact against Java ImageIO's TIFF plugin in
+  BOTH directions (tests/test_compression.py);
 * PhotometricInterpretation 0 (WhiteIsZero) / 1 (BlackIsZero) / 2 (RGB);
 * multi-strip images (``RowsPerStrip``), FillOrder 1, chunky planar
   config, default orientation; ``T6Options`` uncompressed-mode bit
@@ -31,10 +34,11 @@ so fixtures and the Java-ImageIO interop test need no external library.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
-from . import ccittcodec
+from . import ccittcodec, compression
 from .pdfcodec import MAX_PIXELS
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -144,8 +148,16 @@ def _page_plan(tags: dict) -> tuple[int, int, int, int, int, int]:
         raise ValueError("planar TIFF unsupported")
     if _tag1(tags, 274, 1) != 1:
         raise ValueError("rotated/mirrored TIFF orientation unsupported")
-    if _tag1(tags, 317, 1) != 1:
-        raise ValueError("TIFF Predictor unsupported")
+    pred = _tag1(tags, 317, 1)
+    if pred == 2:
+        # horizontal differencing: defined for the LZW/Deflate family
+        # on 8-bit samples in this subset
+        if comp not in (5, 8, 32946) or bps != 8:
+            raise ValueError(
+                "TIFF Predictor 2 only supported with LZW/Deflate 8-bit"
+            )
+    elif pred != 1:
+        raise ValueError(f"TIFF Predictor {pred} unsupported")
     if comp == 4:
         if not (bps == 1 and spp == 1 and pi in (0, 1)):
             raise ValueError(
@@ -153,16 +165,20 @@ def _page_plan(tags: dict) -> tuple[int, int, int, int, int, int]:
             )
         if _tag1(tags, 293, 0) & 0b10:
             raise ValueError("T6Options uncompressed mode unsupported")
-    elif comp == 1:
+    elif comp in (1, 5, 8, 32773, 32946):
+        # uncompressed / LZW / Deflate (8=Adobe, 32946=classic) /
+        # PackBits, all over the same three pixel layouts
         ok = (spp == 1 and bps in (1, 8) and pi in (0, 1)) or \
              (spp == 3 and bps == 8 and pi == 2)
         if not ok:
             raise ValueError(
-                f"unsupported uncompressed TIFF pi/bps/spp {pi}/{bps}/{spp}"
+                f"unsupported TIFF pi/bps/spp {pi}/{bps}/{spp} "
+                f"for compression {comp}"
             )
     else:
         raise ValueError(
-            f"TIFF compression {comp} unsupported (none=1, G4=4 only)"
+            f"TIFF compression {comp} unsupported "
+            "(none=1, G4=4, LZW=5, Deflate=8/32946, PackBits=32773)"
         )
     if 273 not in tags or 279 not in tags:
         raise ValueError("TIFF missing strip offsets/byte counts")
@@ -204,7 +220,28 @@ def _decode_page(raw: bytes, tags: dict, gray: bool) -> np.ndarray:
             bits = ccittcodec.decode_g4(data, w, rows)
             g = (1 - bits) * 255 if pi == 0 else bits * 255
             strips.append(g.astype(np.uint8))
-        elif bps == 1:
+            continue
+        rowbytes = (w * spp * bps + 7) // 8
+        if comp == 5:
+            data = compression.decode_lzw(data)
+        elif comp in (8, 32946):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise ValueError(f"bad TIFF Deflate strip: {e}") from e
+        elif comp == 32773:
+            data = compression.decode_packbits(
+                data, expected=rowbytes * rows
+            )
+        if _tag1(tags, 317, 1) == 2:
+            if len(data) < rowbytes * rows:
+                raise ValueError("truncated TIFF strip under Predictor 2")
+            arr = np.frombuffer(
+                data[:rowbytes * rows], np.uint8
+            ).reshape(rows, w, spp)
+            # undo horizontal differencing: modular prefix-sum per band
+            data = np.cumsum(arr, axis=1, dtype=np.uint8).tobytes()
+        if bps == 1:
             stride = (w + 7) // 8
             if len(data) < stride * rows:
                 raise ValueError("truncated TIFF bilevel strip")

@@ -1,0 +1,112 @@
+// External ground-truth harness for the stdlib TIFF/LZW/PackBits/CCITT
+// codecs: Java ImageIO (JDK 9+ ships the TIFF plugin) encodes and decodes
+// TIFFs independently of this repo's Python implementation, so tests can
+// pin bit-exact parity against a foreign codec without PIL/libtiff.
+//
+//   java TiffTool encode <in.pnm> <out.tiff> <compression>
+//       compression: None | LZW | PackBits | Deflate | ZLib |
+//                    "CCITT RLE" | "CCITT T.4" | "CCITT T.6"
+//       (CCITT requires a bilevel PGM: maxval 255, pixels 0 or 255)
+//   java TiffTool decode <in.tiff> <out.pnm> [pageIndex]
+//
+// PNM here is binary P5 (gray) / P6 (RGB), maxval 255 -- trivial to read
+// and write from Python with no third-party libs.
+
+import java.awt.image.BufferedImage;
+import java.awt.image.Raster;
+import java.io.*;
+import java.util.Iterator;
+import javax.imageio.*;
+import javax.imageio.stream.*;
+
+public final class TiffTool {
+    public static void main(String[] args) throws Exception {
+        if (args[0].equals("encode")) {
+            encode(args[1], args[2], args[3]);
+        } else if (args[0].equals("decode")) {
+            decode(args[1], args[2], args.length > 3 ? Integer.parseInt(args[3]) : 0);
+        } else {
+            throw new IllegalArgumentException("encode|decode");
+        }
+    }
+
+    static int readToken(DataInputStream in) throws IOException {
+        int c;
+        do { c = in.read(); } while (c == ' ' || c == '\n' || c == '\r' || c == '\t');
+        if (c == '#') { while (in.read() != '\n') {} return readToken(in); }
+        int v = 0;
+        while (c >= '0' && c <= '9') { v = v * 10 + (c - '0'); c = in.read(); }
+        return v;
+    }
+
+    static void encode(String pnmPath, String tiffPath, String compression) throws Exception {
+        DataInputStream in = new DataInputStream(new BufferedInputStream(new FileInputStream(pnmPath)));
+        int magic0 = in.read(), magic1 = in.read();
+        boolean rgb = magic1 == '6';
+        int w = readToken(in), h = readToken(in), maxv = readToken(in);
+        if (magic0 != 'P' || maxv != 255) throw new IOException("need binary P5/P6 maxval 255");
+        byte[] px = new byte[w * h * (rgb ? 3 : 1)];
+        in.readFully(px);
+        in.close();
+
+        boolean ccitt = compression.startsWith("CCITT");
+        BufferedImage img = new BufferedImage(w, h,
+            rgb ? BufferedImage.TYPE_3BYTE_BGR
+                : (ccitt ? BufferedImage.TYPE_BYTE_BINARY : BufferedImage.TYPE_BYTE_GRAY));
+        // raw raster samples, NOT setRGB: setRGB round-trips through the
+        // sRGB color model and gamma-warps TYPE_BYTE_GRAY pixels
+        java.awt.image.WritableRaster wr = img.getRaster();
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                if (rgb) {
+                    int i = (y * w + x) * 3;
+                    wr.setPixel(x, y, new int[]{px[i] & 255, px[i + 1] & 255, px[i + 2] & 255});
+                } else {
+                    int g = px[y * w + x] & 255;
+                    wr.setSample(x, y, 0, ccitt ? (g >= 128 ? 1 : 0) : g);
+                }
+            }
+
+        Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("tiff");
+        ImageWriter writer = it.next();
+        ImageWriteParam p = writer.getDefaultWriteParam();
+        if (!compression.equals("None")) {
+            p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+            p.setCompressionType(compression);
+        }
+        ImageOutputStream ios = ImageIO.createImageOutputStream(new File(tiffPath));
+        writer.setOutput(ios);
+        writer.write(null, new IIOImage(img, null, null), p);
+        ios.close();
+        writer.dispose();
+    }
+
+    static void decode(String tiffPath, String pnmPath, int page) throws Exception {
+        Iterator<ImageReader> it = ImageIO.getImageReadersByFormatName("tiff");
+        ImageReader reader = it.next();
+        ImageInputStream iis = ImageIO.createImageInputStream(new File(tiffPath));
+        reader.setInput(iis);
+        BufferedImage img = reader.read(page);
+        int w = img.getWidth(), h = img.getHeight();
+        Raster r = img.getRaster();
+        int bands = r.getNumBands();
+        boolean rgb = bands >= 3;
+        OutputStream out = new BufferedOutputStream(new FileOutputStream(pnmPath));
+        out.write((rgb ? "P6\n" : "P5\n").getBytes());
+        out.write((w + " " + h + "\n255\n").getBytes());
+        int[] smp = new int[bands];
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                r.getPixel(x, y, smp);
+                if (rgb) { out.write(smp[0]); out.write(smp[1]); out.write(smp[2]); }
+                else if (img.getColorModel().getPixelSize() == 1) {
+                    // bilevel: sample 1 = white for WhiteIsZero handled by
+                    // the color model; normalize through getRGB
+                    out.write(img.getRGB(x, y) & 255);
+                } else out.write(smp[0]);
+            }
+        out.close();
+        reader.dispose();
+        iis.close();
+    }
+}
