@@ -13,6 +13,12 @@ path has live in-sandbox coverage. Both directions are implemented:
 * :func:`encode_g4` — the matching coder (vertical preferred within
   ±3, pass when the reference run ends early, horizontal otherwise,
   EOFB terminator) so fixtures round-trip without an external library.
+* :func:`decode_g3` / :func:`encode_g3` — Group 3 (ITU-T T.4): pure-1D
+  Modified Huffman rows (``K = 0`` in PDF terms, TIFF compression 2
+  when byte-aligned) and mixed 2D (``K > 0``, EOL + tag-bit framing,
+  TIFF compression 3 with the 2D ``T4Options`` bit), sharing the run
+  tables and the 2D row loop with the T.6 coder. Older fax archives
+  and pre-2000 scanner output ship G3 where modern scans ship G4.
 
 Correctness evidence beyond round-trip (a shared wrong table would
 round-trip): the code tables are pinned by a prefix-freeness property
@@ -121,8 +127,10 @@ MODE_PASS = "0001"
 MODE_HORIZ = "001"
 MODE_V = {0: "1", 1: "011", 2: "000011", 3: "0000011",
           -1: "010", -2: "000010", -3: "0000010"}
+#: T.4 end-of-line code (11 zeros + 1)
+EOL = "000000000001"
 #: T.6 end-of-facsimile-block: two EOLs
-EOFB = "000000000001" * 2
+EOFB = EOL * 2
 #: 2D extension escape (incl. uncompressed mode) — rejected
 MODE_EXT_PREFIX = "0000001"
 
@@ -226,6 +234,128 @@ def _run(win: list, pos: int, white: bool) -> tuple[int, int]:
     raise ValueError("CCITT make-up chain too long")
 
 
+def _decode_2d_row(win, pos: int, ref: list, columns: int):
+    """One 2D-coded row (shared by T.6 and the 2D rows of T.4 ``K>0``)
+    against reference line ``ref`` -> ``(changes, pos)``."""
+    cur: list[int] = []
+    append = cur.append
+    a0 = -1
+    color = 0  # 0 = white, 1 = black
+    ri = 0  # monotone pointer: first ref change right of a0
+    nref = len(ref)
+    mode_tbl = _MODE_TBL
+    H, P = _H, _P
+    while a0 < columns:
+        m = mode_tbl[win[pos] >> 9]  # top 7 bits
+        if m is None:
+            # 0000000...: EOL/EOFB inside the row, or extension
+            raise ValueError(
+                "unexpected CCITT EOL/extension code inside a 2D row "
+                "(uncompressed mode unsupported)"
+            )
+        action, ln = m
+        pos += ln
+        if action == H:
+            start = a0 if a0 > 0 else 0
+            r1, pos = _run(win, pos, color == 0)
+            r2, pos = _run(win, pos, color != 0)
+            t1, t2 = start + r1, start + r1 + r2
+            if not (a0 < t1 <= t2 <= columns) or \
+                    (cur and t1 < cur[-1]):
+                raise ValueError(
+                    "CCITT horizontal runs overshoot row"
+                )
+            cur.extend((t1, t2))
+            a0 = t2
+            continue
+        # b1 = first ref change > a0 of colour opposite to a0's
+        # (even ref index = change to black); a0 only grows, so a
+        # monotone pointer replaces per-mode bisect
+        while ri < nref and ref[ri] <= a0:
+            ri += 1
+        i = ri if (ri & 1) == color else ri + 1
+        if action == P:
+            b2 = ref[i + 1] if i + 1 < nref else columns
+            if b2 > columns:
+                raise ValueError("CCITT pass mode overshoots row")
+            a0 = b2
+            continue
+        b1 = ref[i] if i < nref else columns
+        a1 = b1 + action  # vertical: a changing element at a1
+        if a1 <= a0 or a1 > columns or a1 < 0 or \
+                (cur and a1 < cur[-1]):
+            raise ValueError("CCITT vertical mode out of order")
+        append(a1)
+        a0 = a1
+        color ^= 1
+    if a0 > columns:
+        raise ValueError("CCITT row overshoots width")
+    return cur, pos
+
+
+def _decode_1d_row(win, pos: int, columns: int):
+    """One MH (T.4 1D) row: alternating white/black runs summing to
+    exactly ``columns`` -> ``(changes, pos)``. Zero-length runs (a row
+    starting black, or makeup boundary artifacts) cancel in place so the
+    returned change list stays canonical for use as a 2D reference."""
+    cur: list[int] = []
+    a0 = 0
+    white = True
+    while a0 < columns:
+        run, pos = _run(win, pos, white)
+        a0 += run
+        if a0 > columns:
+            raise ValueError("CCITT 1D run overshoots row")
+        if cur and cur[-1] == a0:
+            cur.pop()
+        else:
+            cur.append(a0)
+        white = not white
+    return cur, pos
+
+
+def _bit(win, p: int) -> int:
+    return (win[p] >> 15) & 1
+
+
+#: fill-run bound: T.4 fill is sub-byte in practice; 4096 zero bits of
+#: "fill" is an adversarial stream, not a fax
+_MAX_FILL = 4096
+
+
+def _try_eol(win, pos: int, nbits: int):
+    """Scan optional fill (zeros) + EOL (``>=11`` zeros then a 1)
+    starting at ``pos``. Returns the position after the EOL's 1, or
+    ``None`` (nothing consumed) when the bits at ``pos`` are a data
+    code. MH/mode alphabets never contain 11 consecutive zeros, so this
+    cannot swallow a valid code."""
+    p = pos
+    z = 0
+    while p < nbits and not _bit(win, p):
+        z += 1
+        if z > _MAX_FILL:
+            raise ValueError("CCITT fill run too long")
+        p += 1
+    if p >= nbits or z < 11:
+        return None
+    return p + 1
+
+
+def _paint(flat: list, rows: int, columns: int) -> np.ndarray:
+    """Parity paint: changing elements collected as flat plane indices;
+    one bincount + XOR-accumulate replaces per-change numpy writes
+    (which dominated the profile on text-density pages). Changes
+    alternate white->black->white...; a trailing odd change keeps its
+    run black to the row edge, which parity gives for free."""
+    stride = columns + 1
+    delta = (np.bincount(
+        np.asarray(flat, dtype=np.int64), minlength=rows * stride
+    ) & 1).astype(np.uint8)
+    return np.bitwise_xor.accumulate(
+        delta.reshape(rows, stride), axis=1
+    )[:, :columns]
+
+
 def decode_g4(data: bytes, columns: int, rows: int) -> np.ndarray:
     """T.6 decode -> ``(rows, columns)`` uint8 array, 1 = black.
 
@@ -240,80 +370,79 @@ def decode_g4(data: bytes, columns: int, rows: int) -> np.ndarray:
     win = _windows(data)
     pos = 0
     stride = columns + 1
-    # parity paint: changing elements collect as flat plane indices; one
-    # bincount + XOR-accumulate at the end replaces per-change numpy
-    # writes (which dominated the profile on text-density pages)
     flat: list[int] = []
     ref: list[int] = []  # imaginary all-white line above the first row
-    mode_tbl = _MODE_TBL
-    H, P = _H, _P
     try:
         for y in range(rows):
-            cur: list[int] = []
-            append = cur.append
-            a0 = -1
-            color = 0  # 0 = white, 1 = black
-            ri = 0  # monotone pointer: first ref change right of a0
-            nref = len(ref)
-            while a0 < columns:
-                m = mode_tbl[win[pos] >> 9]  # top 7 bits
-                if m is None:
-                    # 0000000...: EOL/EOFB inside the image, or extension
-                    raise ValueError(
-                        "unexpected CCITT EOL/extension code inside G4 "
-                        "image (uncompressed mode and T.4 EOLs unsupported)"
-                    )
-                action, ln = m
-                pos += ln
-                if action == H:
-                    start = a0 if a0 > 0 else 0
-                    r1, pos = _run(win, pos, color == 0)
-                    r2, pos = _run(win, pos, color != 0)
-                    t1, t2 = start + r1, start + r1 + r2
-                    if not (a0 < t1 <= t2 <= columns) or \
-                            (cur and t1 < cur[-1]):
-                        raise ValueError(
-                            "CCITT horizontal runs overshoot row"
-                        )
-                    cur.extend((t1, t2))
-                    a0 = t2
-                    continue
-                # b1 = first ref change > a0 of colour opposite to a0's
-                # (even ref index = change to black); a0 only grows, so a
-                # monotone pointer replaces per-mode bisect
-                while ri < nref and ref[ri] <= a0:
-                    ri += 1
-                i = ri if (ri & 1) == color else ri + 1
-                if action == P:
-                    b2 = ref[i + 1] if i + 1 < nref else columns
-                    if b2 > columns:
-                        raise ValueError("CCITT pass mode overshoots row")
-                    a0 = b2
-                    continue
-                b1 = ref[i] if i < nref else columns
-                a1 = b1 + action  # vertical: a changing element at a1
-                if a1 <= a0 or a1 > columns or a1 < 0 or \
-                        (cur and a1 < cur[-1]):
-                    raise ValueError("CCITT vertical mode out of order")
-                append(a1)
-                a0 = a1
-                color ^= 1
-            if a0 > columns:
-                raise ValueError("CCITT row overshoots width")
+            cur, pos = _decode_2d_row(win, pos, ref, columns)
             if cur:
                 base = y * stride
                 flat.extend(base + x for x in cur)
             ref = cur
     except IndexError as e:
         raise ValueError("CCITT bit-stream exhausted") from e
-    # changes alternate white->black->white...; a trailing odd change
-    # keeps its run black to the row edge, which parity gives for free
-    delta = (np.bincount(
-        np.asarray(flat, dtype=np.int64), minlength=rows * stride
-    ) & 1).astype(np.uint8)
-    return np.bitwise_xor.accumulate(
-        delta.reshape(rows, stride), axis=1
-    )[:, :columns]
+    return _paint(flat, rows, columns)
+
+
+def decode_g3(data: bytes, columns: int, rows: int, k: int = 0,
+              byte_align: bool = False) -> np.ndarray:
+    """T.4 (Group 3) decode -> ``(rows, columns)`` uint8 array, 1 = black.
+
+    ``k=0``: pure 1D MH rows; EOLs (with any fill) are tolerated before
+    any row but not required — covers PDF ``/K 0`` streams with or
+    without ``/EndOfLine`` and TIFF compression 3 with 1D ``T4Options``.
+    ``k>0``: T.4 2D — every row is preceded by a REQUIRED EOL plus a
+    1-bit tag (1 = the row is 1D-coded, 0 = 2D-coded against the line
+    above); the first row must be 1D. ``byte_align`` starts each row
+    (including its EOL, when present) on a byte boundary — TIFF
+    compression 2 layout and PDF ``/EncodedByteAlign``. Trailing RTC /
+    EOFB / padding after the last row is ignored, like
+    :func:`decode_g4`.
+    """
+    if columns <= 0 or rows <= 0:
+        raise ValueError("CCITT decode needs positive columns and rows")
+    if k < 0:
+        raise ValueError("decode_g3 handles K >= 0; K < 0 is decode_g4")
+    win = _windows(data)
+    nbits = len(win)
+    pos = 0
+    stride = columns + 1
+    flat: list[int] = []
+    ref: list[int] = []
+    try:
+        for y in range(rows):
+            if byte_align:
+                pos = (pos + 7) & ~7
+            one_d = True
+            if k > 0:
+                p2 = _try_eol(win, pos, nbits)
+                if p2 is None:
+                    raise ValueError("T.4 2D row missing its EOL")
+                pos = p2
+                if pos >= nbits:
+                    raise ValueError("CCITT bit-stream exhausted")
+                one_d = _bit(win, pos) == 1
+                pos += 1
+                if y == 0 and not one_d:
+                    raise ValueError("T.4 first row must be 1D-coded")
+            else:
+                # consume any run of EOLs (T.4-proper streams, leading
+                # RTC-style padding); plain /K 0 data has none
+                p2 = _try_eol(win, pos, nbits)
+                while p2 is not None:
+                    pos = p2
+                    p2 = _try_eol(win, pos, nbits)
+            if one_d:
+                cur, pos = _decode_1d_row(win, pos, columns)
+            else:
+                cur, pos = _decode_2d_row(win, pos, ref, columns)
+            if cur:
+                base = y * stride
+                flat.extend(base + x for x in cur)
+            ref = cur
+    except IndexError as e:
+        raise ValueError("CCITT bit-stream exhausted") from e
+    return _paint(flat, rows, columns)
 
 
 # --------------------------------------------------------------------------
@@ -342,6 +471,53 @@ def _changes(row: np.ndarray) -> list[int]:
     return pos
 
 
+def _encode_2d_row(bits: list, cur: list, ref: list, width: int) -> None:
+    """2D-code one row's changes against ``ref`` (shared by T.6 and the
+    2D rows of T.4 ``K>0``)."""
+    a0 = -1
+    color = 0
+    i = 0  # index into cur of the next changing element right of a0
+    while a0 < width:
+        a1 = cur[i] if i < len(cur) else width
+        b1, b2 = _b1_b2(ref, a0, color, width)
+        if b2 < a1:
+            bits.append(MODE_PASS)
+            a0 = b2
+            # a0 moved; cur index unchanged (a1 still right of a0)
+        elif abs(a1 - b1) <= 3:
+            bits.append(MODE_V[a1 - b1])
+            a0 = a1
+            color ^= 1
+            i += 1
+        else:
+            a2 = cur[i + 1] if i + 1 < len(cur) else width
+            start = a0 if a0 > 0 else 0
+            bits.append(MODE_HORIZ)
+            _encode_run(bits, a1 - start, white=color == 0)
+            _encode_run(bits, a2 - a1, white=color != 0)
+            a0 = a2
+            i += 2
+
+
+def _encode_1d_row(bits: list, cur: list, width: int) -> None:
+    """MH-code one row from its canonical change list: alternating
+    white/black run lengths summing to the row width."""
+    prev = 0
+    white = True
+    for x in cur:
+        _encode_run(bits, x - prev, white)
+        prev = x
+        white = not white
+    if prev < width or not cur:
+        _encode_run(bits, width - prev, white)
+
+
+def _pack_bits_str(bits: list) -> bytes:
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+
+
 def encode_g4(bitmap: np.ndarray) -> bytes:
     """T.6 encode of a ``(rows, cols)`` array (nonzero = black), EOFB
     terminated, zero-padded to a byte boundary."""
@@ -353,31 +529,53 @@ def encode_g4(bitmap: np.ndarray) -> bytes:
     ref: list[int] = []
     for y in range(rows):
         cur = _changes(bm[y])
-        a0 = -1
-        color = 0
-        i = 0  # index into cur of the next changing element right of a0
-        while a0 < width:
-            a1 = cur[i] if i < len(cur) else width
-            b1, b2 = _b1_b2(ref, a0, color, width)
-            if b2 < a1:
-                bits.append(MODE_PASS)
-                a0 = b2
-                # a0 moved; cur index unchanged (a1 still right of a0)
-            elif abs(a1 - b1) <= 3:
-                bits.append(MODE_V[a1 - b1])
-                a0 = a1
-                color ^= 1
-                i += 1
-            else:
-                a2 = cur[i + 1] if i + 1 < len(cur) else width
-                start = a0 if a0 > 0 else 0
-                bits.append(MODE_HORIZ)
-                _encode_run(bits, a1 - start, white=color == 0)
-                _encode_run(bits, a2 - a1, white=color != 0)
-                a0 = a2
-                i += 2
+        _encode_2d_row(bits, cur, ref, width)
         ref = cur
     bits.append(EOFB)
-    s = "".join(bits)
-    s += "0" * (-len(s) % 8)
-    return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+    return _pack_bits_str(bits)
+
+
+def encode_g3(bitmap: np.ndarray, k: int = 0,
+              byte_align: bool = False, eols: bool | None = None) -> bytes:
+    """T.4 (Group 3) encode of a ``(rows, cols)`` array (nonzero =
+    black), fixture-grade like :func:`encode_g4`.
+
+    ``k=0``: pure 1D MH rows; ``eols`` (default False) prefixes every
+    row with an EOL as T.4-proper streams do. ``k>0``: every row gets
+    EOL + tag bit, 1D on every k-th row and 2D in between (``eols`` is
+    implied). ``byte_align`` pads each row start to a byte boundary —
+    TIFF compression-2 layout (``k=0, eols=False``) or PDF
+    ``/EncodedByteAlign``.
+    """
+    if bitmap.ndim != 2 or bitmap.size == 0:
+        raise ValueError("encode_g3 needs a non-empty 2-D bitmap")
+    if k < 0:
+        raise ValueError("encode_g3 handles K >= 0; K < 0 is encode_g4")
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    rows, width = bm.shape
+    if eols is None:
+        eols = k > 0
+    if k > 0 and not eols:
+        raise ValueError("T.4 2D requires EOL tags")
+    out: list[str] = []
+    nbits = 0
+    ref: list[int] = []
+    for y in range(rows):
+        bits: list[str] = []
+        if byte_align and nbits % 8:
+            bits.append("0" * (8 - nbits % 8))
+        one_d = True
+        if eols:
+            bits.append(EOL)
+            if k > 0:
+                one_d = y % k == 0
+                bits.append("1" if one_d else "0")
+        cur = _changes(bm[y])
+        if one_d:
+            _encode_1d_row(bits, cur, width)
+        else:
+            _encode_2d_row(bits, cur, ref, width)
+        ref = cur
+        nbits += sum(len(b) for b in bits)
+        out.extend(bits)
+    return _pack_bits_str(out)

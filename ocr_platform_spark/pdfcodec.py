@@ -25,10 +25,12 @@ wrong raster; the quarantine path keys on ``ValueError``):
   ``/RunLengthDecode``; ``/ASCIIHexDecode`` / ``/ASCII85Decode`` armor
   (legal anywhere in a chain, and as the only filters allowed BEFORE a
   terminal image filter). ``/DCTDecode`` image streams decode through
-  :func:`jpegcodec.decode_jpeg`; ``/CCITTFaxDecode`` with ``K < 0``
-  (Group 4 — the standard encoding for scanned bitonal pages) through
-  :func:`ccittcodec.decode_g4` (``BlackIs1`` honoured; G3,
-  ``EncodedByteAlign`` raise). JBIG2/JPX raise.
+  :func:`jpegcodec.decode_jpeg`; ``/CCITTFaxDecode`` for every ``/K``:
+  ``K < 0`` (Group 4 — the standard encoding for scanned bitonal pages)
+  through :func:`ccittcodec.decode_g4`, ``K = 0`` (G3 1D / Modified
+  Huffman) and ``K > 0`` (G3 mixed 2D) through
+  :func:`ccittcodec.decode_g3`, with ``BlackIs1`` and
+  ``EncodedByteAlign`` honoured. JBIG2/JPX raise.
 * page content limited to the scanned-page operator set: graphics-state
   stack (``q``/``Q``), matrix concat (``cm``), image XObject paint
   (``Do``), plus inert state/clipping operators. Text-showing and
@@ -727,11 +729,8 @@ def _ccitt_parms(doc: _Document, d: dict, w: int, h: int) -> bool:
     if not isinstance(parms, dict):
         raise ValueError("CCITT /DecodeParms is not a dictionary")
     k = doc.get(parms.get("K", 0))
-    if not isinstance(k, int) or k >= 0:
-        raise ValueError(
-            f"CCITT K={k} unsupported (Group 4 only, K < 0; "
-            "G3 1D/mixed raise)"
-        )
+    if not isinstance(k, int):
+        raise ValueError(f"CCITT /K must be an integer, got {k!r}")
     columns = doc.get(parms.get("Columns", 1728))
     if columns != w:
         raise ValueError(
@@ -740,9 +739,12 @@ def _ccitt_parms(doc: _Document, d: dict, w: int, h: int) -> bool:
     rows = doc.get(parms.get("Rows", h))
     if rows != h:
         raise ValueError(f"CCITT /Rows {rows} != image /Height {h}")
-    if doc.get(parms.get("EncodedByteAlign", False)):
-        raise ValueError("CCITT EncodedByteAlign unsupported")
-    return bool(doc.get(parms.get("BlackIs1", False)))
+    byte_align = bool(doc.get(parms.get("EncodedByteAlign", False)))
+    if byte_align and k < 0:
+        # T.6 data is never byte-aligned per row; a producer setting
+        # both is malformed and would silently mis-decode
+        raise ValueError("CCITT EncodedByteAlign with K < 0 unsupported")
+    return k, bool(doc.get(parms.get("BlackIs1", False))), byte_align
 
 
 def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
@@ -785,9 +787,14 @@ def _decode_image(doc: _Document, d: dict, data: bytes,
     if term == "DCTDecode":
         return jpegcodec.decode_jpeg(data)  # convert("RGB") parity inside
     if term == "CCITTFaxDecode":
-        black = ccittcodec.decode_g4(data, w, h)
+        k, black_is1, byte_align = _ccitt_parms(doc, d, w, h)
+        if k < 0:
+            black = ccittcodec.decode_g4(data, w, h)
+        else:
+            black = ccittcodec.decode_g3(data, w, h, k=k,
+                                         byte_align=byte_align)
         # filter-output samples: 0 = black unless BlackIs1 (PDF 7.4.6)
-        bits = black if _ccitt_parms(doc, d, w, h) else 1 - black
+        bits = black if black_is1 else 1 - black
         if decode == [1, 0]:
             bits = 1 - bits
         g = (bits * 255).astype(np.uint8)

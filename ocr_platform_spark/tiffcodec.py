@@ -158,13 +158,15 @@ def _page_plan(tags: dict) -> tuple[int, int, int, int, int, int]:
             )
     elif pred != 1:
         raise ValueError(f"TIFF Predictor {pred} unsupported")
-    if comp == 4:
+    if comp in (2, 3, 4):
         if not (bps == 1 and spp == 1 and pi in (0, 1)):
             raise ValueError(
-                "TIFF G4 must be 1-bit single-sample bilevel"
+                "TIFF CCITT must be 1-bit single-sample bilevel"
             )
-        if _tag1(tags, 293, 0) & 0b10:
+        if comp == 4 and _tag1(tags, 293, 0) & 0b10:
             raise ValueError("T6Options uncompressed mode unsupported")
+        if comp == 3 and _tag1(tags, 292, 0) & 0b10:
+            raise ValueError("T4Options uncompressed mode unsupported")
     elif comp in (1, 5, 8, 32773, 32946):
         # uncompressed / LZW / Deflate (8=Adobe, 32946=classic) /
         # PackBits, all over the same three pixel layouts
@@ -214,10 +216,19 @@ def _decode_page(raw: bytes, tags: dict, gray: bool) -> np.ndarray:
             raise ValueError("TIFF strip past end of file")
         rows = min(rps, h - si * rps)
         data = raw[o:o + c]
-        if comp == 4:
-            # decode_g4 gives ink=1; PI=0 (WhiteIsZero, standard for fax)
-            # renders that as luminance 0, PI=1 inverts
-            bits = ccittcodec.decode_g4(data, w, rows)
+        if comp in (2, 3, 4):
+            # ccittcodec gives ink=1; PI=0 (WhiteIsZero, standard for
+            # fax) renders that as luminance 0, PI=1 inverts
+            if comp == 4:
+                bits = ccittcodec.decode_g4(data, w, rows)
+            elif comp == 2:
+                # Modified Huffman RLE: 1D rows, each byte-aligned
+                bits = ccittcodec.decode_g3(data, w, rows,
+                                            byte_align=True)
+            else:
+                # T.4: T4Options bit 0 selects 2D (EOL+tag rows)
+                k = 2 if _tag1(tags, 292, 0) & 0b1 else 0
+                bits = ccittcodec.decode_g3(data, w, rows, k=k)
             g = (1 - bits) * 255 if pi == 0 else bits * 255
             strips.append(g.astype(np.uint8))
             continue
@@ -303,7 +314,8 @@ def decode_tiff(
 
 #: serialization types for the tags the subset understands (for slicing)
 _TAG_TYPE = {256: 4, 257: 4, 258: 3, 259: 3, 262: 3, 266: 3, 273: 4,
-             274: 3, 277: 3, 278: 4, 279: 4, 284: 3, 293: 4, 317: 3}
+             274: 3, 277: 3, 278: 4, 279: 4, 284: 3, 292: 4, 293: 4,
+             317: 3}
 
 
 @_strict_valueerror

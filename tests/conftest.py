@@ -16,6 +16,30 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def tifftool(tmp_path_factory):
+    """Compile tools/TiffTool.java once per session; yields a runner.
+
+    Java ImageIO's TIFF plugin is the external ground truth for the
+    stdlib codecs (LZW/PackBits/Deflate/CCITT): it encodes fixtures our
+    decoders must match bit-exactly and decodes our encoders' output."""
+    import shutil
+    import subprocess
+
+    if shutil.which("javac") is None or shutil.which("java") is None:
+        pytest.skip("JDK not available")
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "TiffTool.java")
+    cp = tmp_path_factory.mktemp("tifftool")
+    subprocess.run(["javac", "-d", str(cp), src], check=True)
+
+    def run(*args):
+        subprocess.run(["java", "-cp", str(cp), "TiffTool",
+                        *map(str, args)], check=True)
+
+    return run
+
+
+@pytest.fixture(scope="session")
 def corpus_dir(tmp_path_factory):
     """Small deterministic corpus shared by Spark-level tests."""
     from ocr_platform_spark import corpus

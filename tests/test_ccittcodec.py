@@ -175,3 +175,122 @@ def test_decode_error_contract_under_mutation():
         cc.decode_g4(b"\xff", 0, 4)
     with pytest.raises(ValueError):
         cc.encode_g4(np.zeros((0, 4), np.uint8))
+
+
+# --- Group 3 (T.4) ------------------------------------------------------------
+
+
+def test_g3_1d_row_bit_exact_against_published_tables():
+    # width 8, row 00111100 -> MH runs: white 2 ("0111"), black 4
+    # ("011"), white 2 ("0111"); no EOL, zero-padded to the byte edge
+    row = np.array([[0, 0, 1, 1, 1, 1, 0, 0]], np.uint8)
+    want = "0111" + "011" + "0111"
+    assert cc.encode_g3(row) == _bits_to_bytes(want)
+    assert np.array_equal(cc.decode_g3(_bits_to_bytes(want), 8, 1), row)
+
+
+def test_g3_all_white_standard_width_row():
+    # 1728 white = makeup 1728 ("010011011") + terminating 0 ("00110101")
+    row = np.zeros((1, 1728), np.uint8)
+    want = "010011011" + "00110101"
+    assert cc.encode_g3(row) == _bits_to_bytes(want)
+    assert np.array_equal(cc.decode_g3(_bits_to_bytes(want), 1728, 1), row)
+
+
+def test_g3_eol_and_fill_tolerated_when_k0():
+    """T.4-proper 1D streams carry EOLs (and fill); PDF /K 0 data often
+    drops them — both decode identically."""
+    row = np.array([[0, 0, 1, 1, 1, 1, 0, 0]], np.uint8)
+    body = "0111" + "011" + "0111"
+    for prefix in ("", cc.EOL, "0000" + cc.EOL, cc.EOL + "000000000001"):
+        # (last case: EOL twice — leading RTC-ish padding)
+        enc = _bits_to_bytes(prefix + body)
+        assert np.array_equal(cc.decode_g3(enc, 8, 1), row), prefix
+    # encoder's eols=True output round-trips too
+    enc = cc.encode_g3(row, eols=True)
+    assert enc == _bits_to_bytes(cc.EOL + body)
+    assert np.array_equal(cc.decode_g3(enc, 8, 1), row)
+
+
+def test_g3_2d_hand_assembled():
+    """K>0: EOL+tag per row; 1D first row, one 2D row of pure V0s."""
+    bm = np.array([[0, 0, 1, 1, 1, 1, 0, 0],
+                   [0, 0, 1, 1, 1, 1, 0, 0]], np.uint8)
+    want = (cc.EOL + "1" + "0111" + "011" + "0111"   # 1D row
+            + cc.EOL + "0" + "111")                  # 2D: V0,V0,V0(edge)
+    assert cc.encode_g3(bm, k=2) == _bits_to_bytes(want)
+    assert np.array_equal(cc.decode_g3(_bits_to_bytes(want), 8, 2, k=2),
+                          bm)
+
+
+def test_g3_byte_align_rows_start_on_byte_boundaries():
+    row = np.array([[0, 0, 1, 1, 1, 1, 0, 0]], np.uint8)
+    bm = np.vstack([row, row])
+    enc = cc.encode_g3(bm, byte_align=True)
+    # each 11-bit MH row padded to 2 bytes -> 4 bytes total
+    one = "0111" + "011" + "0111"
+    assert enc == _bits_to_bytes(one + "0" * 5 + one)
+    assert np.array_equal(cc.decode_g3(enc, 8, 2, byte_align=True), bm)
+
+
+@pytest.mark.parametrize("k", [0, 2, 4])
+@pytest.mark.parametrize("byte_align", [False, True])
+def test_g3_roundtrip_random(k, byte_align):
+    for seed, shape, density in [(1, (30, 90), 0.1), (2, (17, 64), 0.5),
+                                 (3, (8, 201), 0.9)]:
+        bm = (_rng(seed).random(shape) < density).astype(np.uint8)
+        enc = cc.encode_g3(bm, k=k, byte_align=byte_align)
+        assert np.array_equal(
+            cc.decode_g3(enc, shape[1], shape[0], k=k,
+                         byte_align=byte_align), bm), (k, byte_align, seed)
+
+
+def test_g3_black_start_rows_use_zero_length_white_run():
+    bm = np.ones((3, 40), np.uint8)
+    bm[1, 20:] = 0
+    enc = cc.encode_g3(bm)
+    assert np.array_equal(cc.decode_g3(enc, 40, 3), bm)
+    # the canonical change list survives as a 2D reference line
+    enc2 = cc.encode_g3(bm, k=3)
+    assert np.array_equal(cc.decode_g3(enc2, 40, 3, k=3), bm)
+
+
+def test_g3_error_contract():
+    row = np.array([[0, 1, 0, 1, 0, 1, 0, 1]], np.uint8)
+    enc1d = cc.encode_g3(row)
+    # K>0 requires EOL+tag framing; bare 1D rows must raise
+    with pytest.raises(ValueError, match="EOL"):
+        cc.decode_g3(enc1d, 8, 1, k=2)
+    # first row tagged 2D raises
+    bad = _bits_to_bytes(cc.EOL + "0" + "111")
+    with pytest.raises(ValueError, match="first row"):
+        cc.decode_g3(bad, 8, 1, k=2)
+    # overshooting run
+    with pytest.raises(ValueError, match="overshoot"):
+        cc.decode_g3(_bits_to_bytes("1000" * 4), 8, 1)  # white-3 x4 > 8
+    # truncated stream
+    with pytest.raises(ValueError):
+        cc.decode_g3(b"", 8, 2)
+    # adversarial all-zero stream: bounded fill scan, then error
+    with pytest.raises(ValueError):
+        cc.decode_g3(b"\x00" * 4096, 8, 1)
+    with pytest.raises(ValueError):
+        cc.decode_g3(cc.encode_g3(row), 0, 1)
+    with pytest.raises(ValueError, match="K >= 0"):
+        cc.decode_g3(enc1d, 8, 1, k=-1)
+    with pytest.raises(ValueError, match="K >= 0"):
+        cc.encode_g3(row, k=-4)
+    with pytest.raises(ValueError, match="EOL"):
+        cc.encode_g3(row, k=2, eols=False)
+
+
+def test_g3_decode_matches_g4_on_same_bitmap():
+    """Same pixels through both coders -> same raster (the decoders
+    share the run tables and the 2D row loop; this pins the glue)."""
+    bm = (_rng(9).random((40, 120)) < 0.2).astype(np.uint8)
+    a = cc.decode_g4(cc.encode_g4(bm), 120, 40)
+    b = cc.decode_g3(cc.encode_g3(bm, k=4), 120, 40, k=4)
+    c = cc.decode_g3(cc.encode_g3(bm, byte_align=True), 120, 40,
+                     byte_align=True)
+    assert np.array_equal(a, bm) and np.array_equal(b, bm) \
+        and np.array_equal(c, bm)

@@ -12,9 +12,7 @@ which dispatches TIFF-LZW/PackBits and PDF LZW/A85 streams the same way.
 
 from __future__ import annotations
 
-import shutil
 import struct
-import subprocess
 import zlib
 
 import numpy as np
@@ -185,25 +183,6 @@ def test_ascii_armor_round_trip(data):
 # --------------------------------------------------------------------------
 # Java ImageIO interop (external ground truth, runs in-sandbox)
 # --------------------------------------------------------------------------
-
-
-@pytest.fixture(scope="session")
-def tifftool(tmp_path_factory):
-    """Compile tools/TiffTool.java once; returns the classpath dir."""
-    if shutil.which("javac") is None or shutil.which("java") is None:
-        pytest.skip("JDK not available")
-    import pathlib
-
-    src = pathlib.Path(__file__).resolve().parent.parent / "tools" / \
-        "TiffTool.java"
-    cp = tmp_path_factory.mktemp("tifftool")
-    subprocess.run(["javac", "-d", str(cp), str(src)], check=True)
-
-    def run(*args):
-        subprocess.run(["java", "-cp", str(cp), "TiffTool", *args],
-                       check=True)
-
-    return run
 
 
 def _write_pgm(path, arr):

@@ -409,26 +409,33 @@ def test_path_painting_raises():
 
 
 def _ccitt_img_obj(bm: np.ndarray, parms: str = "",
-                   extra: str = "") -> bytes:
-    """Image XObject carrying our own G4 encoding of ``bm`` (1 = black)."""
+                   extra: str = "", k: int = -1) -> bytes:
+    """Image XObject carrying our own G4 (``k<0``) or G3 (``k>=0``)
+    encoding of ``bm`` (1 = black)."""
     from ocr_platform_spark import ccittcodec
 
     h, w = bm.shape
+    if k < 0:
+        data = ccittcodec.encode_g4(bm)
+    else:
+        data = ccittcodec.encode_g3(
+            bm, k=k, byte_align="EncodedByteAlign true" in parms)
     return stream_obj(
         f"/Subtype /Image /Width {w} /Height {h} /ColorSpace /DeviceGray "
         f"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
-        f"/DecodeParms << /K -1 /Columns {w} /Rows {h} {parms} >>{extra}",
-        ccittcodec.encode_g4(bm),
+        f"/DecodeParms << /K {k} /Columns {w} /Rows {h} {parms} >>{extra}",
+        data,
     )
 
 
-def _ccitt_page(bm: np.ndarray, parms: str = "", extra: str = "") -> bytes:
+def _ccitt_page(bm: np.ndarray, parms: str = "", extra: str = "",
+                k: int = -1) -> bytes:
     h, w = bm.shape
     # identity scale: MediaBox = dims * 72/150 -> no resample
     mb = f"0 0 {w * 72 / 150} {h * 72 / 150}"
     return _one_page(
         f"q {w * 72 / 150} 0 0 {h * 72 / 150} 0 0 cm /Im0 Do Q".encode(),
-        {5: _ccitt_img_obj(bm, parms, extra),
+        {5: _ccitt_img_obj(bm, parms, extra, k=k),
          3: (f"<< /Type /Page /Parent 2 0 R /MediaBox [{mb}] /Resources "
              f"<< /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>").encode()},
     )
@@ -467,20 +474,30 @@ def test_ccitt_blackis1_and_decode_inversion():
     np.testing.assert_array_equal(inv, 255 - p0)
 
 
+def test_ccitt_g3_pages_decode_bit_exact():
+    """/K 0 (MH 1D), /K 0 + /EncodedByteAlign, and /K > 0 (mixed 2D)
+    all render identically to the G4 page of the same bitmap; the probe
+    accepts them without inflating samples."""
+    bm = (_rng(33).random((24, 40)) < 0.25).astype(np.uint8)
+    want = pdfcodec.decode_pdf(_ccitt_page(bm))[0]
+    for kwargs in ({"k": 0}, {"k": 0, "parms": "/EncodedByteAlign true"},
+                   {"k": 4}):
+        raw = _ccitt_page(bm, **kwargs)
+        assert pdfcodec.validate_scanned(raw) == (1, 40, 24), kwargs
+        np.testing.assert_array_equal(
+            pdfcodec.decode_pdf(raw)[0], want, err_msg=str(kwargs))
+
+
 def test_ccitt_unsupported_variants_raise():
     bm = np.zeros((8, 8), np.uint8)
-    with pytest.raises(ValueError, match="K=0"):
-        pdfcodec.decode_pdf(_one_page(
-            b"q 3.84 0 0 3.84 0 0 cm /Im0 Do Q",
-            {5: stream_obj(
-                "/Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceGray "
-                "/BitsPerComponent 1 /Filter /CCITTFaxDecode "
-                "/DecodeParms << /K 0 /Columns 8 >>", b"\x00" * 8)},
-            b"<< /XObject << /Im0 5 0 R >> >>"))
     with pytest.raises(ValueError, match="Columns"):
         pdfcodec.decode_pdf(_ccitt_page(bm, parms="/Columns 16"))
     with pytest.raises(ValueError, match="EncodedByteAlign"):
+        # byte alignment is a G3 layout; pairing it with G4 data is
+        # malformed and would silently mis-decode
         pdfcodec.decode_pdf(_ccitt_page(bm, parms="/EncodedByteAlign true"))
+    with pytest.raises(ValueError, match="integer"):
+        pdfcodec.decode_pdf(_ccitt_page(bm, parms="/K (zero)"))
     with pytest.raises(ValueError, match="DeviceGray 1-bit"):
         # 8-bit gray with a CCITT filter is malformed
         raw = _one_page(
@@ -491,14 +508,14 @@ def test_ccitt_unsupported_variants_raise():
                 "/DecodeParms << /K -1 /Columns 8 >>", b"\x00" * 8)},
             b"<< /XObject << /Im0 5 0 R >> >>")
         pdfcodec.decode_pdf(raw)
-    # validate_scanned enforces the same subset at probe time
-    with pytest.raises(ValueError, match="K=0"):
-        pdfcodec.validate_scanned(_one_page(
+    # garbage G3 payloads quarantine, never render wrong pixels
+    with pytest.raises(ValueError):
+        pdfcodec.decode_pdf(_one_page(
             b"q 3.84 0 0 3.84 0 0 cm /Im0 Do Q",
             {5: stream_obj(
                 "/Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceGray "
                 "/BitsPerComponent 1 /Filter /CCITTFaxDecode "
-                "/DecodeParms << /K 0 /Columns 8 >>", b"\x00" * 8)},
+                "/DecodeParms << /K 0 /Columns 8 >>", b"\xff" * 8)},
             b"<< /XObject << /Im0 5 0 R >> >>"))
 
 

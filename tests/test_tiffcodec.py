@@ -256,3 +256,100 @@ def test_fuzz_mutations_raise_only_valueerror():
     struct.pack_into("<I", one, next_ptr, 8)  # next IFD = first IFD
     with pytest.raises(ValueError, match="cycle"):
         tiffcodec.decode_tiff(bytes(one))
+
+# --- CCITT G3 (compressions 2 and 3) -------------------------------------------
+
+
+def _bilevel_tiff(comp, data, w, h, t4opts=None):
+    """Minimal single-strip little-endian bilevel TIFF (PI=0 fax
+    convention: ink bit 1 -> luminance 0)."""
+    entries = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 1),
+               (259, 3, 1, comp), (262, 3, 1, 0), (273, 4, 1, 0),
+               (277, 3, 1, 1), (278, 4, 1, h), (279, 4, 1, len(data))]
+    if t4opts is not None:
+        entries.append((292, 4, 1, t4opts))
+    entries.sort()
+    out = struct.pack("<2sHI", b"II", 42, 8)
+    out += struct.pack("<H", len(entries))
+    off = 8 + 2 + len(entries) * 12 + 4
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = off
+        if typ == 3:
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    return out + struct.pack("<I", 0) + data
+
+
+def _fax_bitmap(seed=17, shape=(60, 150)):
+    rng = np.random.default_rng(seed)
+    bm = (rng.random(shape) < 0.12).astype(np.uint8)
+    bm[10:13, 8:shape[1] - 10] = 1
+    bm[30:50, 70:73] = 1
+    return bm
+
+
+def test_tiff_ccitt_g3_wrappers_decode():
+    from ocr_platform_spark import ccittcodec
+
+    bm = _fax_bitmap()
+    exp = ((1 - bm) * 255).astype(np.uint8)
+    cases = {
+        "rle": _bilevel_tiff(2, ccittcodec.encode_g3(bm, byte_align=True),
+                             150, 60),
+        "t4_1d": _bilevel_tiff(3, ccittcodec.encode_g3(bm, eols=True),
+                               150, 60, t4opts=0),
+        "t4_2d": _bilevel_tiff(3, ccittcodec.encode_g3(bm, k=4),
+                               150, 60, t4opts=1),
+    }
+    for name, t in cases.items():
+        assert tiffcodec.probe_tiff(t) == (1, 150, 60), name
+        np.testing.assert_array_equal(
+            tiffcodec.decode_tiff(t, mode="L")[0], exp, err_msg=name)
+
+
+def test_tiff_t4options_uncompressed_bit_raises():
+    from ocr_platform_spark import ccittcodec
+
+    bm = _fax_bitmap(seed=5, shape=(8, 16))
+    t = _bilevel_tiff(3, ccittcodec.encode_g3(bm, k=2), 16, 8, t4opts=0b11)
+    with pytest.raises(ValueError, match="T4Options"):
+        tiffcodec.decode_tiff(t)
+
+
+def test_imageio_ccitt_encodes_we_decode_bitexact(tifftool, tmp_path):
+    """Java ImageIO writes all three CCITT TIFF flavours; each must
+    decode bit-exactly (CCITT is lossless) — foreign-encoder ground
+    truth for the G3 paths the way test_real_codecs pins G4."""
+    bm = _fax_bitmap(seed=31)
+    arr = ((1 - bm) * 255).astype(np.uint8)
+    (tmp_path / "b.pgm").write_bytes(
+        b"P5\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]) + arr.tobytes())
+    for comp in ["CCITT RLE", "CCITT T.4", "CCITT T.6"]:
+        out = tmp_path / (comp.replace(" ", "_") + ".tiff")
+        tifftool("encode", tmp_path / "b.pgm", out, comp)
+        pages = tiffcodec.decode_tiff(out.read_bytes(), mode="L")
+        np.testing.assert_array_equal(pages[0], arr, err_msg=comp)
+
+
+def test_imageio_decodes_our_g3_wrappers(tifftool, tmp_path):
+    from ocr_platform_spark import ccittcodec
+
+    bm = _fax_bitmap(seed=37, shape=(48, 130))
+    exp = ((1 - bm) * 255).astype(np.uint8)
+    cases = {
+        "rle": _bilevel_tiff(2, ccittcodec.encode_g3(bm, byte_align=True),
+                             130, 48),
+        "t4_1d": _bilevel_tiff(3, ccittcodec.encode_g3(bm, eols=True),
+                               130, 48, t4opts=0),
+        "t4_2d": _bilevel_tiff(3, ccittcodec.encode_g3(bm, k=4),
+                               130, 48, t4opts=1),
+    }
+    for name, t in cases.items():
+        (tmp_path / f"{name}.tiff").write_bytes(t)
+        tifftool("decode", tmp_path / f"{name}.tiff",
+                 tmp_path / f"{name}.pgm")
+        raw = (tmp_path / f"{name}.pgm").read_bytes().split(b"255\n", 1)[1]
+        got = np.frombuffer(raw, np.uint8).reshape(48, 130)
+        np.testing.assert_array_equal(got, exp, err_msg=name)
