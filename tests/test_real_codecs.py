@@ -278,16 +278,22 @@ def test_jpeg_restart_markers_do_not_change_pixels():
     assert (jpegcodec.decode_jpeg(with_rst) == plain).all()
 
 
-def test_jpeg_rejects_progressive_and_truncated():
+def test_jpeg_rejects_malformed_and_unsupported_frames():
     import numpy as np
     import pytest as _pytest
 
     from ocr_platform_spark import jpegcodec
 
     raw = jpegcodec.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
-    progressive = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(ValueError, match="baseline"):
-        jpegcodec.decode_jpeg(progressive)
+    # a baseline stream relabeled SOF2 is malformed: its single scan
+    # declares the full 0..63 band, illegal for a progressive DC scan
+    mislabeled = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="Se=0"):
+        jpegcodec.decode_jpeg(mislabeled)
+    # genuinely unsupported frame types still raise up front
+    arith = raw.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with _pytest.raises(ValueError, match="frame type"):
+        jpegcodec.decode_jpeg(arith)
     with _pytest.raises(ValueError):
         jpegcodec.decode_jpeg(raw[: len(raw) // 2])
     # the ValueError contract must hold for arbitrary malformation, never
@@ -576,3 +582,184 @@ def test_png_palette_index_out_of_range_raises_valueerror():
     )
     with pytest.raises(ValueError, match="palette index"):
         pngcodec.decode_png(raw)
+
+
+# --- progressive JPEG (SOF2) ----------------------------------------------
+
+import numpy as np  # noqa: E402  (progressive section is module-wide)
+
+from ocr_platform_spark import jpegcodec  # noqa: E402
+
+
+def _write_pnm(path, arr):
+    if arr.ndim == 2:
+        path.write_bytes(b"P5\n%d %d\n255\n" % (arr.shape[1], arr.shape[0])
+                         + arr.tobytes())
+    else:
+        path.write_bytes(b"P6\n%d %d\n255\n" % (arr.shape[1], arr.shape[0])
+                         + arr.tobytes())
+
+
+def _read_pnm_file(path):
+    raw = path.read_bytes()
+    meta, px = raw.split(b"255\n", 1)
+    magic, dims = meta.split(b"\n")[:2]
+    w, h = map(int, dims.split())
+    if magic == b"P6":
+        return np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    return np.frombuffer(px, np.uint8).reshape(h, w)
+
+
+def _textured_rgb(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.stack([
+        128 + 100 * np.sin(x / 23) + 20 * rng.standard_normal((h, w)),
+        128 + 90 * np.cos(y / 17) + 15 * rng.standard_normal((h, w)),
+        ((x + y) % 256).astype(float),
+    ], axis=-1)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_progressive_decode_equals_baseline_decode(tifftool, tmp_path):
+    """Progressive transmission only REORDERS coefficients; the same
+    encoder (Java ImageIO) in baseline vs progressive mode must decode
+    BIT-IDENTICALLY through jpegcodec — a coefficient mis-accumulated by
+    any of the four scan kinds breaks equality. Gray and color, odd
+    (non-MCU-multiple) sizes."""
+    cases = {
+        "color": _textured_rgb(120, 200),
+        "color_odd": _textured_rgb(53, 77, seed=11),
+        "gray": _textured_rgb(53, 77, seed=13)[:, :, 0].copy(),
+    }
+    for name, arr in cases.items():
+        src = tmp_path / f"{name}.pnm"
+        _write_pnm(src, arr)
+        outs = {}
+        for mode in ("baseline", "progressive"):
+            jp = tmp_path / f"{name}_{mode}.jpg"
+            tifftool("encodejpeg", src, jp, mode)
+            outs[mode] = jpegcodec.decode_jpeg(jp.read_bytes())
+        marker = b"\xff\xc2"
+        assert marker in (tmp_path / f"{name}_progressive.jpg").read_bytes()
+        np.testing.assert_array_equal(outs["baseline"], outs["progressive"],
+                                      err_msg=name)
+
+
+def test_progressive_gray_matches_imageio_within_rounding(tifftool,
+                                                          tmp_path):
+    """No chroma, no upsampling: gray progressive parity vs Java ImageIO
+    is IDCT rounding only (+-1)."""
+    arr = _textured_rgb(53, 77, seed=13)[:, :, 0].copy()
+    _write_pnm(tmp_path / "g.pgm", arr)
+    tifftool("encodejpeg", tmp_path / "g.pgm", tmp_path / "g.jpg",
+             "progressive")
+    ours = jpegcodec.decode_jpeg((tmp_path / "g.jpg").read_bytes())
+    tifftool("decodejpeg", tmp_path / "g.jpg", tmp_path / "g_dec.pgm")
+    java = _read_pnm_file(tmp_path / "g_dec.pgm")
+    assert np.abs(ours[:, :, 0].astype(int) - java.astype(int)).max() <= 1
+
+
+def test_progressive_matches_imageio_on_real_photos(tifftool, tmp_path):
+    """Real kitten photos (Spark sample data) re-encoded progressive by
+    Java ImageIO: jpegcodec vs ImageIO's own decode — same statistical
+    envelope as the baseline real-photo pin (chroma upsampling differs:
+    ours nearest, ImageIO smooth), PLUS ours-baseline == ours-progressive
+    bit-equality per photo."""
+    import glob
+    import os
+
+    if not os.path.isdir(_SPARK_SAMPLE_JPEGS):
+        pytest.skip("spark sample images not present")
+    jpgs = sorted(glob.glob(f"{_SPARK_SAMPLE_JPEGS}/*.jpg"))
+    assert len(jpgs) >= 3
+    for p in jpgs:
+        tifftool("decodejpeg", p, tmp_path / "k.ppm")
+        tifftool("encodejpeg", tmp_path / "k.ppm", tmp_path / "kp.jpg",
+                 "progressive")
+        tifftool("encodejpeg", tmp_path / "k.ppm", tmp_path / "kb.jpg",
+                 "baseline")
+        ours_p = jpegcodec.decode_jpeg((tmp_path / "kp.jpg").read_bytes())
+        ours_b = jpegcodec.decode_jpeg((tmp_path / "kb.jpg").read_bytes())
+        np.testing.assert_array_equal(ours_p, ours_b, err_msg=p)
+        tifftool("decodejpeg", tmp_path / "kp.jpg", tmp_path / "kd.ppm")
+        java = _read_pnm_file(tmp_path / "kd.ppm")
+        d = np.abs(ours_p.astype(int) - java.astype(int))
+        assert d.mean() <= 1.0 and (d <= 2).mean() >= 0.98, p
+
+
+def _seg(marker, payload):
+    import struct as _s
+
+    return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+
+def _bits(s):
+    s += "1" * (-len(s) % 8)  # pad to byte with 1s (spec padding)
+    return int(s, 2).to_bytes(len(s) // 8, "big")
+
+
+def test_progressive_hand_assembled_dc_scans_with_restart():
+    """A DC-only progressive stream built bit-by-bit: DC-first scan at
+    Al=1 with DRI=1 (restart + predictor reset between the two blocks),
+    then a DC-refinement scan adding the low bit. Pins the successive-
+    approximation arithmetic and restart handling against hand-computed
+    values: final DCs 4 and 7 -> flat blocks 128.5 and 128.875 ->
+    rint 128 / 129."""
+    import struct as _s
+
+    dqt = _seg(0xDB, bytes([0x00]) + b"\x01" * 64)
+    sof = _seg(0xC2, bytes([8]) + _s.pack(">HH", 8, 16)
+               + bytes([1, 1, 0x11, 0]))
+    # DC table: symbols 0,1,2 at code length 2 -> codes 00,01,10
+    dht = _seg(0xC4, bytes([0x00, 0, 3] + [0] * 14 + [0, 1, 2]))
+    dri1 = _seg(0xDD, _s.pack(">H", 1))
+    sos1 = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    #   block1: cat-2 code "10" + bits "10" (diff 2 -> DC 2<<1 = 4)
+    ent1 = _bits("10" + "10") + b"\xff\xd0" + _bits("10" + "11")
+    dri0 = _seg(0xDD, _s.pack(">H", 0))
+    sos2 = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    ent2 = _bits("0" + "1")  # refine bits: 4 stays 4, 6 -> 7
+    raw = (b"\xff\xd8" + dqt + sof + dht + dri1 + sos1 + ent1
+           + dri0 + sos2 + ent2 + b"\xff\xd9")
+    img = jpegcodec.decode_jpeg(raw)
+    assert img.shape == (8, 16, 3)
+    np.testing.assert_array_equal(img[:, :8], np.full((8, 8, 3), 128))
+    np.testing.assert_array_equal(img[:, 8:], np.full((8, 8, 3), 129))
+
+
+def test_progressive_error_contract_under_mutation(tifftool, tmp_path):
+    """Flip/truncate bytes all over a progressive stream: every outcome
+    is a clean image or ValueError — never a crash or silent garbage
+    type."""
+    arr = _textured_rgb(40, 56, seed=23)
+    _write_pnm(tmp_path / "m.ppm", arr)
+    tifftool("encodejpeg", tmp_path / "m.ppm", tmp_path / "m.jpg",
+             "progressive")
+    raw = bytearray((tmp_path / "m.jpg").read_bytes())
+    rng = np.random.default_rng(41)
+    for _ in range(120):
+        mutated = bytearray(raw)
+        what = rng.integers(0, 3)
+        if what == 0:
+            mutated[int(rng.integers(2, len(raw)))] ^= int(
+                1 << rng.integers(0, 8))
+        elif what == 1:
+            mutated = mutated[: int(rng.integers(2, len(raw)))]
+        else:
+            i = int(rng.integers(2, len(raw) - 4))
+            del mutated[i: i + int(rng.integers(1, 4))]
+        try:
+            out = jpegcodec.decode_jpeg(bytes(mutated))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ValueError:
+            pass
+
+
+def test_validate_jpeg_accepts_progressive(tifftool, tmp_path):
+    arr = _textured_rgb(30, 44, seed=29)
+    _write_pnm(tmp_path / "v.ppm", arr)
+    tifftool("encodejpeg", tmp_path / "v.ppm", tmp_path / "v.jpg",
+             "progressive")
+    assert jpegcodec.validate_jpeg(
+        (tmp_path / "v.jpg").read_bytes()) == (44, 30)

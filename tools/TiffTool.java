@@ -25,8 +25,13 @@ public final class TiffTool {
             encode(args[1], args[2], args[3]);
         } else if (args[0].equals("decode")) {
             decode(args[1], args[2], args.length > 3 ? Integer.parseInt(args[3]) : 0);
+        } else if (args[0].equals("encodejpeg")) {
+            encodeJpeg(args[1], args[2], args[3].equals("progressive"),
+                       args.length > 4 ? Float.parseFloat(args[4]) : 0.9f);
+        } else if (args[0].equals("decodejpeg")) {
+            decodeJpeg(args[1], args[2]);
         } else {
-            throw new IllegalArgumentException("encode|decode");
+            throw new IllegalArgumentException("encode|decode|encodejpeg|decodejpeg");
         }
     }
 
@@ -79,6 +84,66 @@ public final class TiffTool {
         writer.write(null, new IIOImage(img, null, null), p);
         ios.close();
         writer.dispose();
+    }
+
+    static BufferedImage readPnm(String pnmPath) throws IOException {
+        DataInputStream in = new DataInputStream(new BufferedInputStream(new FileInputStream(pnmPath)));
+        int magic0 = in.read(), magic1 = in.read();
+        boolean rgb = magic1 == '6';
+        int w = readToken(in), h = readToken(in), maxv = readToken(in);
+        if (magic0 != 'P' || maxv != 255) throw new IOException("need binary P5/P6 maxval 255");
+        byte[] px = new byte[w * h * (rgb ? 3 : 1)];
+        in.readFully(px);
+        in.close();
+        BufferedImage img = new BufferedImage(w, h,
+            rgb ? BufferedImage.TYPE_3BYTE_BGR : BufferedImage.TYPE_BYTE_GRAY);
+        java.awt.image.WritableRaster wr = img.getRaster();
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                if (rgb) {
+                    int i = (y * w + x) * 3;
+                    wr.setPixel(x, y, new int[]{px[i] & 255, px[i + 1] & 255, px[i + 2] & 255});
+                } else {
+                    wr.setSample(x, y, 0, px[y * w + x] & 255);
+                }
+            }
+        return img;
+    }
+
+    static void encodeJpeg(String pnmPath, String jpegPath, boolean progressive, float quality) throws Exception {
+        BufferedImage img = readPnm(pnmPath);
+        Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("jpeg");
+        ImageWriter writer = it.next();
+        ImageWriteParam p = writer.getDefaultWriteParam();
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+        p.setCompressionQuality(quality);
+        p.setProgressiveMode(progressive ? ImageWriteParam.MODE_DEFAULT
+                                         : ImageWriteParam.MODE_DISABLED);
+        ImageOutputStream ios = ImageIO.createImageOutputStream(new File(jpegPath));
+        writer.setOutput(ios);
+        writer.write(null, new IIOImage(img, null, null), p);
+        ios.close();
+        writer.dispose();
+    }
+
+    static void decodeJpeg(String jpegPath, String pnmPath) throws Exception {
+        BufferedImage img = ImageIO.read(new File(jpegPath));
+        if (img == null) throw new IOException("ImageIO could not decode " + jpegPath);
+        int w = img.getWidth(), h = img.getHeight();
+        Raster r = img.getRaster();
+        int bands = r.getNumBands();
+        boolean rgb = bands >= 3;
+        OutputStream out = new BufferedOutputStream(new FileOutputStream(pnmPath));
+        out.write((rgb ? "P6\n" : "P5\n").getBytes());
+        out.write((w + " " + h + "\n255\n").getBytes());
+        int[] smp = new int[bands];
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                r.getPixel(x, y, smp);
+                if (rgb) { out.write(smp[0]); out.write(smp[1]); out.write(smp[2]); }
+                else out.write(smp[0]);
+            }
+        out.close();
     }
 
     static void decode(String tiffPath, String pnmPath, int page) throws Exception {
