@@ -293,11 +293,18 @@ def test_probe_quarantines_structurally_corrupt_images():
         _probe(bytes(mutated))
     with pytest.raises(ValueError):
         _probe(jpg[:-2])                      # missing EOI
-    progressive = bytearray(jpg)
-    i = progressive.find(b"\xff\xc0")
-    progressive[i + 1] = 0xC2                 # SOF2: unsupported frame
+    relabeled = bytearray(jpg)
+    i = relabeled.find(b"\xff\xc0")
+    relabeled[i + 1] = 0xC2  # SOF2 is now a supported frame type, so the
+    # structural probe accepts the relabeled stream; the illegal scan
+    # header (full-band progressive DC scan) quarantines at decode
+    assert _probe(bytes(relabeled)) == ("image", 1)
+    with pytest.raises(ValueError, match="Se=0"):
+        jpegcodec.decode_jpeg(bytes(relabeled))
+    arith = bytearray(jpg)
+    arith[i + 1] = 0xC9  # arithmetic coding: still unsupported up front
     with pytest.raises(ValueError):
-        _probe(bytes(progressive))
+        _probe(bytes(arith))
 
 
 def test_real_media_metadata_header_only_matches_decode(real_corpus, spark):
