@@ -653,14 +653,65 @@ def _content_images(doc: _Document, content: bytes, resources: dict):
 # --------------------------------------------------------------------------
 
 
-def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
-    """Validate an image XObject dictionary WITHOUT touching sample bytes.
+def _resolve_colorspace(doc: _Document, cs) -> tuple[str, object]:
+    """Color space object -> ``(name, palette)`` where ``name`` is
+    ``DeviceRGB`` / ``DeviceGray`` / ``Indexed`` and ``palette`` is the
+    ``(hival+1, 3)`` uint8 RGB lookup for Indexed (else ``None``).
 
-    Returns ``(filters, colorspace, bits, decode)``; raises ``ValueError``
-    for anything outside the scanned subset — shared by the renderer and
-    :func:`validate_scanned` (the cheap pre-flight the distributed-OCR
-    probe stage runs, so vector/unsupported documents quarantine *before*
-    any payload crosses the page-bucket shuffle)."""
+    ``/ICCBased`` profiles map by component count (the profile itself
+    carries no extra decode semantics for the scanned subset: N=3 ->
+    RGB, N=1 -> gray — what Distiller-era scanners wrap their samples
+    in); ``/Indexed`` resolves its base recursively and materializes
+    the lookup as RGB rows. CMYK/Lab/Separation raise."""
+    cs = doc.get(cs)
+    if isinstance(cs, str):
+        if cs in ("DeviceRGB", "DeviceGray"):
+            return str(cs), None
+        raise ValueError(f"unsupported image colorspace /{cs}")
+    if isinstance(cs, list) and cs:
+        family = str(doc.get(cs[0]))
+        if family == "ICCBased" and len(cs) == 2:
+            sd = doc.get(cs[1])
+            n = doc.get(sd.get("N")) if isinstance(sd, dict) else None
+            if n == 3:
+                return "DeviceRGB", None
+            if n == 1:
+                return "DeviceGray", None
+            raise ValueError(f"ICCBased colorspace N={n!r} unsupported")
+        if family == "Indexed" and len(cs) == 4:
+            base_name, base_pal = _resolve_colorspace(doc, cs[1])
+            if base_pal is not None:
+                raise ValueError("nested Indexed colorspace")
+            ncomp = 3 if base_name == "DeviceRGB" else 1
+            hival = doc.get(cs[2])
+            if not isinstance(hival, int) or not 0 <= hival <= 255:
+                raise ValueError(f"Indexed hival {hival!r} out of range")
+            table = doc.get(cs[3])
+            if isinstance(table, dict):  # lookup held in a stream
+                _sd, table = doc.get_stream(cs[3])
+            if not isinstance(table, bytes):
+                raise ValueError("Indexed lookup is not byte data")
+            need = (hival + 1) * ncomp
+            if len(table) < need:
+                raise ValueError("Indexed lookup table too short")
+            pal = np.frombuffer(table[:need], np.uint8).reshape(-1, ncomp)
+            if ncomp == 1:
+                pal = np.repeat(pal, 3, axis=1)
+            return "Indexed", pal.copy()
+    raise ValueError(f"unsupported image colorspace {cs!r}")
+
+
+def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
+    """Validate an image XObject dictionary WITHOUT touching sample bytes
+    (the Indexed palette is header-scale, not sample-scale).
+
+    Returns ``(filters, colorspace, bits, decode)`` — colorspace is the
+    RESOLVED family name (``_decode_image`` re-resolves the palette);
+    raises ``ValueError`` for anything outside the scanned subset —
+    shared by the renderer and :func:`validate_scanned` (the cheap
+    pre-flight the distributed-OCR probe stage runs, so
+    vector/unsupported documents quarantine *before* any payload
+    crosses the page-bucket shuffle)."""
     w = int(doc.get(d.get("Width", 0)))
     h = int(doc.get(d.get("Height", 0)))
     if w <= 0 or h <= 0:
@@ -673,8 +724,7 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
     if not isinstance(filters, list):
         filters = [filters] if filters is not None else []
     filters = [str(doc.get(f)) for f in filters]
-    cs = doc.get(d.get("ColorSpace"))
-    cs = str(doc.get(cs)) if not isinstance(cs, list) else str(cs)
+    cs, _pal = _resolve_colorspace(doc, d.get("ColorSpace"))
     bpc = int(doc.get(d.get("BitsPerComponent", 8)))
     decode = doc.get(d.get("Decode"))
     if any(f in _TERMINAL_FILTERS for f in filters):
@@ -685,6 +735,8 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
                 f"filter, preceded only by ASCII armor; got {filters}"
             )
         if filters[-1] == "DCTDecode":
+            if cs == "Indexed":
+                raise ValueError("DCTDecode with Indexed colorspace")
             return filters, cs, bpc, decode
         if not (cs == "DeviceGray" and bpc == 1) or \
                 decode not in (None, [0, 1], [1, 0]):
@@ -700,12 +752,13 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
          decode in (None, [0, 1, 0, 1, 0, 1])) or
         (cs == "DeviceGray" and bpc == 8 and decode in (None, [0, 1])) or
         (cs == "DeviceGray" and bpc == 1 and
-         decode in (None, [0, 1], [1, 0]))
+         decode in (None, [0, 1], [1, 0])) or
+        (cs == "Indexed" and bpc in (1, 2, 4, 8) and decode is None)
     )
     if not supported:
         raise ValueError(
             f"unsupported image colorspace/depth/decode {cs}/{bpc}/{decode} "
-            "(DeviceRGB-8, DeviceGray-8, DeviceGray-1 only)"
+            "(DeviceRGB-8, DeviceGray-8, DeviceGray-1, Indexed-1/2/4/8 only)"
         )
     return filters, cs, bpc, decode
 
@@ -799,6 +852,25 @@ def _decode_image(doc: _Document, d: dict, data: bytes,
             bits = 1 - bits
         g = (bits * 255).astype(np.uint8)
         return g if gray else np.stack([g] * 3, axis=-1)
+    if cs == "Indexed":
+        _name, pal = _resolve_colorspace(doc, d.get("ColorSpace"))
+        stride = (w * bpc + 7) // 8
+        need = stride * h
+        if len(data) < need:
+            raise ValueError("truncated indexed image samples")
+        if bpc == 8:
+            idx = np.frombuffer(data[:need], np.uint8).reshape(h, w)
+        else:
+            bits = np.unpackbits(
+                np.frombuffer(data[:need], np.uint8).reshape(h, stride),
+                axis=1)[:, :w * bpc]
+            weights = 1 << np.arange(bpc - 1, -1, -1)
+            idx = (bits.reshape(h, w, bpc) * weights).sum(axis=2)
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError("Indexed sample exceeds the palette hival")
+        # palette output is a color source: return RGB; callers convert
+        # to luma AFTER resampling like any other color image
+        return pal[idx]
     if cs == "DeviceRGB" and bpc == 8:
         need = w * h * 3
         if len(data) < need:

@@ -44,6 +44,11 @@ from .pdfcodec import MAX_PIXELS
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8}
 _INT_TYPES = {1, 3, 4}  # BYTE, SHORT, LONG
+
+#: byte -> bit-reversed byte (FillOrder 2 normalization)
+_BITREV = np.array(
+    [int(f"{b:08b}"[::-1], 2) for b in range(256)], dtype=np.uint8
+)
 _MAX_PAGES = 10_000
 
 
@@ -142,8 +147,14 @@ def _page_plan(tags: dict) -> tuple[int, int, int, int, int, int]:
     if len(set(bps_list)) != 1 or len(bps_list) not in (1, spp):
         raise ValueError(f"unsupported TIFF BitsPerSample {bps_list}")
     bps = bps_list[0]
-    if _tag1(tags, 266, 1) != 1:
-        raise ValueError("TIFF FillOrder 2 unsupported")
+    fo = _tag1(tags, 266, 1)
+    if fo == 2:
+        # LSB-first bit packing: a fax-modem convention, seen with
+        # bit-level (bilevel) data; byte-level layouts never need it
+        if bps != 1:
+            raise ValueError("TIFF FillOrder 2 only supported for 1-bit")
+    elif fo != 1:
+        raise ValueError(f"TIFF FillOrder {fo} unsupported")
     if _tag1(tags, 284, 1) != 1:
         raise ValueError("planar TIFF unsupported")
     if _tag1(tags, 274, 1) != 1:
@@ -216,6 +227,11 @@ def _decode_page(raw: bytes, tags: dict, gray: bool) -> np.ndarray:
             raise ValueError("TIFF strip past end of file")
         rows = min(rps, h - si * rps)
         data = raw[o:o + c]
+        if _tag1(tags, 266, 1) == 2:
+            # FillOrder 2: bits are packed LSB-first; reverse each byte
+            # so every downstream decoder sees spec MSB-first order
+            data = np.frombuffer(data, np.uint8)
+            data = _BITREV[data].tobytes()
         if comp in (2, 3, 4):
             # ccittcodec gives ink=1; PI=0 (WhiteIsZero, standard for
             # fax) renders that as luminance 0, PI=1 inverts

@@ -926,3 +926,127 @@ def test_decode_real_media_pdf_fallback_runs_in_sandbox():
     assert kind == "pdf"
     assert len(pages) == 1
     np.testing.assert_array_equal(pages[0], src)
+
+
+# --- ICCBased / Indexed color spaces -------------------------------------------
+
+
+def _cs_page(img_obj_body: bytes, extra_objs: dict | None = None) -> bytes:
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 38.4 28.8] "
+            b"/Resources << /XObject << /Im0 5 0 R >> >> "
+            b"/Contents 4 0 R >>"),
+        4: stream_obj("", b"q 38.4 0 0 28.8 0 0 cm /Im0 Do Q"),
+        5: img_obj_body,
+    }
+    objs.update(extra_objs or {})
+    return build_pdf(objs)
+
+
+def test_iccbased_rgb_and_gray_decode_like_device():
+    """Distiller-era scanners wrap plain samples in /ICCBased profiles;
+    N=3 renders exactly like DeviceRGB, N=1 like DeviceGray (the
+    profile payload itself is irrelevant to the scanned subset)."""
+    rng = _rng(61)
+    img = rng.integers(0, 256, (60, 80, 3), dtype=np.uint8)
+    want = pdfcodec.decode_pdf(scanned_pdf([img], ["0 0 38.4 28.8"]))[0]
+    icc = _cs_page(
+        stream_obj(
+            "/Subtype /Image /Width 80 /Height 60 "
+            "/ColorSpace [/ICCBased 6 0 R] /BitsPerComponent 8 "
+            "/Filter /FlateDecode", zlib.compress(img.tobytes())),
+        {6: stream_obj("/N 3", b"not-a-real-profile")})
+    np.testing.assert_array_equal(pdfcodec.decode_pdf(icc)[0], want)
+    # gray: ICCBased N=1 == DeviceGray
+    g = rng.integers(0, 256, (60, 80), dtype=np.uint8)
+    dev = _cs_page(stream_obj(
+        "/Subtype /Image /Width 80 /Height 60 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 8 /Filter /FlateDecode",
+        zlib.compress(g.tobytes())))
+    icc_g = _cs_page(
+        stream_obj(
+            "/Subtype /Image /Width 80 /Height 60 "
+            "/ColorSpace [/ICCBased 6 0 R] /BitsPerComponent 8 "
+            "/Filter /FlateDecode", zlib.compress(g.tobytes())),
+        {6: stream_obj("/N 1", b"junk")})
+    np.testing.assert_array_equal(pdfcodec.decode_pdf(icc_g)[0],
+                                  pdfcodec.decode_pdf(dev)[0])
+    # CMYK profiles refuse
+    bad = _cs_page(
+        stream_obj(
+            "/Subtype /Image /Width 80 /Height 60 "
+            "/ColorSpace [/ICCBased 6 0 R] /BitsPerComponent 8 "
+            "/Filter /FlateDecode", zlib.compress(img.tobytes())),
+        {6: stream_obj("/N 4", b"junk")})
+    with pytest.raises(ValueError, match="ICCBased"):
+        pdfcodec.decode_pdf(bad)
+
+
+def test_indexed_palette_images():
+    """8-bit and 4-bit palette images (screenshot-class content embedded
+    in PDFs): samples are palette indices; the render must equal the
+    equivalent DeviceRGB image of palette[i]."""
+    rng = _rng(67)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (60, 80), dtype=np.uint8)
+    want = pdfcodec.decode_pdf(
+        scanned_pdf([pal[idx]], ["0 0 38.4 28.8"]))[0]
+    pal_hex = pal.tobytes().hex()
+    # 8-bit indices
+    p8 = _cs_page(stream_obj(
+        "/Subtype /Image /Width 80 /Height 60 "
+        f"/ColorSpace [/Indexed /DeviceRGB 15 <{pal_hex}>] "
+        "/BitsPerComponent 8 /Filter /FlateDecode",
+        zlib.compress(idx.tobytes())))
+    np.testing.assert_array_equal(pdfcodec.decode_pdf(p8)[0], want)
+    # 4-bit packed indices (two per byte, high nibble first)
+    packed = (idx[:, 0::2] << 4) | idx[:, 1::2]
+    p4 = _cs_page(stream_obj(
+        "/Subtype /Image /Width 80 /Height 60 "
+        f"/ColorSpace [/Indexed /DeviceRGB 15 <{pal_hex}>] "
+        "/BitsPerComponent 4 /Filter /FlateDecode",
+        zlib.compress(packed.astype(np.uint8).tobytes())))
+    np.testing.assert_array_equal(pdfcodec.decode_pdf(p4)[0], want)
+    # palette in a stream object + gray base
+    gpal = np.arange(0, 256, 16, dtype=np.uint8)  # 16 gray levels
+    pg = _cs_page(
+        stream_obj(
+            "/Subtype /Image /Width 80 /Height 60 "
+            "/ColorSpace [/Indexed /DeviceGray 15 6 0 R] "
+            "/BitsPerComponent 8 /Filter /FlateDecode",
+            zlib.compress(idx.tobytes())),
+        {6: stream_obj("", gpal.tobytes())})
+    want_g = pdfcodec.decode_pdf(scanned_pdf(
+        [np.repeat(gpal[idx][:, :, None], 3, axis=2)],
+        ["0 0 38.4 28.8"]))[0]
+    np.testing.assert_array_equal(pdfcodec.decode_pdf(pg)[0], want_g)
+
+
+def test_indexed_malformed_quarantines():
+    rng = _rng(71)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = np.full((10, 10), 7, np.uint8)  # exceeds hival 3
+    raw = _cs_page(stream_obj(
+        "/Subtype /Image /Width 10 /Height 10 "
+        f"/ColorSpace [/Indexed /DeviceRGB 3 <{pal.tobytes().hex()}>] "
+        "/BitsPerComponent 8 /Filter /FlateDecode",
+        zlib.compress(idx.tobytes())))
+    with pytest.raises(ValueError, match="hival"):
+        pdfcodec.decode_pdf(raw)
+    # short lookup table
+    raw = _cs_page(stream_obj(
+        "/Subtype /Image /Width 10 /Height 10 "
+        f"/ColorSpace [/Indexed /DeviceRGB 3 <aabb>] "
+        "/BitsPerComponent 8 /Filter /FlateDecode",
+        zlib.compress(idx.tobytes())))
+    with pytest.raises(ValueError, match="lookup"):
+        pdfcodec.decode_pdf(raw)
+    # unsupported colorspace family still names itself in the error
+    raw = _cs_page(stream_obj(
+        "/Subtype /Image /Width 10 /Height 10 "
+        "/ColorSpace /DeviceCMYK /BitsPerComponent 8 "
+        "/Filter /FlateDecode", zlib.compress(idx.tobytes())))
+    with pytest.raises(ValueError, match="DeviceCMYK"):
+        pdfcodec.decode_pdf(raw)

@@ -353,3 +353,58 @@ def test_imageio_decodes_our_g3_wrappers(tifftool, tmp_path):
         raw = (tmp_path / f"{name}.pgm").read_bytes().split(b"255\n", 1)[1]
         got = np.frombuffer(raw, np.uint8).reshape(48, 130)
         np.testing.assert_array_equal(got, exp, err_msg=name)
+
+
+def test_tiff_fillorder2_bit_reversed_fax(tifftool, tmp_path):
+    """FillOrder 2 (LSB-first packing, fax-modem convention): a G4 page
+    with every data byte bit-reversed decodes identically once tagged;
+    Java ImageIO agrees the wrapper is well-formed."""
+    bm = _fax_bitmap(seed=61, shape=(32, 90))
+    exp = ((1 - bm) * 255).astype(np.uint8)
+    data = ccittcodec.encode_g4(bm)
+    rev = bytes(int(f"{b:08b}"[::-1], 2) for b in data)
+
+    def with_fillorder(data, fo):
+        t = _bilevel_tiff(4, data, 90, 32)
+        # splice a FillOrder entry in by rebuilding with the tag
+        entries = [(256, 3, 1, 90), (257, 3, 1, 32), (258, 3, 1, 1),
+                   (259, 3, 1, 4), (262, 3, 1, 0), (266, 3, 1, fo),
+                   (273, 4, 1, 0), (277, 3, 1, 1), (278, 4, 1, 32),
+                   (279, 4, 1, len(data))]
+        out = struct.pack("<2sHI", b"II", 42, 8)
+        out += struct.pack("<H", len(entries))
+        off = 8 + 2 + len(entries) * 12 + 4
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = off
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0) \
+                if typ == 3 else struct.pack("<HHII", tag, typ, cnt, val)
+        return out + struct.pack("<I", 0) + data
+
+    t = with_fillorder(rev, 2)
+    np.testing.assert_array_equal(tiffcodec.decode_tiff(t, mode="L")[0],
+                                  exp)
+    (tmp_path / "fo2.tiff").write_bytes(t)
+    tifftool("decode", tmp_path / "fo2.tiff", tmp_path / "fo2.pgm")
+    raw = (tmp_path / "fo2.pgm").read_bytes().split(b"255\n", 1)[1]
+    np.testing.assert_array_equal(
+        np.frombuffer(raw, np.uint8).reshape(32, 90), exp)
+    # FillOrder 2 with byte-level samples stays rejected
+    with pytest.raises(ValueError, match="FillOrder"):
+        tiffcodec.decode_tiff(_gray_tiff_fo2(tmp_path))
+
+
+def _gray_tiff_fo2(tmp_path):
+    entries = [(256, 3, 1, 4), (257, 3, 1, 4), (258, 3, 1, 8),
+               (259, 3, 1, 1), (262, 3, 1, 1), (266, 3, 1, 2),
+               (273, 4, 1, 0), (277, 3, 1, 1), (278, 4, 1, 4),
+               (279, 4, 1, 16)]
+    out = struct.pack("<2sHI", b"II", 42, 8)
+    out += struct.pack("<H", len(entries))
+    off = 8 + 2 + len(entries) * 12 + 4
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = off
+        out += struct.pack("<HHIHH", tag, typ, cnt, val, 0) \
+            if typ == 3 else struct.pack("<HHII", tag, typ, cnt, val)
+    return out + struct.pack("<I", 0) + b"\x00" * 16
