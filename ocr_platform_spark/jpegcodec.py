@@ -231,14 +231,19 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
-def decode_jpeg(raw: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> HxWx3 uint8 RGB (PIL ``convert("RGB")`` parity).
+def decode_jpeg(raw: bytes, tables: bytes | None = None) -> np.ndarray:
+    """JPEG bytes -> HxWx3 uint8 RGB (PIL ``convert("RGB")`` parity).
+
+    ``tables``: an abbreviated tables-only stream (SOI + DQT/DHT/DRI +
+    EOI) pre-seeding the decoder — the TIFF compression-7 ``JPEGTables``
+    convention, where strips share one table set and carry abbreviated
+    image streams.
 
     Contract: every malformed/truncated/unsupported input raises
     ``ValueError`` (the quarantine path keys on it), never a low-level
     ``struct.error``/``IndexError``."""
     try:
-        return _decode_jpeg(raw)
+        return _decode_jpeg(raw, tables)
     except (struct.error, IndexError, ArithmeticError) as e:
         # ArithmeticError: belt-and-braces for division by adversarial
         # header fields (sampling factors are range-checked at SOF parse,
@@ -246,14 +251,80 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         raise ValueError(f"truncated or malformed JPEG: {e}") from e
 
 
-def _decode_jpeg(raw: bytes) -> np.ndarray:
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 15
+        i += 1
+        if pq:
+            vals = np.frombuffer(seg[i:i + 128], ">u2").astype(np.int64)
+            i += 128
+        else:
+            vals = np.frombuffer(seg[i:i + 64], np.uint8).astype(np.int64)
+            i += 64
+        qt[tq] = vals  # zigzag order
+
+
+def _parse_dht(seg: bytes, huff: dict) -> None:
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 15
+        bits = list(seg[i + 1:i + 17])
+        n = sum(bits)
+        vals = list(seg[i + 17:i + 17 + n])
+        huff[(tc, th)] = _canonical_codes(bits, vals)
+        i += 17 + n
+
+
+def _parse_tables(raw: bytes):
+    """Abbreviated tables-only stream (TIFF ``JPEGTables``): SOI +
+    DQT/DHT/DRI segments + EOI -> ``(qt, huff, restart_interval)``.
+    Frame or scan markers here are malformed."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("JPEGTables: bad SOI")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dri = 0
+    pos = 2
+    while pos + 2 <= len(raw):
+        while pos < len(raw) and raw[pos] == 0xFF:
+            pos += 1
+        if pos >= len(raw):
+            break
+        marker = raw[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            return qt, huff, dri
+        if pos + 2 > len(raw):
+            break
+        (seglen,) = struct.unpack(">H", raw[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(raw):
+            raise ValueError("JPEGTables segment length out of bounds")
+        seg = raw[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker == 0xC4:
+            _parse_dht(seg, huff)
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", seg[:2])
+        else:
+            raise ValueError(
+                f"JPEGTables stream carries marker 0xFF{marker:02X}"
+            )
+    raise ValueError("JPEGTables stream missing EOI")
+
+
+def _decode_jpeg(raw: bytes, tables: bytes | None = None) -> np.ndarray:
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
-    frame = None  # (h, w, [(comp_id, hs, vs, tq)])
     restart_interval = 0
+    if tables is not None:
+        qt, huff, restart_interval = _parse_tables(tables)
+    frame = None  # (h, w, [(comp_id, hs, vs, tq)])
     progressive = False
     coefs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag coefs
     scans = 0
@@ -286,17 +357,7 @@ def _decode_jpeg(raw: bytes) -> np.ndarray:
         seg = raw[pos + 2:pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 15
-                i += 1
-                if pq:
-                    vals = np.frombuffer(seg[i:i + 128], ">u2").astype(np.int64)
-                    i += 128
-                else:
-                    vals = np.frombuffer(seg[i:i + 64], np.uint8).astype(np.int64)
-                    i += 64
-                qt[tq] = vals  # zigzag order
+            _parse_dqt(seg, qt)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             if frame is not None:
                 raise ValueError("multiple JPEG frame headers")
@@ -334,14 +395,7 @@ def _decode_jpeg(raw: bytes) -> np.ndarray:
                 "(baseline sequential and progressive Huffman only)"
             )
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 15
-                bits = list(seg[i + 1:i + 17])
-                n = sum(bits)
-                vals = list(seg[i + 17:i + 17 + n])
-                huff[(tc, th)] = _canonical_codes(bits, vals)
-                i += 17 + n
+            _parse_dht(seg, huff)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS -> entropy-coded data follows

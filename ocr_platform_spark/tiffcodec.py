@@ -104,8 +104,9 @@ def _read_ifds(raw: bytes) -> tuple[str, list[dict[int, list[int]]]]:
         for i in range(n):
             tag, typ, cnt = struct.unpack_from(e + "HHI", raw, off + 2 + i * 12)
             vpos = off + 2 + i * 12 + 8
-            if typ not in _TYPE_SIZE or typ not in _INT_TYPES:
-                continue  # skip non-integer tags structurally
+            if typ not in _TYPE_SIZE or \
+                    (typ not in _INT_TYPES and typ != 7):
+                continue  # skip other non-integer tags structurally
             size = _TYPE_SIZE[typ] * cnt
             if cnt > 1 << 20:
                 raise ValueError("TIFF tag count implausibly large")
@@ -113,6 +114,9 @@ def _read_ifds(raw: bytes) -> tuple[str, list[dict[int, list[int]]]]:
                 (vpos,) = struct.unpack_from(e + "I", raw, vpos)
                 if vpos + size > len(raw):
                     raise ValueError("TIFF tag value past end of file")
+            if typ == 7:  # UNDEFINED: opaque bytes (e.g. JPEGTables)
+                tags[tag] = raw[vpos:vpos + cnt]
+                continue
             fmt = {1: "B", 3: "H", 4: "I"}[typ]
             tags[tag] = list(struct.unpack_from(e + fmt * cnt, raw, vpos))
         (off,) = struct.unpack_from(e + "I", raw, end)
@@ -188,10 +192,25 @@ def _page_plan(tags: dict) -> tuple[int, int, int, int, int, int]:
                 f"unsupported TIFF pi/bps/spp {pi}/{bps}/{spp} "
                 f"for compression {comp}"
             )
+    elif comp == 7:
+        # new-style JPEG: strips are (abbreviated) JPEG streams, shared
+        # tables in the JPEGTables tag; PI 6 = YCbCr (what every writer
+        # emits for color), PI 0/1 = gray. PI 2 would mean RGB-coded
+        # JPEG components — rare and ambiguous, refuse.
+        ok = (spp == 3 and bps == 8 and pi == 6) or \
+             (spp == 1 and bps == 8 and pi in (0, 1))
+        if not ok:
+            raise ValueError(
+                f"unsupported TIFF JPEG pi/bps/spp {pi}/{bps}/{spp}"
+            )
+        if 530 in tags and tags[530] not in ([1, 1], [2, 1], [2, 2]):
+            raise ValueError(
+                f"TIFF YCbCrSubSampling {tags[530]} unsupported"
+            )
     else:
         raise ValueError(
-            f"TIFF compression {comp} unsupported "
-            "(none=1, G4=4, LZW=5, Deflate=8/32946, PackBits=32773)"
+            f"TIFF compression {comp} unsupported (none=1, G3=2/3, G4=4, "
+            "LZW=5, JPEG=7, Deflate=8/32946, PackBits=32773)"
         )
     if 273 not in tags or 279 not in tags:
         raise ValueError("TIFF missing strip offsets/byte counts")
@@ -232,6 +251,19 @@ def _decode_page(raw: bytes, tags: dict, gray: bool) -> np.ndarray:
             # so every downstream decoder sees spec MSB-first order
             data = np.frombuffer(data, np.uint8)
             data = _BITREV[data].tobytes()
+        if comp == 7:
+            from . import jpegcodec
+
+            img = jpegcodec.decode_jpeg(bytes(data), tables=tags.get(347))
+            if img.shape[0] < rows or img.shape[1] < w:
+                raise ValueError("TIFF JPEG strip smaller than declared")
+            img = img[:rows, :w]
+            if spp == 1:
+                g = img[:, :, 0]  # decode_jpeg replicates gray to RGB
+                strips.append(255 - g if pi == 0 else g.copy())
+            else:
+                strips.append(img.copy())
+            continue
         if comp in (2, 3, 4):
             # ccittcodec gives ink=1; PI=0 (WhiteIsZero, standard for
             # fax) renders that as luminance 0, PI=1 inverts
@@ -331,7 +363,7 @@ def decode_tiff(
 #: serialization types for the tags the subset understands (for slicing)
 _TAG_TYPE = {256: 4, 257: 4, 258: 3, 259: 3, 262: 3, 266: 3, 273: 4,
              274: 3, 277: 3, 278: 4, 279: 4, 284: 3, 292: 4, 293: 4,
-             317: 3}
+             317: 3, 347: 7, 530: 3}
 
 
 @_strict_valueerror
@@ -395,7 +427,8 @@ def slice_pages(raw: bytes, page_indices) -> bytes:
         overflow = bytearray()
         ov_pos = overflow_off
         for tag, typ, vals in entries:
-            packed = struct.pack(e + fmt[typ] * len(vals), *vals)
+            packed = bytes(vals) if typ == 7 else \
+                struct.pack(e + fmt[typ] * len(vals), *vals)
             if len(packed) <= 4:
                 out += struct.pack(e + "HHI", tag, typ, len(vals))
                 out += packed + b"\x00" * (4 - len(packed))

@@ -408,3 +408,175 @@ def _gray_tiff_fo2(tmp_path):
         out += struct.pack("<HHIHH", tag, typ, cnt, val, 0) \
             if typ == 3 else struct.pack("<HHII", tag, typ, cnt, val)
     return out + struct.pack("<I", 0) + b"\x00" * 16
+
+
+# --- compression 7: new-style JPEG in TIFF --------------------------------------
+
+
+def _jpeg_tiff(data_strips, w, h, rps, pi, spp, tables=None):
+    entries = [(256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, 7),
+               (262, 3, 1, pi), (277, 3, 1, spp), (278, 4, 1, rps)]
+    if spp == 3:
+        entries.append((258, 3, 3, (8, 8, 8)))
+    else:
+        entries.append((258, 3, 1, 8))
+    if tables is not None:
+        entries.append((347, 7, len(tables), tables))
+    entries.append((273, 4, len(data_strips), None))
+    entries.append((279, 4, len(data_strips),
+                    [len(s) for s in data_strips]))
+    entries.sort()
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    n = len(entries)
+    hdr_end = 8 + 2 + n * 12 + 4
+    # lay out overflow values then strip data
+    overflow = bytearray()
+    ov_base = hdr_end
+    packed_entries = []
+    strip_off_pos = None
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            packed_entries.append((tag, typ, cnt, b"PATCH"))
+            continue
+        if typ == 7:
+            pk = bytes(val)
+        elif isinstance(val, (tuple, list)):
+            pk = struct.pack("<" + ("H" if typ == 3 else "I") * cnt, *val)
+        else:
+            pk = struct.pack("<" + ("H" if typ == 3 else "I"), val)
+        packed_entries.append((tag, typ, cnt, pk))
+    ov_need = sum(len(pk) for _t, _ty, _c, pk in packed_entries
+                  if pk != b"PATCH" and len(pk) > 4)
+    ov_need += 4 * len(data_strips) if len(data_strips) > 1 else 0
+    data_start = ov_base + ov_need
+    offs, pos = [], data_start
+    for s in data_strips:
+        offs.append(pos)
+        pos += len(s)
+    out += struct.pack("<H", n)
+    ov_pos = ov_base
+    for tag, typ, cnt, pk in packed_entries:
+        if pk == b"PATCH":
+            if len(offs) == 1:
+                out += struct.pack("<HHII", tag, typ, 1, offs[0])
+            else:
+                out += struct.pack("<HHII", tag, typ, cnt, ov_pos)
+                overflow += struct.pack("<" + "I" * cnt, *offs)
+                ov_pos += 4 * cnt
+            continue
+        if len(pk) <= 4:
+            out += struct.pack("<HHI", tag, typ, cnt)
+            out += pk + b"\x00" * (4 - len(pk))
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, ov_pos)
+            overflow += pk
+            ov_pos += len(pk)
+    out += struct.pack("<I", 0)
+    out += overflow
+    for s in data_strips:
+        out += s
+    return bytes(out)
+
+
+def _split_jpeg_tables(raw):
+    """Full JFIF stream -> (tables stream, abbreviated image stream):
+    DQT/DHT move to the tables stream, everything else stays."""
+    tables, image = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 2 <= len(raw):
+        assert raw[pos] == 0xFF
+        marker = raw[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", raw[pos + 2:pos + 4])
+        seg = raw[pos:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            image += seg
+            if marker == 0xDA:  # entropy data runs to EOI
+                image += raw[pos:]
+                break
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(image)
+
+
+def test_tiff_jpeg_imageio_encodes_we_decode(tifftool, tmp_path):
+    """Java ImageIO's TIFF-JPEG (compression 7): color parity within the
+    chroma-upsampling envelope, gray within IDCT rounding."""
+    rng = np.random.default_rng(7)
+    h, w = 120, 200
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.stack([128 + 100 * np.sin(x / 23), 128 + 90 * np.cos(y / 17),
+                    (x + y) % 256], axis=-1)
+    img = np.clip(img + 5 * rng.standard_normal((h, w, 3)),
+                  0, 255).astype(np.uint8)
+    (tmp_path / "j.ppm").write_bytes(
+        b"P6\n%d %d\n255\n" % (w, h) + img.tobytes())
+    tifftool("encode", tmp_path / "j.ppm", tmp_path / "j.tiff", "JPEG")
+    pages = tiffcodec.decode_tiff((tmp_path / "j.tiff").read_bytes())
+    tifftool("decode", tmp_path / "j.tiff", tmp_path / "j.ppm2")
+    java = np.frombuffer(
+        (tmp_path / "j.ppm2").read_bytes().split(b"255\n", 1)[1],
+        np.uint8).reshape(h, w, 3)
+    d = np.abs(pages[0].astype(int) - java.astype(int))
+    assert d.mean() <= 2.0  # synthetic chroma texture; kittens are ~0.4
+    # gray: no chroma, IDCT rounding only
+    g = img[:, :, 0].copy()
+    (tmp_path / "g.pgm").write_bytes(
+        b"P5\n%d %d\n255\n" % (w, h) + g.tobytes())
+    tifftool("encode", tmp_path / "g.pgm", tmp_path / "g.tiff", "JPEG")
+    pg = tiffcodec.decode_tiff((tmp_path / "g.tiff").read_bytes(),
+                               mode="L")[0]
+    tifftool("decode", tmp_path / "g.tiff", tmp_path / "g.pgm2")
+    javag = np.frombuffer(
+        (tmp_path / "g.pgm2").read_bytes().split(b"255\n", 1)[1],
+        np.uint8).reshape(h, w)
+    assert np.abs(pg.astype(int) - javag.astype(int)).max() <= 1
+
+
+def test_tiff_jpeg_with_jpegtables_abbreviated_strips():
+    """The JPEGTables convention: DQT/DHT live once in tag 347, strips
+    carry abbreviated streams — decodes identically to the same full
+    stream, and survives slice_pages (type-7 tag serialization)."""
+    from ocr_platform_spark import jpegcodec
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)
+    full = jpegcodec.encode_jpeg(img)
+    want = jpegcodec.decode_jpeg(full)
+    tables, image = _split_jpeg_tables(full)
+    assert b"\xff\xdb" in tables and b"\xff\xdb" not in image
+    t = _jpeg_tiff([image], 64, 40, 40, pi=6, spp=3, tables=tables)
+    np.testing.assert_array_equal(tiffcodec.decode_tiff(t)[0], want)
+    sliced = tiffcodec.slice_pages(t, [0])
+    np.testing.assert_array_equal(tiffcodec.decode_tiff(sliced)[0], want)
+    # without the tables the abbreviated strip must quarantine
+    t2 = _jpeg_tiff([image], 64, 40, 40, pi=6, spp=3)
+    with pytest.raises(ValueError):
+        tiffcodec.decode_tiff(t2)
+
+
+def test_tiff_jpeg_multi_strip_and_guards():
+    from ocr_platform_spark import jpegcodec
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    strips = [jpegcodec.encode_jpeg(img[:16]), jpegcodec.encode_jpeg(img[16:])]
+    want = np.concatenate([jpegcodec.decode_jpeg(s) for s in strips])
+    t = _jpeg_tiff(strips, 48, 32, 16, pi=6, spp=3)
+    np.testing.assert_array_equal(tiffcodec.decode_tiff(t)[0], want)
+    # PI 2 (RGB-coded JPEG) refuses
+    t = _jpeg_tiff(strips, 48, 32, 16, pi=2, spp=3)
+    with pytest.raises(ValueError, match="JPEG pi"):
+        tiffcodec.decode_tiff(t)
+    # corrupt strip quarantines
+    bad = bytearray(strips[0])
+    bad[len(bad) // 2] ^= 0xFF
+    t = _jpeg_tiff([bytes(bad), strips[1]], 48, 32, 16, pi=6, spp=3)
+    try:
+        out = tiffcodec.decode_tiff(t)
+        assert out[0].dtype == np.uint8
+    except ValueError:
+        pass
