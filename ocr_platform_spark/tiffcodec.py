@@ -444,15 +444,23 @@ def slice_pages(raw: bytes, page_indices) -> bytes:
     return bytes(out)
 
 
-def encode_g4_tiff(bitmaps: "list[np.ndarray]", endian: str = "<") -> bytes:
-    """Minimal multi-page G4 TIFF (one strip per page, chunky,
-    PhotometricInterpretation=0 so a 1 bit renders black — matching
-    :func:`ccittcodec.encode_g4`'s convention directly). Fixture writer
-    for tests and the ImageIO interop pin; not a general encoder."""
+def encode_bilevel_tiff(bitmaps: "list[np.ndarray]", compression: int = 4,
+                        endian: str = "<") -> bytes:
+    """Minimal multi-page bilevel TIFF (one strip per page, chunky,
+    PhotometricInterpretation=0 so a 1 bit renders black — matching the
+    CCITT coders' convention directly). Fixture writer for tests and
+    the ImageIO interop pin; not a general encoder.
+
+    ``compression``: 4 (G4), 3 (G3 2D, ``T4Options=1``), 2 (MH RLE,
+    byte-aligned rows), 5 (LZW over packed bit rows), 32773 (PackBits),
+    1 (uncompressed)."""
     if endian not in ("<", ">"):
         raise ValueError("endian must be '<' or '>'")
     if not bitmaps:
-        raise ValueError("encode_g4_tiff needs at least one page")
+        raise ValueError("encode_bilevel_tiff needs at least one page")
+    if compression not in (1, 2, 3, 4, 5, 32773):
+        raise ValueError(f"unsupported fixture compression {compression}")
+    from . import compression as compression_mod  # param shadows module
     bom = b"II" if endian == "<" else b"MM"
     out = bytearray(struct.pack(endian + "2sHI", bom, 42, 8))
     SHORT, LONG = 3, 4
@@ -460,14 +468,30 @@ def encode_g4_tiff(bitmaps: "list[np.ndarray]", endian: str = "<") -> bytes:
     for bm in bitmaps:
         bm = (np.asarray(bm) != 0).astype(np.uint8)
         h, w = bm.shape
-        data = ccittcodec.encode_g4(bm)
+        if compression == 4:
+            data = ccittcodec.encode_g4(bm)
+        elif compression == 3:
+            data = ccittcodec.encode_g3(bm, k=4)
+        elif compression == 2:
+            data = ccittcodec.encode_g3(bm, byte_align=True)
+        else:
+            packed = np.packbits(bm, axis=1).tobytes()
+            if compression == 5:
+                data = compression_mod.encode_lzw(packed)
+            elif compression == 32773:
+                data = compression_mod.encode_packbits(packed)
+            else:
+                data = packed
         ifd_off = len(out)
         struct.pack_into(endian + "I", out, pending_next, ifd_off)
         entries = [
             (256, LONG, w), (257, LONG, h), (258, SHORT, 1),
-            (259, SHORT, 4), (262, SHORT, 0), (273, LONG, 0),
+            (259, SHORT, compression), (262, SHORT, 0), (273, LONG, 0),
             (277, SHORT, 1), (278, LONG, h), (279, LONG, len(data)),
         ]
+        if compression == 3:
+            entries.append((292, LONG, 1))  # 2D coding
+        entries.sort()
         data_off = ifd_off + 2 + len(entries) * 12 + 4
         out += struct.pack(endian + "H", len(entries))
         for tag, typ, val in entries:
@@ -481,3 +505,9 @@ def encode_g4_tiff(bitmaps: "list[np.ndarray]", endian: str = "<") -> bytes:
         out += struct.pack(endian + "I", 0)
         out += data
     return bytes(out)
+
+
+def encode_g4_tiff(bitmaps: "list[np.ndarray]", endian: str = "<") -> bytes:
+    """G4 alias of :func:`encode_bilevel_tiff` (the original fixture
+    writer's name, kept for its many call sites)."""
+    return encode_bilevel_tiff(bitmaps, compression=4, endian=endian)

@@ -427,3 +427,81 @@ def test_jpeg_media_roundtrip_smoke(spark):
     expected = _spans_by_doc(extract.extract_documents(docs_df, synth))
     got = _spans_by_doc(extract_real.extract_real_documents(docs_df, real))
     assert got == expected
+
+
+def g3_scanned_pdf(pages_gray: list[np.ndarray]) -> bytes:
+    """Scanned PDF with /CCITTFaxDecode K>0 (G3 mixed-2D) page images and
+    an LZW-compressed content stream — the pre-2000 producer profile."""
+    from ocr_platform_spark import ccittcodec, compression
+
+    objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    kids, nxt = [], 3
+    for img in pages_gray:
+        h, w = img.shape[:2]
+        mw, mh = w * 72 / 150, h * 72 / 150
+        pg, ct, im = nxt, nxt + 1, nxt + 2
+        nxt += 3
+        kids.append(f"{pg} 0 R")
+        objs[pg] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {mw:.8f} {mh:.8f}] "
+            f"/Resources << /XObject << /Im0 {im} 0 R >> >> "
+            f"/Contents {ct} 0 R >>"
+        ).encode()
+        objs[ct] = stream_obj(
+            "/Filter /LZWDecode",
+            compression.encode_lzw(
+                f"q {mw:.8f} 0 0 {mh:.8f} 0 0 cm /Im0 Do Q".encode()),
+        )
+        bm = (img < 128).astype(np.uint8)
+        objs[im] = stream_obj(
+            f"/Subtype /Image /Width {w} /Height {h} /ColorSpace /DeviceGray "
+            f"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+            f"/DecodeParms << /K 2 /Columns {w} /Rows {h} >>",
+            ccittcodec.encode_g3(bm, k=2),
+        )
+    objs[2] = (f"<< /Type /Pages /Kids [{' '.join(kids)}] "
+               f"/Count {len(kids)} >>").encode()
+    return build_pdf(objs)
+
+
+def reencode_wild(payload: bytes, i: int) -> bytes:
+    """Synthetic container bytes -> a rotating wild-compression format:
+    G3-2D TIFF, LZW TIFF, PackBits TIFF, MH-RLE TIFF, or a G3+LZW PDF.
+    All lossless over the bitonal corpus rasters, so span-sequence
+    equality with the flagship stays exact."""
+    from ocr_platform_spark import tiffcodec
+
+    kind, pages = _render_pages(payload)
+    if i % 5 == 4:
+        return g3_scanned_pdf(pages)
+    comp = (3, 5, 32773, 2)[i % 5 if i % 5 < 4 else 0]
+    bitmaps = []
+    for p in pages:
+        assert set(np.unique(p)) <= {0, 255}, "corpus raster not bitonal"
+        bitmaps.append((p < 128).astype(np.uint8))
+    return tiffcodec.encode_bilevel_tiff(bitmaps, compression=comp)
+
+
+def test_wild_compression_pipeline_equals_synthetic_flagship(real_corpus,
+                                                             spark):
+    """Span-sequence equality over a MIXED wild-compression corpus:
+    every media payload re-encoded as G3-2D / LZW / PackBits / MH-RLE
+    TIFF or a CCITT-G3 + LZW-content PDF, rotating per payload — the
+    distributed probe/bucket/slice/OCR path must produce exactly the
+    flagship's spans for all of them."""
+    from ocr_platform_spark import corpus as corpus_mod
+
+    docs_df, synth, _real = real_corpus
+    docs, media = corpus_mod.generate(24, seed=909, max_pages=6)
+    wild = spark.createDataFrame(
+        [(ref, bytearray(reencode_wild(m["data"], i)))
+         for i, (ref, m) in enumerate(sorted(media.items()))],
+        "media_ref string, data binary",
+    )
+    expected = _spans_by_doc(extract.extract_documents(docs_df, synth))
+    got = _spans_by_doc(
+        extract_real.extract_real_documents(docs_df, wild, bucket_pages=2)
+    )
+    assert set(got) == set(expected)
+    for doc_id in expected:
+        assert got[doc_id] == expected[doc_id], doc_id
