@@ -33,7 +33,10 @@ wrong raster; the quarantine path keys on ``ValueError``):
   ``EncodedByteAlign`` honoured. JBIG2/JPX raise.
 * page content limited to the scanned-page operator set: graphics-state
   stack (``q``/``Q``), matrix concat (``cm``), image XObject paint
-  (``Do``), plus inert state/clipping operators. Text-showing and
+  (``Do``), inline images (``BI``/``ID``/``EI`` with the Table 91-93
+  abbreviations — the fax-to-PDF producer shape — through the same
+  image plan/decode path), plus inert state/clipping operators.
+  Text-showing and
   path-painting operators raise — a vector page MUST NOT silently render
   as a blank canvas and feed empty text downstream.
 * image XObjects: 8-bit ``DeviceRGB``/``DeviceGray`` and 1-bit gray
@@ -580,6 +583,92 @@ _TEXT_STATE_OPS = {"BT", "ET", "Tf", "Td", "TD", "Tm", "T*", "Tc", "Tw",
 
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*']*")
 
+#: inline-image key abbreviations (PDF Table 91)
+_INLINE_KEYS = {"W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+                "CS": "ColorSpace", "D": "Decode", "DP": "DecodeParms",
+                "F": "Filter", "IM": "ImageMask", "I": "Interpolate",
+                "L": "Length"}
+#: inline-image value abbreviations (colorspaces + filters, Table 92/93)
+_INLINE_VALS = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK",
+                "I": "Indexed", "AHx": "ASCIIHexDecode",
+                "A85": "ASCII85Decode", "LZW": "LZWDecode",
+                "Fl": "FlateDecode", "RL": "RunLengthDecode",
+                "CCF": "CCITTFaxDecode", "DCT": "DCTDecode"}
+_PDF_WS = b"\x00\t\n\x0c\r "
+
+
+def _expand_inline_val(v):
+    if isinstance(v, str):
+        return _Name(_INLINE_VALS.get(str(v), str(v)))
+    if isinstance(v, list):
+        return [_expand_inline_val(x) for x in v]
+    return v
+
+
+def _expand_inline_dict(operands: list) -> dict:
+    """BI key/value tokens -> an image-XObject-shaped dict (full key
+    names, expanded colorspace/filter abbreviations) so the shared
+    ``_image_plan`` / ``_decode_image`` path applies unchanged."""
+    if len(operands) % 2:
+        raise ValueError("inline image dictionary has an odd token count")
+    d = {}
+    for i in range(0, len(operands), 2):
+        k = operands[i]
+        if not isinstance(k, str):
+            raise ValueError(f"inline image key {k!r} is not a name")
+        key = _INLINE_KEYS.get(str(k), str(k))
+        v = operands[i + 1]
+        if key in ("ColorSpace", "Filter"):
+            v = _expand_inline_val(v)
+        d[key] = v
+    d["Subtype"] = _Name("Image")
+    return d
+
+
+def _inline_image_data(content: bytes, pos: int, d: dict):
+    """Extract the raw bytes between ID and EI -> ``(data, end_pos)``.
+
+    Unfiltered data has computable length; filtered data scans for the
+    first whitespace-delimited EI (every supported filter either carries
+    its own EOD or decodes a known row count, so a rare embedded
+    "<ws>EI<ws>" in entropy bytes surfaces as a decode ValueError, never
+    as silent wrong pixels)."""
+    n = len(content)
+    if d.get("Filter") is None:
+        w = d.get("Width", 0)
+        h = d.get("Height", 0)
+        bpc = d.get("BitsPerComponent", 8)
+        cs = d.get("ColorSpace")
+        ncomp = 3 if str(cs) == "DeviceRGB" else 1
+        if not all(isinstance(v, int) for v in (w, h, bpc)) or w <= 0 \
+                or h <= 0:
+            raise ValueError("inline image with malformed dimensions")
+        if w * h > MAX_PIXELS:
+            raise ValueError("inline image exceeds MAX_PIXELS")
+        length = h * ((w * bpc * ncomp + 7) // 8)
+        data = content[pos:pos + length]
+        if len(data) < length:
+            raise ValueError("inline image data truncated")
+        end = _skip_ws(content, pos + length)
+        if content[end:end + 2] != b"EI":
+            raise ValueError("inline image missing EI after raw data")
+        return data, end + 2
+    i = pos
+    while True:
+        j = content.find(b"EI", i)
+        if j < 0:
+            raise ValueError("inline image missing EI")
+        before = j > pos and content[j - 1] in _PDF_WS
+        after = j + 2 >= n or content[j + 2] in _PDF_WS \
+            or content[j + 2] in b"/[<(%"
+        if before and after:
+            data = content[pos:j]
+            # the delimiter whitespace before EI is not image data
+            if data and data[-1:] in (b"\n", b"\r", b"\t", b" "):
+                data = data[:-1]
+            return data, j + 2
+        i = j + 2
+
 
 def _content_images(doc: _Document, content: bytes, resources: dict):
     """Yield ``(ctm, image_dict, image_bytes)`` for each image paint.
@@ -635,7 +724,30 @@ def _content_images(doc: _Document, content: bytes, resources: dict):
             else:
                 raise ValueError(f"unsupported XObject subtype {subtype}")
         elif op == "BI":
-            raise ValueError("inline images (BI..EI) unsupported")
+            # inline image (PDF 8.9.7): /key value pairs to ID, one
+            # whitespace byte, raw entropy data, then EI. Fax-to-PDF
+            # producers embed whole CCITT pages this way.
+            operands = []
+            while True:
+                pos = _skip_ws(content, pos)
+                if pos >= n:
+                    raise ValueError("inline image truncated before ID")
+                c2 = content[pos]
+                if c2 == 0x2F or c2 == 0x28 or c2 == 0x3C or c2 == 0x5B \
+                        or c2 == 0x2B or c2 == 0x2D or c2 == 0x2E \
+                        or 0x30 <= c2 <= 0x39:
+                    val, pos = parse_object(content, pos)
+                    operands.append(val)
+                    continue
+                m = _OP_RE.match(content, pos)
+                if not m or m.group(0) != b"ID":
+                    raise ValueError("malformed inline image dictionary")
+                pos = m.end()
+                break
+            d = _expand_inline_dict(operands)
+            pos += 1  # the single whitespace byte after ID
+            data, pos = _inline_image_data(content, pos, d)
+            yield ctm, d, data
         elif op in _FORBIDDEN_OPS or op in _TEXT_STATE_OPS:
             raise ValueError(
                 f"vector/text content operator {op!r} unsupported "

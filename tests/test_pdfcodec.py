@@ -1050,3 +1050,78 @@ def test_indexed_malformed_quarantines():
         "/Filter /FlateDecode", zlib.compress(idx.tobytes())))
     with pytest.raises(ValueError, match="DeviceCMYK"):
         pdfcodec.decode_pdf(raw)
+
+
+# --- inline images (BI/ID/EI) ---------------------------------------------------
+
+
+def _inline_page(content: bytes) -> bytes:
+    return build_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 48 24] "
+            b"/Contents 4 0 R >>"),
+        4: stream_obj("", content),
+    })
+
+
+def test_inline_images_match_xobject_equivalents():
+    """BI/ID/EI with abbreviated keys (Table 91-93): raw, Flate, armored
+    and CCITT inline images render byte-identically to the XObject
+    forms — the fax-to-PDF producer shape."""
+    from ocr_platform_spark import ccittcodec
+    from ocr_platform_spark import compression as C
+
+    rng = _rng(5)
+    img = rng.integers(0, 256, (50, 100, 3), dtype=np.uint8)
+    ref = pdfcodec.decode_pdf(scanned_pdf([img], ["0 0 48 24"]))[0]
+    raw = img.tobytes()
+    cases = {
+        "raw": b"BI /W 100 /H 50 /CS /RGB /BPC 8 ID " + raw + b" EI",
+        "flate": (b"BI /W 100 /H 50 /CS /RGB /BPC 8 /F /Fl ID "
+                  + zlib.compress(raw) + b"\nEI"),
+        "armored": (b"BI /W 100 /H 50 /CS /RGB /BPC 8 /F [/AHx /Fl] ID "
+                    + C.encode_ascii_hex(zlib.compress(raw)) + b"\nEI"),
+    }
+    for name, bi in cases.items():
+        got = pdfcodec.decode_pdf(_inline_page(
+            b"q 48 0 0 24 0 0 cm " + bi + b" Q"))[0]
+        np.testing.assert_array_equal(got, ref, err_msg=name)
+    # CCITT G4 and G3 inline
+    bm = (rng.random((50, 100)) < 0.2).astype(np.uint8)
+    want = np.stack([(1 - bm) * 255] * 3, axis=-1).astype(np.uint8)
+    for dp, data in [
+        (b"/DP << /K -1 /Columns 100 /Rows 50 >>", ccittcodec.encode_g4(bm)),
+        (b"/DP << /K 2 /Columns 100 /Rows 50 >>",
+         ccittcodec.encode_g3(bm, k=2)),
+    ]:
+        content = (b"q 48 0 0 24 0 0 cm BI /W 100 /H 50 /CS /G /BPC 1 "
+                   b"/F /CCF " + dp + b" ID " + data + b"\nEI Q")
+        raw_pdf = _inline_page(content)
+        got = pdfcodec.decode_pdf(raw_pdf)[0]
+        np.testing.assert_array_equal(got, want)
+        # the distributed probe accepts inline pages without inflation
+        assert pdfcodec.validate_scanned(raw_pdf) == (1, 100, 50)
+
+
+def test_inline_image_malformed_quarantines():
+    base = b"q 48 0 0 24 0 0 cm "
+    # garbage entropy data
+    with pytest.raises(ValueError):
+        pdfcodec.decode_pdf(_inline_page(
+            base + b"BI /W 100 /H 50 /CS /G /BPC 1 /F /CCF "
+            b"/DP << /K -1 /Columns 100 /Rows 50 >> ID \xff\xff\nEI Q"))
+    # missing EI
+    with pytest.raises(ValueError, match="EI"):
+        pdfcodec.decode_pdf(_inline_page(
+            base + b"BI /W 4 /H 4 /CS /G /BPC 8 ID " + b"\x00" * 15 + b" Q"))
+    # odd key/value tokens
+    with pytest.raises(ValueError, match="odd"):
+        pdfcodec.decode_pdf(_inline_page(
+            base + b"BI /W 4 /H 4 /CS ID " + b"\x00" * 16 + b" EI Q"))
+    # truncated before ID
+    with pytest.raises(ValueError):
+        pdfcodec.decode_pdf(_inline_page(base + b"BI /W 4 /H 4"))
+    # stray EI outside an inline image is an unknown operator
+    with pytest.raises(ValueError):
+        pdfcodec.decode_pdf(_inline_page(base + b"EI Q"))
