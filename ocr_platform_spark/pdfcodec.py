@@ -1075,29 +1075,37 @@ def probe_dims(raw: bytes) -> tuple[int, int, int]:
     if not pages:
         return 0, 0, 0
     node, attrs = pages[0]
-    _x0, _y0, W, H = _canvas_dims(doc, node, attrs, RENDER_DPI / _POINT_DPI)
+    _x0, _y0, W, H, rot = _canvas_dims(doc, node, attrs,
+                                       RENDER_DPI / _POINT_DPI)
+    if rot in (90, 270):
+        W, H = H, W
     return len(pages), W, H
 
 
 def _canvas_dims(doc: _Document, node: dict, attrs: dict,
-                 scale: float) -> tuple[float, float, int, int]:
-    """Validated ``(x0, y0, W, H)`` for a page at ``scale`` — shared by
-    the renderer and :func:`validate_scanned` so the probe enforces
-    EXACTLY what rendering enforces (numeric 4-entry MediaBox, no
-    rotation, canvas under :data:`MAX_PIXELS`); a probe that passes what
-    the renderer refuses would turn a quarantine into a silent drop."""
+                 scale: float) -> tuple[float, float, int, int, int]:
+    """Validated ``(x0, y0, W, H, rotate)`` for a page at ``scale`` —
+    shared by the renderer and :func:`validate_scanned` so the probe
+    enforces EXACTLY what rendering enforces (numeric 4-entry MediaBox,
+    right-angle /Rotate only, canvas under :data:`MAX_PIXELS`); a probe
+    that passes what the renderer refuses would turn a quarantine into a
+    silent drop. ``W``/``H`` are PRE-rotation; a 90/270 display swaps
+    them (the callers' job, mirroring ``get_pixmap``'s rotated
+    output)."""
     mb_raw = doc.get(attrs.get("MediaBox", None) or
                      node.get("MediaBox", None) or [])
     if not isinstance(mb_raw, list) or len(mb_raw) != 4:
         raise ValueError("page has no usable /MediaBox")
     x0, y0, x1, y1 = (float(doc.get(v)) for v in mb_raw)
-    if int(doc.get(attrs.get("Rotate", 0)) or 0) % 360:
-        raise ValueError("rotated pages unsupported (/Rotate != 0)")
+    rot_raw = doc.get(attrs.get("Rotate", 0)) or 0
+    if not isinstance(rot_raw, int) or rot_raw % 90:
+        raise ValueError(f"page /Rotate {rot_raw!r} is not a right angle")
+    rot = rot_raw % 360
     W = max(1, int(round((x1 - x0) * scale)))
     H = max(1, int(round((y1 - y0) * scale)))
     if W * H > MAX_PIXELS:
         raise ValueError(f"page canvas {W}x{H} exceeds MAX_PIXELS")
-    return x0, y0, W, H
+    return x0, y0, W, H, rot
 
 
 def _page_content(doc: _Document, node: dict) -> bytes:
@@ -1131,7 +1139,10 @@ def validate_scanned(raw: bytes) -> tuple[int, int, int]:
     pages = _pages(doc)
     w0 = h0 = 0
     for i, (node, attrs) in enumerate(pages):
-        _x, _y, W, H = _canvas_dims(doc, node, attrs, RENDER_DPI / _POINT_DPI)
+        _x, _y, W, H, rot = _canvas_dims(doc, node, attrs,
+                                         RENDER_DPI / _POINT_DPI)
+        if rot in (90, 270):
+            W, H = H, W
         if i == 0:
             w0, h0 = W, H
         resources = doc.get(attrs.get("Resources") or node.get("Resources")
@@ -1308,8 +1319,11 @@ class _Slicer:
             mb = [doc.get(v) for v in mb_raw]
             if not all(isinstance(v, (int, float)) for v in mb):
                 raise ValueError("page has no usable /MediaBox")
-            if int(doc.get(attrs.get("Rotate", 0)) or 0) % 360:
-                raise ValueError("rotated pages unsupported (/Rotate != 0)")
+            rot_raw = doc.get(attrs.get("Rotate", 0)) or 0
+            if not isinstance(rot_raw, int) or rot_raw % 90:
+                raise ValueError(
+                    f"page /Rotate {rot_raw!r} is not a right angle"
+                )
             resources = doc.get(attrs.get("Resources")
                                 or node.get("Resources") or {})
             if not isinstance(resources, dict):
@@ -1334,6 +1348,8 @@ class _Slicer:
                 "MediaBox": mb,
                 "Resources": new_res,
             }
+            if rot_raw % 360:
+                pd["Rotate"] = rot_raw % 360
             contents = node.get("Contents")
             if contents is not None:
                 pd["Contents"] = contents
@@ -1444,7 +1460,7 @@ def decode_pdf(
             ) from e
     pages = []
     for node, attrs in page_nodes:
-        x0, y0, W, H = _canvas_dims(doc, node, attrs, scale)
+        x0, y0, W, H, rot = _canvas_dims(doc, node, attrs, scale)
         canvas = np.full((H, W) if gray else (H, W, 3), 255, np.uint8)
         resources = doc.get(attrs.get("Resources") or node.get("Resources") or {})
         content = _page_content(doc, node)
@@ -1484,5 +1500,9 @@ def decode_pdf(
             canvas[cy0:cy1, cx0:cx1] = img[
                 sy0:sy0 + (cy1 - cy0), sx0:sx0 + (cx1 - cx0)
             ]
+        if rot:
+            # /Rotate is CLOCKWISE display rotation (PDF 7.7.3.3);
+            # np.rot90 is counterclockwise, hence the negative turns
+            canvas = np.ascontiguousarray(np.rot90(canvas, k=-rot // 90))
         pages.append(canvas)
     return pages

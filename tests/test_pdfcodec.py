@@ -1125,3 +1125,46 @@ def test_inline_image_malformed_quarantines():
     # stray EI outside an inline image is an unknown operator
     with pytest.raises(ValueError):
         pdfcodec.decode_pdf(_inline_page(base + b"EI Q"))
+
+
+# --- page rotation (/Rotate) ----------------------------------------------------
+
+
+def _rotated_pdf(img, rot):
+    objs = scanned_objs([img], ["0 0 48 24"])
+    objs[3] = objs[3].replace(b"/MediaBox", b"/Rotate %d /MediaBox" % rot)
+    return build_pdf(objs)
+
+
+def test_page_rotate_clockwise_display():
+    """/Rotate is CLOCKWISE display rotation (PDF 7.7.3.3): the raster
+    equals np.rot90(base, -rot/90); 90/270 swap the probed dims; 360 and
+    -90 normalize; slicing preserves the attribute; mode='L' parity
+    holds through the rotation."""
+    img = _rng(5).integers(0, 256, (50, 100, 3), dtype=np.uint8)
+    base = pdfcodec.decode_pdf(scanned_pdf([img], ["0 0 48 24"]))[0]
+    for rot in (90, 180, 270, 360, -90):
+        raw = _rotated_pdf(img, rot)
+        got = pdfcodec.decode_pdf(raw)[0]
+        eff = rot % 360
+        want = np.ascontiguousarray(np.rot90(base, k=-eff // 90)) \
+            if eff else base
+        np.testing.assert_array_equal(got, want, err_msg=str(rot))
+        n, w, h = pdfcodec.validate_scanned(raw)
+        assert (n, w, h) == (1, got.shape[1], got.shape[0]), rot
+        assert pdfcodec.probe_dims(raw) == (1, got.shape[1], got.shape[0])
+        gl = pdfcodec.decode_pdf(raw, mode="L")[0]
+        np.testing.assert_array_equal(gl, pdfcodec.rgb_to_gray(got))
+    sliced = pdfcodec.slice_pages(_rotated_pdf(img, 90), [0])
+    np.testing.assert_array_equal(
+        pdfcodec.decode_pdf(sliced)[0],
+        pdfcodec.decode_pdf(_rotated_pdf(img, 90))[0])
+
+
+def test_page_rotate_non_right_angle_quarantines():
+    img = _rng(5).integers(0, 256, (10, 10, 3), dtype=np.uint8)
+    for bad in (45, 91):
+        with pytest.raises(ValueError, match="right angle"):
+            pdfcodec.decode_pdf(_rotated_pdf(img, bad))
+        with pytest.raises(ValueError, match="right angle"):
+            pdfcodec.validate_scanned(_rotated_pdf(img, bad))
