@@ -863,6 +863,7 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
         (cs == "DeviceRGB" and bpc == 8 and
          decode in (None, [0, 1, 0, 1, 0, 1])) or
         (cs == "DeviceGray" and bpc == 8 and decode in (None, [0, 1])) or
+        (cs == "DeviceGray" and bpc in (2, 4) and decode is None) or
         (cs == "DeviceGray" and bpc == 1 and
          decode in (None, [0, 1], [1, 0])) or
         (cs == "Indexed" and bpc in (1, 2, 4, 8) and decode is None)
@@ -994,6 +995,19 @@ def _decode_image(doc: _Document, d: dict, data: bytes,
             raise ValueError("truncated gray image samples")
         g = np.frombuffer(data[:need], np.uint8).reshape(h, w)
         return g.copy() if gray else np.stack([g] * 3, axis=-1)
+    if cs == "DeviceGray" and bpc in (2, 4):
+        stride = (w * bpc + 7) // 8
+        need = stride * h
+        if len(data) < need:
+            raise ValueError("truncated sub-byte gray image samples")
+        bits = np.unpackbits(
+            np.frombuffer(data[:need], np.uint8).reshape(h, stride),
+            axis=1)[:, :w * bpc]
+        weights = 1 << np.arange(bpc - 1, -1, -1)
+        v = (bits.reshape(h, w, bpc) * weights).sum(axis=2)
+        # exact expansion: 255 / (2^bpc - 1) is integral for bpc 2 and 4
+        g = (v * (255 // ((1 << bpc) - 1))).astype(np.uint8)
+        return g if gray else np.stack([g] * 3, axis=-1)
     if cs == "DeviceGray" and bpc == 1:
         stride = (w + 7) // 8
         need = stride * h

@@ -185,7 +185,7 @@ def _page_plan(tags: dict) -> tuple[int, int, int, int, int, int]:
     elif comp in (1, 5, 8, 32773, 32946):
         # uncompressed / LZW / Deflate (8=Adobe, 32946=classic) /
         # PackBits, all over the same three pixel layouts
-        ok = (spp == 1 and bps in (1, 8) and pi in (0, 1)) or \
+        ok = (spp == 1 and bps in (1, 4, 8) and pi in (0, 1)) or \
              (spp == 3 and bps == 8 and pi == 2)
         if not ok:
             raise ValueError(
@@ -309,6 +309,17 @@ def _decode_page(raw: bytes, tags: dict, gray: bool) -> np.ndarray:
                 .reshape(rows, stride), axis=1)[:, :w]
             g = (1 - bits) * 255 if pi == 0 else bits * 255
             strips.append(g.astype(np.uint8))
+        elif bps == 4:  # 4-bit gray: exact expansion (255/15 = 17)
+            stride = (w + 1) // 2
+            if len(data) < stride * rows:
+                raise ValueError("truncated TIFF 4-bit gray strip")
+            bits = np.unpackbits(
+                np.frombuffer(data[:stride * rows], np.uint8)
+                .reshape(rows, stride), axis=1)[:, :w * 4]
+            v = (bits.reshape(rows, w, 4)
+                 * (1 << np.arange(3, -1, -1))).sum(axis=2)
+            g = (v * 17).astype(np.uint8)
+            strips.append(255 - g if pi == 0 else g)
         elif spp == 1:  # 8-bit gray
             if len(data) < w * rows:
                 raise ValueError("truncated TIFF gray strip")

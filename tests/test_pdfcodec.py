@@ -1168,3 +1168,35 @@ def test_page_rotate_non_right_angle_quarantines():
             pdfcodec.decode_pdf(_rotated_pdf(img, bad))
         with pytest.raises(ValueError, match="right angle"):
             pdfcodec.validate_scanned(_rotated_pdf(img, bad))
+
+
+def test_pdf_sub_byte_gray_images():
+    """2- and 4-bit DeviceGray samples (older scan profiles): exact
+    255/(2^bpc-1) expansion through the identity-scale render."""
+    rng = _rng(5)
+    for bpc in (2, 4):
+        m = (1 << bpc) - 1
+        v = rng.integers(0, m + 1, (50, 100), dtype=np.uint8)
+        g = (v * (255 // m)).astype(np.uint8)
+        packed = bytearray()
+        for row in v:
+            acc, nb = 0, 0
+            for x in row:
+                acc = (acc << bpc) | int(x)
+                nb += bpc
+                if nb == 8:
+                    packed.append(acc)
+                    acc, nb = 0, 0
+            if nb:
+                packed.append(acc << (8 - nb))
+        objs = scanned_objs([np.stack([g] * 3, -1)], ["0 0 48 24"])
+        objs[5] = stream_obj(
+            f"/Subtype /Image /Width 100 /Height 50 "
+            f"/ColorSpace /DeviceGray /BitsPerComponent {bpc} "
+            f"/Filter /FlateDecode", zlib.compress(bytes(packed)))
+        got = pdfcodec.decode_pdf(build_pdf(objs))[0]
+        np.testing.assert_array_equal(got, np.stack([g] * 3, -1),
+                                      err_msg=str(bpc))
+        # mode='L' native path agrees
+        gl = pdfcodec.decode_pdf(build_pdf(objs), mode="L")[0]
+        np.testing.assert_array_equal(gl, g)

@@ -580,3 +580,46 @@ def test_tiff_jpeg_multi_strip_and_guards():
         assert out[0].dtype == np.uint8
     except ValueError:
         pass
+
+
+def test_tiff_4bit_gray(tifftool, tmp_path):
+    """4-bit gray (older scanner output): exact 17x expansion, odd-width
+    row padding, LZW layering; Java ImageIO returns the identical raw
+    nibbles (its raster keeps 4-bit samples, so parity is ours == 17x)."""
+    from ocr_platform_spark import compression as C
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 16, (40, 33), dtype=np.uint8)
+    g = (v * 17).astype(np.uint8)
+    packed = bytearray()
+    for row in v:
+        for i in range(0, 33, 2):
+            hi = int(row[i])
+            lo = int(row[i + 1]) if i + 1 < 33 else 0
+            packed.append((hi << 4) | lo)
+
+    def tiff4(data, comp=1):
+        entries = [(256, 3, 1, 33), (257, 3, 1, 40), (258, 3, 1, 4),
+                   (259, 3, 1, comp), (262, 3, 1, 1), (273, 4, 1, 0),
+                   (277, 3, 1, 1), (278, 4, 1, 40), (279, 4, 1, len(data))]
+        out = struct.pack("<2sHI", b"II", 42, 8)
+        out += struct.pack("<H", len(entries))
+        off = 8 + 2 + len(entries) * 12 + 4
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = off
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0) \
+                if typ == 3 else struct.pack("<HHII", tag, typ, cnt, val)
+        return out + struct.pack("<I", 0) + data
+
+    t = tiff4(bytes(packed))
+    np.testing.assert_array_equal(tiffcodec.decode_tiff(t, mode="L")[0], g)
+    t5 = tiff4(C.encode_lzw(bytes(packed)), comp=5)
+    np.testing.assert_array_equal(
+        tiffcodec.decode_tiff(t5, mode="L")[0], g)
+    (tmp_path / "g4.tiff").write_bytes(t)
+    tifftool("decode", tmp_path / "g4.tiff", tmp_path / "g4.pgm")
+    java = np.frombuffer(
+        (tmp_path / "g4.pgm").read_bytes().split(b"255\n", 1)[1],
+        np.uint8).reshape(40, 33)
+    np.testing.assert_array_equal(java.astype(np.int64) * 17, g)
