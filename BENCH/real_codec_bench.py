@@ -1,6 +1,7 @@
 """Real-codec extraction throughput exhibit: synthetic flagship vs
 extract_real_documents over the SAME corpus re-encoded as real media
-(PNG files + scanned PDFs, and a CCITT-G4 multi-page TIFF arm), plus a
+(PNG files + scanned PDFs, a CCITT-G4 multi-page TIFF arm, and a
+rotating wild-compression mix arm), plus a
 bucket_pages sweep.
 
 What this pins: the page-bucket pipeline is not a correctness-only toy —
@@ -40,10 +41,18 @@ def _ensure_corpus() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from test_extract_real import reencode_real, reencode_tiff
+    from test_extract_real import (reencode_real, reencode_tiff,
+                                   reencode_wild)
 
+    import itertools
+
+    wild_idx = itertools.count()
     targets = {"media_real.parquet": reencode_real,
-               "media_tiff.parquet": reencode_tiff}
+               "media_tiff.parquet": reencode_tiff,
+               # rotating wild-compression mix (G3-2D / LZW / PackBits /
+               # MH TIFFs + CCITT-G3+LZW PDFs) — the long-tail corpus
+               "media_wild.parquet":
+                   lambda data: reencode_wild(data, next(wild_idx))}
     missing = {f: fn for f, fn in targets.items()
                if not os.path.exists(os.path.join(CACHE, f))}
     if not missing:
@@ -83,6 +92,7 @@ def main() -> None:
     media_synth = spark.read.parquet(f"{d}/media.parquet")
     media_real = spark.read.parquet(f"{d}/media_real.parquet")
     media_tiff = spark.read.parquet(f"{d}/media_tiff.parquet")
+    media_wild = spark.read.parquet(f"{d}/media_wild.parquet")
     n_pages = media_synth.groupBy().sum("page_count").collect()[0][0] or 0
 
     # warm-up (JVM + codegen), excluded
@@ -106,6 +116,9 @@ def main() -> None:
         "tiff_g4_bucket8": best2(
             lambda: extract_real.extract_real_documents(
                 docs, media_tiff, bucket_pages=8)),
+        "wild_mix_bucket8": best2(
+            lambda: extract_real.extract_real_documents(
+                docs, media_wild, bucket_pages=8)),
     }
     out = {
         "n_docs": N_DOCS,
