@@ -325,6 +325,7 @@ def _decode_jpeg(raw: bytes, tables: bytes | None = None) -> np.ndarray:
     if tables is not None:
         qt, huff, restart_interval = _parse_tables(tables)
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    adobe = None  # APP14 color-transform byte, when present
     progressive = False
     coefs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag coefs
     scans = 0
@@ -345,7 +346,7 @@ def _decode_jpeg(raw: bytes, tables: bytes | None = None) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             if progressive and scans:
-                return _finish_progressive(frame, coefs, qt)
+                return _finish_progressive(frame, coefs, qt, adobe)
             break
         if pos + 2 > len(raw):
             break
@@ -398,12 +399,14 @@ def _decode_jpeg(raw: bytes, tables: bytes | None = None) -> np.ndarray:
             _parse_dht(seg, huff)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe = seg[11]  # 0=RGB/unknown, 1=YCbCr, 2=YCCK
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             if not progressive:
                 return _decode_scan(raw, pos, seg, frame, qt, huff,
-                                    restart_interval)
+                                    restart_interval, adobe)
             pos = _decode_progressive_scan(raw, pos, seg, frame, coefs,
                                            huff, restart_interval)
             scans += 1
@@ -412,7 +415,8 @@ def _decode_jpeg(raw: bytes, tables: bytes | None = None) -> np.ndarray:
                      else "progressive JPEG missing EOI")
 
 
-def _decode_scan(raw, pos, seg, frame, qt, huff, restart_interval):
+def _decode_scan(raw, pos, seg, frame, qt, huff, restart_interval,
+                 adobe=None):
     h, w, comps = frame
     ns = seg[0]
     scan_tables = {}
@@ -505,10 +509,29 @@ def _decode_scan(raw, pos, seg, frame, qt, huff, restart_interval):
                                 (my * vs + by) * 8, (mx * hs + bx) * 8,
                             )
                 mcu_count += 1
-    return _assemble(comps, planes, hmax, vmax, h, w)
+    return _assemble(comps, planes, hmax, vmax, h, w, adobe)
 
 
-def _assemble(comps, planes, hmax, vmax, h, w) -> np.ndarray:
+def _is_rgb_coded(comps, adobe) -> bool:
+    """Whether a 3-component scan stores RGB directly (no YCbCr
+    transform): Adobe APP14 transform byte wins when present (0 = RGB,
+    1 = YCbCr; libjpeg convention, what PIL honors); without it,
+    component IDs 'R','G','B' mark RGB-coded files, anything else is
+    YCbCr (the JFIF default). Keeps rare RGB-coded JPEGs from silently
+    decoding with swapped colors."""
+    if adobe is not None:
+        if adobe == 1:
+            return False
+        if adobe == 0:
+            return True
+        raise ValueError(
+            f"Adobe APP14 transform {adobe} unsupported for "
+            "3-component scans"
+        )
+    return [c[0] for c in comps] == [0x52, 0x47, 0x42]  # 'R','G','B'
+
+
+def _assemble(comps, planes, hmax, vmax, h, w, adobe=None) -> np.ndarray:
     """Component planes -> HxWx3 RGB: upsample to full resolution
     (block replication), crop to (h, w), color-convert."""
     full = []
@@ -520,6 +543,9 @@ def _assemble(comps, planes, hmax, vmax, h, w) -> np.ndarray:
         g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     if len(full) == 3:
+        if _is_rgb_coded(comps, adobe):
+            out = np.stack(full, axis=-1)
+            return np.clip(np.rint(out), 0, 255).astype(np.uint8)
         return _ycbcr_to_rgb(*full)
     raise ValueError(f"unsupported JPEG component count {len(full)}")
 
@@ -693,7 +719,7 @@ def _decode_progressive_scan(raw, pos, seg, frame, coefs, huff,
     return reader.pos
 
 
-def _finish_progressive(frame, coefs, qt) -> np.ndarray:
+def _finish_progressive(frame, coefs, qt, adobe=None) -> np.ndarray:
     """Accumulated zigzag coefficients -> dequantize + IDCT (vectorized
     over all blocks) -> planes -> RGB via the shared assembly."""
     h, w, comps = frame
@@ -715,7 +741,7 @@ def _finish_progressive(frame, coefs, qt) -> np.ndarray:
             .transpose(0, 2, 1, 3)
             .reshape(by_n * 8, bx_n * 8)
         )
-    return _assemble(comps, planes, hmax, vmax, h, w)
+    return _assemble(comps, planes, hmax, vmax, h, w, adobe)
 
 
 # --------------------------------------------------------------------------

@@ -14,16 +14,20 @@ wrong raster):
 * classic TIFF, both byte orders (``II``/``MM``); BigTIFF raises;
 * multi-page via the IFD chain (cycle-guarded);
 * Compression 1 (uncompressed), 5 (LZW), 8/32946 (Deflate) and 32773
-  (PackBits) for 1-bit bilevel, 8-bit gray and 8-bit RGB (chunky), and
-  Compression 4 (CCITT T.6 through :mod:`ccittcodec` — strips decode
-  independently per the TIFF spec) for 1-bit bilevel; Predictor 2
-  (horizontal differencing) with the LZW/Deflate family on 8-bit
-  samples. All pinned bit-exact against Java ImageIO's TIFF plugin in
-  BOTH directions (tests/test_compression.py);
-* PhotometricInterpretation 0 (WhiteIsZero) / 1 (BlackIsZero) / 2 (RGB);
-* multi-strip images (``RowsPerStrip``), FillOrder 1, chunky planar
-  config, default orientation; ``T6Options`` uncompressed-mode bit
-  raises.
+  (PackBits) for 1/4/8/16-bit gray and 8-bit RGB (chunky);
+  Compressions 2 (MH RLE), 3 (CCITT T.4, ``T4Options`` 2D bit) and 4
+  (CCITT T.6) through :mod:`ccittcodec` for 1-bit bilevel — strips
+  decode independently per the TIFF spec; Compression 7 (new-style
+  JPEG strips, shared ``JPEGTables``) through :mod:`jpegcodec`;
+  Predictor 2 (horizontal differencing) with the LZW/Deflate family on
+  8-bit samples. All pinned bit-exact against Java ImageIO's TIFF
+  plugin in BOTH directions where lossless (tests/test_compression.py,
+  tests/test_tiffcodec.py);
+* PhotometricInterpretation 0 (WhiteIsZero) / 1 (BlackIsZero) / 2
+  (RGB) / 6 (YCbCr, compression-7 only);
+* multi-strip images (``RowsPerStrip``), FillOrder 1 and 2 (LSB-first
+  fax packing, bilevel), chunky planar config, default orientation;
+  CCITT uncompressed-mode option bits raise.
 
 :func:`probe_tiff` walks only the IFD headers (page count + first-page
 dims, no sample inflation) — the metadata-probe analog of
@@ -185,7 +189,7 @@ def _page_plan(tags: dict) -> tuple[int, int, int, int, int, int]:
     elif comp in (1, 5, 8, 32773, 32946):
         # uncompressed / LZW / Deflate (8=Adobe, 32946=classic) /
         # PackBits, all over the same three pixel layouts
-        ok = (spp == 1 and bps in (1, 4, 8) and pi in (0, 1)) or \
+        ok = (spp == 1 and bps in (1, 4, 8, 16) and pi in (0, 1)) or \
              (spp == 3 and bps == 8 and pi == 2)
         if not ok:
             raise ValueError(
@@ -232,7 +236,8 @@ def probe_tiff(raw: bytes) -> tuple[int, int, int]:
     return len(ifds), w0, h0
 
 
-def _decode_page(raw: bytes, tags: dict, gray: bool) -> np.ndarray:
+def _decode_page(raw: bytes, tags: dict, gray: bool,
+                 endian: str = "<") -> np.ndarray:
     w, h, comp, pi, bps, spp = _page_plan(tags)
     rps = _tag1(tags, 278, h)
     if rps <= 0:
@@ -320,6 +325,13 @@ def _decode_page(raw: bytes, tags: dict, gray: bool) -> np.ndarray:
                  * (1 << np.arange(3, -1, -1))).sum(axis=2)
             g = (v * 17).astype(np.uint8)
             strips.append(255 - g if pi == 0 else g)
+        elif bps == 16:  # 16-bit gray (film scans): high byte
+            need = w * rows * 2
+            if len(data) < need:
+                raise ValueError("truncated TIFF 16-bit gray strip")
+            v = np.frombuffer(data[:need], np.dtype(endian + "u2"))
+            g = (v >> 8).astype(np.uint8).reshape(rows, w)
+            strips.append(255 - g if pi == 0 else g)
         elif spp == 1:  # 8-bit gray
             if len(data) < w * rows:
                 raise ValueError("truncated TIFF gray strip")
@@ -368,7 +380,8 @@ def decode_tiff(
             raise ValueError(
                 f"page index out of range (TIFF has {len(ifds)})"
             ) from e
-    return [_decode_page(raw, tags, gray=mode == "L") for tags in ifds]
+    return [_decode_page(raw, tags, gray=mode == "L", endian=_e)
+            for tags in ifds]
 
 
 #: serialization types for the tags the subset understands (for slicing)

@@ -763,3 +763,42 @@ def test_validate_jpeg_accepts_progressive(tifftool, tmp_path):
              "progressive")
     assert jpegcodec.validate_jpeg(
         (tmp_path / "v.jpg").read_bytes()) == (44, 30)
+
+
+def test_rgb_coded_jpeg_not_silently_ycbcr_converted():
+    """Rare RGB-coded JPEGs (Adobe APP14 transform 0, or component IDs
+    'R','G','B') must skip the YCbCr transform — decoding them through
+    the JFIF default would emit silently wrong colors. Transform 1 is a
+    no-op, 2 (YCCK) on 3 components quarantines."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    enc = jpegcodec.encode_jpeg(img)
+    ref = jpegcodec.decode_jpeg(enc)
+
+    def insert_adobe(raw, transform):
+        seg = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+        app14 = b"\xff\xee" + (len(seg) + 2).to_bytes(2, "big") + seg
+        return raw[:2] + app14 + raw[2:]
+
+    np.testing.assert_array_equal(
+        jpegcodec.decode_jpeg(insert_adobe(enc, 1)), ref)
+    d0 = jpegcodec.decode_jpeg(insert_adobe(enc, 0))
+    assert not np.array_equal(d0, ref)
+    # reinterpreting the raw planes as YCbCr recovers the JFIF decode
+    # (up to the double rounding of materializing the planes as uint8)
+    back = jpegcodec._ycbcr_to_rgb(d0[:, :, 0].astype(float),
+                                   d0[:, :, 1].astype(float),
+                                   d0[:, :, 2].astype(float))
+    assert np.abs(back.astype(int) - ref.astype(int)).max() <= 2
+    # component IDs 'R','G','B' without an Adobe marker: same path
+    patched = bytearray(enc)
+    i = enc.find(b"\xff\xc0")
+    for c, cid in enumerate(b"RGB"):
+        patched[i + 9 + 1 + 3 * c] = cid
+    j = enc.find(b"\xff\xda")
+    for c, cid in enumerate(b"RGB"):
+        patched[j + 5 + 2 * c] = cid
+    np.testing.assert_array_equal(jpegcodec.decode_jpeg(bytes(patched)),
+                                  d0)
+    with pytest.raises(ValueError, match="transform 2"):
+        jpegcodec.decode_jpeg(insert_adobe(enc, 2))

@@ -623,3 +623,31 @@ def test_tiff_4bit_gray(tifftool, tmp_path):
         (tmp_path / "g4.pgm").read_bytes().split(b"255\n", 1)[1],
         np.uint8).reshape(40, 33)
     np.testing.assert_array_equal(java.astype(np.int64) * 17, g)
+
+
+def test_tiff_16bit_gray_both_endians():
+    """16-bit gray (film scans) reduces to the high byte, honoring the
+    container's byte order."""
+    rng = np.random.default_rng(3)
+    v16 = rng.integers(0, 65536, (20, 30), dtype=np.uint16)
+    exp = (v16 >> 8).astype(np.uint8)
+    for e, bom in [("<", b"II"), (">", b"MM")]:
+        data = v16.astype(np.dtype(e + "u2")).tobytes()
+        entries = [(256, 3, 1, 30), (257, 3, 1, 20), (258, 3, 1, 16),
+                   (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, 0),
+                   (277, 3, 1, 1), (278, 4, 1, 20), (279, 4, 1, len(data))]
+        out = struct.pack(e + "2sHI", bom, 42, 8)
+        out += struct.pack(e + "H", len(entries))
+        off = 8 + 2 + len(entries) * 12 + 4
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = off
+            out += struct.pack(e + "HHIHH", tag, typ, cnt, val, 0) \
+                if typ == 3 else struct.pack(e + "HHII", tag, typ, cnt, val)
+        t = out + struct.pack(e + "I", 0) + data
+        np.testing.assert_array_equal(
+            tiffcodec.decode_tiff(t, mode="L")[0], exp, err_msg=e)
+        assert tiffcodec.probe_tiff(t) == (1, 30, 20)
+        # truncated 16-bit strip quarantines
+        with pytest.raises(ValueError):
+            tiffcodec.decode_tiff(t[:-40], mode="L")
