@@ -39,9 +39,13 @@ wrong raster; the quarantine path keys on ``ValueError``):
   Text-showing and
   path-painting operators raise — a vector page MUST NOT silently render
   as a blank canvas and feed empty text downstream.
-* image XObjects: 8-bit ``DeviceRGB``/``DeviceGray`` and 1-bit gray
-  (``/Decode [1 0]`` inversion honoured), axis-aligned placement
-  (CTM shear terms must be 0; negative scales = flips are fine).
+* image XObjects: 8-bit ``DeviceRGB``/``DeviceGray``, 1/2/4-bit gray
+  (``/Decode [1 0]`` inversion honoured), ``/ICCBased`` (N=3/1) and
+  ``/Indexed`` palettes, and ``/ImageMask`` stencils (black-ink
+  min-compositing — unmarked samples stay transparent); axis-aligned
+  placement (CTM shear terms must be 0; negative scales = flips are
+  fine); right-angle page ``/Rotate`` with clockwise display
+  semantics.
 
 Rendering contract (mirrors the reference's ``get_pixmap(dpi=150)``
 geometry): the page canvas is ``round(MediaBox * dpi/72)`` pixels of
@@ -830,15 +834,34 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
         raise ValueError("image XObject with non-positive dimensions")
     if w * h > MAX_PIXELS:
         raise ValueError(f"image XObject {w}x{h} exceeds MAX_PIXELS")
-    if doc.get(d.get("ImageMask", False)):
-        raise ValueError("stencil ImageMask unsupported")
     filters = doc.get(d.get("Filter"))
     if not isinstance(filters, list):
         filters = [filters] if filters is not None else []
     filters = [str(doc.get(f)) for f in filters]
-    cs, _pal = _resolve_colorspace(doc, d.get("ColorSpace"))
-    bpc = int(doc.get(d.get("BitsPerComponent", 8)))
     decode = doc.get(d.get("Decode"))
+    bpc = int(doc.get(d.get("BitsPerComponent", 1 if doc.get(
+        d.get("ImageMask", False)) else 8)))
+    if doc.get(d.get("ImageMask", False)):
+        # stencil mask (PDF 8.9.6.2): 1-bit, paints the current fill
+        # color — the scanned subset renders it as black ink with
+        # min-compositing (transparent samples leave the canvas alone)
+        if bpc != 1:
+            raise ValueError("ImageMask must be 1 bit per component")
+        if decode not in (None, [0, 1], [1, 0]):
+            raise ValueError("ImageMask /Decode must be [0 1] or [1 0]")
+        if "DCTDecode" in filters:
+            raise ValueError("DCTDecode cannot encode a stencil mask")
+        if "CCITTFaxDecode" in filters:
+            if filters[-1] != "CCITTFaxDecode" or \
+                    any(f not in _ARMOR_FILTERS for f in filters[:-1]):
+                raise ValueError(
+                    "CCITTFaxDecode must be the last mask filter"
+                )
+            _ccitt_parms(doc, d, w, h)
+        elif any(f not in _BYTE_FILTERS for f in filters):
+            raise ValueError(f"unsupported mask filter chain {filters}")
+        return filters, "ImageMask", 1, decode
+    cs, _pal = _resolve_colorspace(doc, d.get("ColorSpace"))
     if any(f in _TERMINAL_FILTERS for f in filters):
         if filters[-1] not in _TERMINAL_FILTERS or \
                 any(f not in _ARMOR_FILTERS for f in filters[:-1]):
@@ -950,6 +973,27 @@ def _decode_image(doc: _Document, d: dict, data: bytes,
     pre = filters[:-1] if term else filters
     for f, p in zip(pre, parms):
         data = doc._apply_byte_filter(f, doc.get(p), data)
+    if cs == "ImageMask":
+        if term == "CCITTFaxDecode":
+            k, black_is1, byte_align = _ccitt_parms(doc, d, w, h)
+            ink = ccittcodec.decode_g4(data, w, h) if k < 0 else \
+                ccittcodec.decode_g3(data, w, h, k=k,
+                                     byte_align=byte_align)
+            if black_is1:
+                ink = 1 - ink
+        else:
+            stride = (w + 7) // 8
+            need = stride * h
+            if len(data) < need:
+                raise ValueError("truncated stencil mask samples")
+            bits = np.unpackbits(
+                np.frombuffer(data[:need], np.uint8).reshape(h, stride),
+                axis=1)[:, :w]
+            ink = 1 - bits  # default /Decode [0 1]: sample 0 paints
+        if decode == [1, 0]:
+            ink = 1 - ink
+        g = ((1 - ink) * 255).astype(np.uint8)  # ink -> 0 luminance
+        return g if gray else np.stack([g] * 3, axis=-1)
     if term == "DCTDecode":
         return jpegcodec.decode_jpeg(data)  # convert("RGB") parity inside
     if term == "CCITTFaxDecode":
@@ -1511,9 +1555,14 @@ def decode_pdf(
             cx1, cy1 = min(W, px1), min(H, py1)
             if cx1 <= cx0 or cy1 <= cy0:
                 continue
-            canvas[cy0:cy1, cx0:cx1] = img[
-                sy0:sy0 + (cy1 - cy0), sx0:sx0 + (cx1 - cx0)
-            ]
+            src = img[sy0:sy0 + (cy1 - cy0), sx0:sx0 + (cx1 - cx0)]
+            if doc.get(xd.get("ImageMask", False)):
+                # stencil: unmarked samples are TRANSPARENT — composite
+                # black ink with min(), never overwrite with white
+                np.minimum(canvas[cy0:cy1, cx0:cx1], src,
+                           out=canvas[cy0:cy1, cx0:cx1])
+            else:
+                canvas[cy0:cy1, cx0:cx1] = src
         if rot:
             # /Rotate is CLOCKWISE display rotation (PDF 7.7.3.3);
             # np.rot90 is counterclockwise, hence the negative turns

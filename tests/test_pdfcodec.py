@@ -1200,3 +1200,88 @@ def test_pdf_sub_byte_gray_images():
         # mode='L' native path agrees
         gl = pdfcodec.decode_pdf(build_pdf(objs), mode="L")[0]
         np.testing.assert_array_equal(gl, g)
+
+
+# --- stencil masks (/ImageMask) -------------------------------------------------
+
+
+def _mask_objs(img_obj, content=b"q 48 0 0 24 0 0 cm /Im0 Do Q"):
+    return {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 48 24] "
+            b"/Resources << /XObject << /Im0 5 0 R >> >> "
+            b"/Contents 4 0 R >>"),
+        4: stream_obj("", content),
+        5: img_obj,
+    }
+
+
+def test_imagemask_stencils_paint_black_ink():
+    """PDF 8.9.6.2 stencil masks (the fax-to-PDF overlay pattern):
+    default /Decode [0 1] paints where the sample is 0, [1 0] inverts,
+    CCITT-coded masks paint their black bits; the probe accepts them."""
+    from ocr_platform_spark import ccittcodec
+
+    bm = (_rng(5).random((50, 100)) < 0.2).astype(np.uint8)  # 1 = ink
+    want = np.stack([(1 - bm) * 255] * 3, -1).astype(np.uint8)
+    cases = {
+        "raw_default": stream_obj(
+            "/Subtype /Image /Width 100 /Height 50 /ImageMask true "
+            "/BitsPerComponent 1 /Filter /FlateDecode",
+            zlib.compress(np.packbits(1 - bm, axis=1).tobytes())),
+        "raw_decode10": stream_obj(
+            "/Subtype /Image /Width 100 /Height 50 /ImageMask true "
+            "/BitsPerComponent 1 /Decode [1 0] /Filter /FlateDecode",
+            zlib.compress(np.packbits(bm, axis=1).tobytes())),
+        "ccitt_g4": stream_obj(
+            "/Subtype /Image /Width 100 /Height 50 /ImageMask true "
+            "/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+            "/DecodeParms << /K -1 /Columns 100 /Rows 50 >>",
+            ccittcodec.encode_g4(bm)),
+    }
+    for name, obj in cases.items():
+        raw = build_pdf(_mask_objs(obj))
+        np.testing.assert_array_equal(pdfcodec.decode_pdf(raw)[0], want,
+                                      err_msg=name)
+        assert pdfcodec.validate_scanned(raw) == (1, 100, 50), name
+
+
+def test_imagemask_transparent_over_underlying_image():
+    """Unmarked mask samples are TRANSPARENT: a stencil painted over a
+    gray image must keep the image where the mask has no ink (the
+    overwrite-with-white failure mode this pins against)."""
+    bm = (_rng(7).random((50, 100)) < 0.2).astype(np.uint8)
+    gray_img = np.full((50, 100), 200, np.uint8)
+    objs = _mask_objs(
+        stream_obj(
+            "/Subtype /Image /Width 100 /Height 50 /ImageMask true "
+            "/BitsPerComponent 1 /Filter /FlateDecode",
+            zlib.compress(np.packbits(1 - bm, axis=1).tobytes())),
+        content=(b"q 48 0 0 24 0 0 cm /Im1 Do Q "
+                 b"q 48 0 0 24 0 0 cm /Im0 Do Q"))
+    objs[3] = objs[3].replace(b"/Im0 5 0 R", b"/Im0 5 0 R /Im1 6 0 R")
+    objs[6] = stream_obj(
+        "/Subtype /Image /Width 100 /Height 50 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 8 /Filter /FlateDecode",
+        zlib.compress(gray_img.tobytes()))
+    got = pdfcodec.decode_pdf(build_pdf(objs))[0]
+    exp = np.where(np.stack([bm] * 3, -1) == 1, 0, 200).astype(np.uint8)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_imagemask_malformed_quarantines():
+    for dict_body, data in [
+        # 8-bit mask is malformed
+        ("/Subtype /Image /Width 8 /Height 8 /ImageMask true "
+         "/BitsPerComponent 8", b"\x00" * 64),
+        # DCT-coded mask is malformed
+        ("/Subtype /Image /Width 8 /Height 8 /ImageMask true "
+         "/BitsPerComponent 1 /Filter /DCTDecode", b"\x00" * 8),
+        # bad decode array
+        ("/Subtype /Image /Width 8 /Height 8 /ImageMask true "
+         "/BitsPerComponent 1 /Decode [0 255]", b"\x00" * 8),
+    ]:
+        with pytest.raises(ValueError):
+            pdfcodec.decode_pdf(build_pdf(_mask_objs(
+                stream_obj(dict_body, data))))
