@@ -651,3 +651,34 @@ def test_tiff_16bit_gray_both_endians():
         # truncated 16-bit strip quarantines
         with pytest.raises(ValueError):
             tiffcodec.decode_tiff(t[:-40], mode="L")
+
+
+@pytest.mark.parametrize("comp", [2, 3, 4, 5, 32773])
+def test_tiff_mutation_fuzz_every_compression(comp):
+    """Byte flips, truncations and deletions all over each compression's
+    container: every outcome is a clean raster or ValueError — never a
+    crash, hang, or silently wrong dtype. (The CCITT/LZW/PackBits
+    decoders each have their own fuzz; this drives them through the
+    container dispatch.)"""
+    from ocr_platform_spark import tiffcodec as tc
+
+    bm = _fax_bitmap(seed=comp, shape=(24, 70))
+    raw = bytearray(tc.encode_bilevel_tiff([bm, 1 - bm], compression=comp))
+    rng = np.random.default_rng(comp)
+    for _ in range(80):
+        mutated = bytearray(raw)
+        what = rng.integers(0, 3)
+        if what == 0:
+            mutated[int(rng.integers(0, len(raw)))] ^= int(
+                1 << rng.integers(0, 8))
+        elif what == 1:
+            mutated = mutated[: int(rng.integers(8, len(raw)))]
+        else:
+            i = int(rng.integers(8, len(raw) - 4))
+            del mutated[i: i + int(rng.integers(1, 4))]
+        try:
+            pages = tc.decode_tiff(bytes(mutated), mode="L")
+            assert all(p.dtype == np.uint8 and p.ndim == 2
+                       for p in pages)
+        except ValueError:
+            pass
