@@ -21,6 +21,8 @@ inflate ~3600x, so callers decoding untrusted bytes must bound it.
 
 from __future__ import annotations
 
+import numpy as np
+
 #: default decoder output cap — generous for scanned-page strips (a full
 #: RGB A4 page at 300 DPI is ~25 MiB) while bounding adversarial blowup
 MAX_OUT = 1 << 28  # 256 MiB
@@ -139,6 +141,12 @@ def encode_lzw(data: bytes, early_change: int = 1) -> bytes:
         w = c
     if w:
         bits.append((table[w], width))
+        # the decoder still ADDS a table entry for this final code; if
+        # that lands on a width-bump boundary it reads EOD at the wider
+        # width, so the encoder must follow the same schedule here
+        nxt += 1
+        if nxt - 1 + early_change >= (1 << width) and width < 12:
+            width += 1
     bits.append((_EOD, width))
     acc = nbits = 0
     out = bytearray()
@@ -346,3 +354,26 @@ def encode_ascii85(data: bytes) -> bytes:
             v //= 85
         out += bytes(0x21 + d for d in reversed(digs))[: k + 1]
     return bytes(out) + b"~>"
+
+
+def unpack_subbyte_rows(data: bytes, w: int, h: int, bpc: int,
+                        what: str = "image") -> "np.ndarray":
+    """Row-padded sub-byte samples -> ``(h, w)`` int array.
+
+    The shared bit layout of PDF sample data and TIFF strips: 1/2/4-bit
+    samples, MSB-first within each byte, every row padded to a byte
+    boundary. Used by the PDF Indexed/gray paths and the TIFF 4-bit
+    gray path so the bounds/truncation handling lives once."""
+    if bpc not in (1, 2, 4):
+        raise ValueError(f"sub-byte unpack needs bpc 1/2/4, got {bpc}")
+    stride = (w * bpc + 7) // 8
+    need = stride * h
+    if len(data) < need:
+        raise ValueError(f"truncated {what} samples")
+    bits = np.unpackbits(
+        np.frombuffer(data[:need], np.uint8).reshape(h, stride),
+        axis=1)[:, :w * bpc]
+    if bpc == 1:
+        return bits
+    weights = 1 << np.arange(bpc - 1, -1, -1)
+    return (bits.reshape(h, w, bpc) * weights).sum(axis=2)

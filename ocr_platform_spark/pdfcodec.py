@@ -478,6 +478,9 @@ class _Document:
         parms = self.get(d.get("DecodeParms"))
         if not isinstance(parms, list):
             parms = [parms] * len(filters)
+        elif len(parms) < len(filters):
+            # a short list must not silently drop trailing filter passes
+            parms = parms + [None] * (len(filters) - len(parms))
         for filt, parm in zip(filters, parms):
             filt = str(self.get(filt))
             if filt in _TERMINAL_FILTERS:
@@ -641,9 +644,10 @@ def _inline_image_data(content: bytes, pos: int, d: dict):
     if d.get("Filter") is None:
         w = d.get("Width", 0)
         h = d.get("Height", 0)
-        bpc = d.get("BitsPerComponent", 8)
+        is_mask = bool(d.get("ImageMask", False))
+        bpc = d.get("BitsPerComponent", 1 if is_mask else 8)
         cs = d.get("ColorSpace")
-        ncomp = 3 if str(cs) == "DeviceRGB" else 1
+        ncomp = 3 if not is_mask and str(cs) == "DeviceRGB" else 1
         if not all(isinstance(v, int) for v in (w, h, bpc)) or w <= 0 \
                 or h <= 0:
             raise ValueError("inline image with malformed dimensions")
@@ -739,7 +743,10 @@ def _content_images(doc: _Document, content: bytes, resources: dict):
                 c2 = content[pos]
                 if c2 == 0x2F or c2 == 0x28 or c2 == 0x3C or c2 == 0x5B \
                         or c2 == 0x2B or c2 == 0x2D or c2 == 0x2E \
-                        or 0x30 <= c2 <= 0x39:
+                        or 0x30 <= c2 <= 0x39 \
+                        or content.startswith(b"true", pos) \
+                        or content.startswith(b"false", pos) \
+                        or content.startswith(b"null", pos):
                     val, pos = parse_object(content, pos)
                     operands.append(val)
                     continue
@@ -968,6 +975,9 @@ def _decode_image(doc: _Document, d: dict, data: bytes,
     parms = doc.get(d.get("DecodeParms"))
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) < len(filters):
+        # a short /DecodeParms list must not silently drop filter passes
+        parms = parms + [None] * (len(filters) - len(parms))
     # run every non-terminal filter (ASCII armor before DCT/CCITT, or the
     # whole chain for raw-sample images) through the shared filter pass
     pre = filters[:-1] if term else filters
@@ -1011,18 +1021,13 @@ def _decode_image(doc: _Document, d: dict, data: bytes,
         return g if gray else np.stack([g] * 3, axis=-1)
     if cs == "Indexed":
         _name, pal = _resolve_colorspace(doc, d.get("ColorSpace"))
-        stride = (w * bpc + 7) // 8
-        need = stride * h
-        if len(data) < need:
-            raise ValueError("truncated indexed image samples")
         if bpc == 8:
-            idx = np.frombuffer(data[:need], np.uint8).reshape(h, w)
+            if len(data) < w * h:
+                raise ValueError("truncated indexed image samples")
+            idx = np.frombuffer(data[:w * h], np.uint8).reshape(h, w)
         else:
-            bits = np.unpackbits(
-                np.frombuffer(data[:need], np.uint8).reshape(h, stride),
-                axis=1)[:, :w * bpc]
-            weights = 1 << np.arange(bpc - 1, -1, -1)
-            idx = (bits.reshape(h, w, bpc) * weights).sum(axis=2)
+            idx = compression.unpack_subbyte_rows(data, w, h, bpc,
+                                                  "indexed image")
         if idx.size and int(idx.max()) >= len(pal):
             raise ValueError("Indexed sample exceeds the palette hival")
         # palette output is a color source: return RGB; callers convert
@@ -1040,15 +1045,8 @@ def _decode_image(doc: _Document, d: dict, data: bytes,
         g = np.frombuffer(data[:need], np.uint8).reshape(h, w)
         return g.copy() if gray else np.stack([g] * 3, axis=-1)
     if cs == "DeviceGray" and bpc in (2, 4):
-        stride = (w * bpc + 7) // 8
-        need = stride * h
-        if len(data) < need:
-            raise ValueError("truncated sub-byte gray image samples")
-        bits = np.unpackbits(
-            np.frombuffer(data[:need], np.uint8).reshape(h, stride),
-            axis=1)[:, :w * bpc]
-        weights = 1 << np.arange(bpc - 1, -1, -1)
-        v = (bits.reshape(h, w, bpc) * weights).sum(axis=2)
+        v = compression.unpack_subbyte_rows(data, w, h, bpc,
+                                            "sub-byte gray image")
         # exact expansion: 255 / (2^bpc - 1) is integral for bpc 2 and 4
         g = (v * (255 // ((1 << bpc) - 1))).astype(np.uint8)
         return g if gray else np.stack([g] * 3, axis=-1)

@@ -251,11 +251,14 @@ def _decode_page(raw: bytes, tags: dict, gray: bool,
             raise ValueError("TIFF strip past end of file")
         rows = min(rps, h - si * rps)
         data = raw[o:o + c]
-        if _tag1(tags, 266, 1) == 2:
-            # FillOrder 2: bits are packed LSB-first; reverse each byte
-            # so every downstream decoder sees spec MSB-first order
-            data = np.frombuffer(data, np.uint8)
-            data = _BITREV[data].tobytes()
+        fo2 = _tag1(tags, 266, 1) == 2
+        if fo2 and comp in (1, 2, 3, 4):
+            # FillOrder 2 (LSB-first): CCITT data is a bit stream, so
+            # the reversal applies to the COMPRESSED bytes (fax modems
+            # store the entropy bits LSB-first); uncompressed data is
+            # its own pixel bytes. Byte-stream codecs reverse AFTER
+            # decompression instead (libtiff semantics) — see below.
+            data = _BITREV[np.frombuffer(data, np.uint8)].tobytes()
         if comp == 7:
             from . import jpegcodec
 
@@ -297,6 +300,10 @@ def _decode_page(raw: bytes, tags: dict, gray: bool,
             data = compression.decode_packbits(
                 data, expected=rowbytes * rows
             )
+        if fo2 and comp not in (1, 2, 3, 4):
+            # byte-stream codecs: FillOrder describes the PIXEL bytes,
+            # so the reversal applies to the decompressed data
+            data = _BITREV[np.frombuffer(data, np.uint8)].tobytes()
         if _tag1(tags, 317, 1) == 2:
             if len(data) < rowbytes * rows:
                 raise ValueError("truncated TIFF strip under Predictor 2")
@@ -315,14 +322,8 @@ def _decode_page(raw: bytes, tags: dict, gray: bool,
             g = (1 - bits) * 255 if pi == 0 else bits * 255
             strips.append(g.astype(np.uint8))
         elif bps == 4:  # 4-bit gray: exact expansion (255/15 = 17)
-            stride = (w + 1) // 2
-            if len(data) < stride * rows:
-                raise ValueError("truncated TIFF 4-bit gray strip")
-            bits = np.unpackbits(
-                np.frombuffer(data[:stride * rows], np.uint8)
-                .reshape(rows, stride), axis=1)[:, :w * 4]
-            v = (bits.reshape(rows, w, 4)
-                 * (1 << np.arange(3, -1, -1))).sum(axis=2)
+            v = compression.unpack_subbyte_rows(data, w, rows, 4,
+                                                "TIFF 4-bit gray strip")
             g = (v * 17).astype(np.uint8)
             strips.append(255 - g if pi == 0 else g)
         elif bps == 16:  # 16-bit gray (film scans): high byte

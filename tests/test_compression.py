@@ -453,3 +453,25 @@ def test_pdf_rejects_bad_chains(rgb_fixture):
         pdfcodec.decode_pdf(_image_variant(
             img, "/Filter /LZWDecode /DecodeParms << /EarlyChange 5 >>",
             C.encode_lzw(raw)))
+
+
+def test_lzw_final_code_on_width_boundary():
+    """Regression (review finding): the decoder adds a table entry for
+    the FINAL data code too — when that lands on a width-bump boundary
+    the EOD must be written at the wider width. 254/255-byte
+    incompressible inputs hit the 9->10 boundary exactly."""
+    rng = np.random.default_rng(0)
+    for n in range(245, 265):
+        for ec in (0, 1):
+            d = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            assert C.decode_lzw(C.encode_lzw(d, ec), ec) == d, (n, ec)
+
+
+def test_unpack_subbyte_rows_contract():
+    assert C.unpack_subbyte_rows(b"\xb4", 4, 1, 2).tolist() == [[2, 3, 1, 0]]
+    assert C.unpack_subbyte_rows(b"\x80\x00", 3, 2, 1).tolist() == \
+        [[1, 0, 0], [0, 0, 0]]
+    with pytest.raises(ValueError, match="truncated"):
+        C.unpack_subbyte_rows(b"\x00", 8, 2, 4)
+    with pytest.raises(ValueError, match="bpc"):
+        C.unpack_subbyte_rows(b"\x00", 2, 1, 3)

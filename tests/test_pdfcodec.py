@@ -1285,3 +1285,50 @@ def test_imagemask_malformed_quarantines():
         with pytest.raises(ValueError):
             pdfcodec.decode_pdf(build_pdf(_mask_objs(
                 stream_obj(dict_body, data))))
+
+
+def test_short_decodeparms_list_does_not_drop_filters():
+    """Regression (review finding): /DecodeParms [null] with a
+    two-filter chain must still run BOTH filters — zip-truncation
+    rendered raw zlib bytes as pixels."""
+    rng = _rng(5)
+    img = rng.integers(0, 256, (50, 100, 3), dtype=np.uint8)
+    ref = pdfcodec.decode_pdf(scanned_pdf([img], ["0 0 48 24"]))[0]
+    from ocr_platform_spark import compression as C
+
+    objs = scanned_objs([img], ["0 0 48 24"])
+    objs[5] = stream_obj(
+        "/Subtype /Image /Width 100 /Height 50 /ColorSpace /DeviceRGB "
+        "/BitsPerComponent 8 /Filter [/ASCIIHexDecode /FlateDecode] "
+        "/DecodeParms [null]",
+        C.encode_ascii_hex(zlib.compress(img.tobytes())))
+    np.testing.assert_array_equal(pdfcodec.decode_pdf(build_pdf(objs))[0],
+                                  ref)
+    # content streams too
+    objs = scanned_objs([img], ["0 0 48 24"])
+    objs[4] = stream_obj(
+        "/Filter [/ASCIIHexDecode /FlateDecode] /DecodeParms [null]",
+        C.encode_ascii_hex(zlib.compress(b"q 48 0 0 24 0 0 cm /Im0 Do Q")))
+    np.testing.assert_array_equal(pdfcodec.decode_pdf(build_pdf(objs))[0],
+                                  ref)
+
+
+def test_inline_image_boolean_values_and_mask():
+    """Regression (review finding): inline dictionaries carry booleans
+    (/IM true — the inline CCITT fax shape) and null values; the
+    unfiltered inline mask defaults /BPC to 1."""
+    from ocr_platform_spark import ccittcodec
+
+    bm = (_rng(5).random((50, 100)) < 0.2).astype(np.uint8)
+    want = np.stack([(1 - bm) * 255] * 3, -1).astype(np.uint8)
+    content = (b"q 48 0 0 24 0 0 cm BI /W 100 /H 50 /IM true /BPC 1 "
+               b"/F /CCF /DP << /K -1 /Columns 100 /Rows 50 >> ID "
+               + ccittcodec.encode_g4(bm) + b"\nEI Q")
+    got = pdfcodec.decode_pdf(_inline_page(content))[0]
+    np.testing.assert_array_equal(got, want)
+    # unfiltered inline mask WITHOUT /BPC: ImageMask implies 1 bit
+    packed = np.packbits(1 - bm, axis=1).tobytes()
+    content = (b"q 48 0 0 24 0 0 cm BI /W 100 /H 50 /IM true ID "
+               + packed + b" EI Q")
+    got = pdfcodec.decode_pdf(_inline_page(content))[0]
+    np.testing.assert_array_equal(got, want)

@@ -682,3 +682,39 @@ def test_tiff_mutation_fuzz_every_compression(comp):
                        for p in pages)
         except ValueError:
             pass
+
+
+def test_tiff_fillorder2_with_byte_codecs_reverses_after_decompress():
+    """Regression (review finding): for LZW/PackBits the FillOrder-2
+    reversal applies to the decompressed PIXEL bytes (libtiff
+    semantics), not to the compressed stream."""
+    from ocr_platform_spark import compression as C
+
+    bm = _fax_bitmap(seed=71, shape=(16, 40))
+    exp = ((1 - bm) * 255).astype(np.uint8)
+    packed = np.packbits(bm, axis=1)
+    rev = np.array([int(f"{b:08b}"[::-1], 2) for b in range(256)],
+                   np.uint8)[packed].tobytes()
+
+    def fo2_tiff(comp, data):
+        entries = [(256, 3, 1, 40), (257, 3, 1, 16), (258, 3, 1, 1),
+                   (259, 3, 1, comp), (262, 3, 1, 0), (266, 3, 1, 2),
+                   (273, 4, 1, 0), (277, 3, 1, 1), (278, 4, 1, 16),
+                   (279, 4, 1, len(data))]
+        out = struct.pack("<2sHI", b"II", 42, 8)
+        out += struct.pack("<H", len(entries))
+        off = 8 + 2 + len(entries) * 12 + 4
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = off
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0) \
+                if typ == 3 else struct.pack("<HHII", tag, typ, cnt, val)
+        return out + struct.pack("<I", 0) + data
+
+    # the libtiff way: pixel bytes bit-reversed, codec stream normal
+    for comp, data in [(5, C.encode_lzw(rev)),
+                       (32773, C.encode_packbits(rev)),
+                       (1, rev)]:
+        t = fo2_tiff(comp, data)
+        np.testing.assert_array_equal(
+            tiffcodec.decode_tiff(t, mode="L")[0], exp, err_msg=str(comp))
