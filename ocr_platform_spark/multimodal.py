@@ -235,7 +235,9 @@ REAL_MEDIA_META_SCHEMA = (
 )
 
 
-def probe_real_media(raw: bytes, deep: bool = False) -> tuple[str, int, int, int]:
+def probe_real_media(
+    raw: bytes, deep: bool = False, text_layer: bool = False
+) -> tuple[str, int, int, int]:
     """THE real-codec dispatch ladder: ``(kind, n_pages, width, height)``
     from container structure only — PNG IHDR behind per-chunk CRC, JPEG
     SOF markers, PDF xref/page-tree walk with the 150-DPI canvas
@@ -251,7 +253,14 @@ def probe_real_media(raw: bytes, deep: bool = False) -> tuple[str, int, int, int
     page tree only). Single source of truth for both consumers
     (:func:`real_media_metadata` here, ``_probe`` in
     ``operators/extract_real.py``) so their quarantine semantics cannot
-    drift."""
+    drift.
+
+    ``text_layer=True`` (deep PDF probes only) switches the per-page
+    contract to the HYBRID one (:func:`pdftext.validate_hybrid`): pages
+    with show operators validate as text-layer pages (fonts loaded,
+    every string decoded), pages without keep the scanned-subset
+    validation — the pre-flight for the OCR-bypass dispatch in
+    ``operators/extract_real.py``."""
     from . import jpegcodec, pdfcodec, pngcodec
 
     kind = formats.sniff_kind(raw)
@@ -261,7 +270,12 @@ def probe_real_media(raw: bytes, deep: bool = False) -> tuple[str, int, int, int
             "(formats.decode_media / extract_documents)"
         )
     if kind == "pdf":
-        fn = pdfcodec.validate_scanned if deep else pdfcodec.probe_dims
+        if deep and text_layer:
+            from . import pdftext
+
+            fn = pdftext.validate_hybrid
+        else:
+            fn = pdfcodec.validate_scanned if deep else pdfcodec.probe_dims
         n, w, h = fn(raw)
         return "pdf", n, w, h
     if kind == "png":

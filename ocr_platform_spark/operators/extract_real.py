@@ -40,6 +40,20 @@ so this pipeline uses a different, explicitly skew-bounded shape:
    :func:`..operators.extract.assemble_spans` re-emits each document's
    interleaved span array.
 
+**The OCR-bypass tier** (``text_layer=True``, the default): born-digital
+PDF pages that carry their text in content-stream show operators are
+parsed directly (:mod:`..pdftext`) instead of rasterized and OCR'd —
+dispatch is PER PAGE inside stage 3, so a mixed document (a text cover
+page stapled to scanned pages, or an upstream-OCR'd file with its
+invisible text layer) extracts each page the cheap way and still
+assembles into one reading-ordered span array. At 100 TB this is the
+dominant efficiency lever of the whole pipeline: a text-layer page
+costs microseconds of string parsing instead of ~10 ms of raster +
+detect + recognize, and the page-bucket shuffle shape above is
+unchanged (text pages make buckets *cheaper*, never bigger). The strict
+scanned-only contract of rounds 1-3 remains available as
+``text_layer=False``.
+
 Equality contract (pinned in tests/test_extract_real.py): a corpus whose
 synthetic media are re-encoded as real PNG files / scanned PDFs at
 identity scale extracts EXACTLY the same spans through this pipeline as
@@ -54,7 +68,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import formats, jpegcodec, multimodal, pdfcodec, pngcodec, tiffcodec
+from .. import (formats, jpegcodec, multimodal, pdfcodec, pdftext,
+                pngcodec, tiffcodec)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -77,7 +92,7 @@ REAL_BUCKET = (
 )
 
 
-def _probe(raw: bytes) -> tuple[str, int]:
+def _probe(raw: bytes, text_layer: bool = False) -> tuple[str, int]:
     """Structural pre-flight + ``(kind, n_pages)`` without inflating
     samples — :func:`..multimodal.probe_real_media` with ``deep=True``
     (full scanned-subset walk for PDFs; chunk-CRC / marker-bounds checks
@@ -86,12 +101,19 @@ def _probe(raw: bytes) -> tuple[str, int]:
     (undetectable-at-probe) corruption is entropy-level only: JPEG
     entropy bits carry no checksum, and a PDF image stream can hold a
     structurally-valid but broken body; those degrade to zero blocks at
-    decode (see ``_ocr_real_batches``)."""
-    kind, n_pages, _w, _h = multimodal.probe_real_media(raw, deep=True)
+    decode (see ``_ocr_real_batches``).
+
+    ``text_layer=True`` validates PDFs under the HYBRID per-page
+    contract (:func:`..pdftext.validate_hybrid`): born-digital pages are
+    text-layer-validated instead of quarantined as vector content."""
+    kind, n_pages, _w, _h = multimodal.probe_real_media(
+        raw, deep=True, text_layer=text_layer
+    )
     return kind, n_pages
 
 
-def _bucket_batches(bucket_pages: int | None, slice_payloads: bool = True):
+def _bucket_batches(bucket_pages: int | None, slice_payloads: bool = True,
+                    text_layer: bool = False):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "offset", "media_ref", "media_kind",
                 "bucket_index", "page_lo", "page_hi", "error",
@@ -103,7 +125,7 @@ def _bucket_batches(bucket_pages: int | None, slice_payloads: bool = True):
             ):
                 raw = bytes(data)
                 try:
-                    kind, n_pages = _probe(raw)
+                    kind, n_pages = _probe(raw, text_layer)
                 except Exception as exc:
                     # quarantine BEFORE the payload is duplicated: one
                     # narrow error row, no data rides along
@@ -167,59 +189,114 @@ def _bucket_batches(bucket_pages: int | None, slice_payloads: bool = True):
     return fn
 
 
-def _ocr_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        out: dict[str, list] = {f.name: [] for f in BLOCK.fields}
-        for doc_id, offset, ref, kind, lo, hi, sliced, data in zip(
-            pdf["doc_id"], pdf["offset"], pdf["media_ref"],
-            pdf["media_kind"], pdf["page_lo"], pdf["page_hi"],
-            pdf["sliced"], pdf["data"]
-        ):
-            if kind == MEDIA_KIND_ERROR:
-                continue
-            raw = bytes(data)
-            try:
-                # mode="L": the OCR kernels are grayscale — native-gray
-                # PDF pages stay 2-D end-to-end (no RGB round trip),
-                # color content converts with PIL's exact convert("L")
-                # luma AFTER resampling (pdfcodec.rgb_to_gray)
-                if kind == "pdf":
-                    # a sliced payload holds ONLY this bucket's pages
-                    # (local indices 0..hi-lo); global numbering still
-                    # comes from page_lo below
-                    idx = (None if sliced
-                           else list(range(int(lo), int(hi))))
-                    pages = pdfcodec.decode_pdf(
+def emit_text_blocks(doc_id: str, offset: int, ref: str, page_index: int,
+                     blocks: list, page_w: int, page_h: int,
+                     out: dict[str, list]) -> None:
+    """Text-layer blocks -> the same ``BLOCK`` rows the OCR core emits
+    (:func:`..operators.extract.ocr_rendered_page`): one row per line
+    block, ``conf=1.0`` (the text layer is authoritative — there is no
+    recognition uncertainty to score), text under the M11 unicode-strip
+    contract."""
+    for i, b in enumerate(blocks):
+        text = b.text.strip()
+        if not text:
+            continue
+        out["doc_id"].append(doc_id)
+        out["offset"].append(offset)
+        out["media_ref"].append(ref)
+        out["page_index"].append(page_index)
+        out["block_index"].append(i)
+        out["x1"].append(b.x1)
+        out["y1"].append(b.y1)
+        out["x2"].append(b.x2)
+        out["y2"].append(b.y2)
+        out["text"].append(text)
+        out["conf"].append(1.0)
+        out["page_width"].append(page_w)
+        out["page_height"].append(page_h)
+
+
+def _ocr_real_batches_fn(text_layer: bool = False):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _ocr_real_frame(pdf, text_layer)
+
+    return fn
+
+
+def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
+    out: dict[str, list] = {f.name: [] for f in BLOCK.fields}
+    for doc_id, offset, ref, kind, lo, hi, sliced, data in zip(
+        pdf["doc_id"], pdf["offset"], pdf["media_ref"],
+        pdf["media_kind"], pdf["page_lo"], pdf["page_hi"],
+        pdf["sliced"], pdf["data"]
+    ):
+        if kind == MEDIA_KIND_ERROR:
+            continue
+        raw = bytes(data)
+        try:
+            # mode="L": the OCR kernels are grayscale — native-gray
+            # PDF pages stay 2-D end-to-end (no RGB round trip),
+            # color content converts with PIL's exact convert("L")
+            # luma AFTER resampling (pdfcodec.rgb_to_gray)
+            if kind == "pdf" and text_layer:
+                # HYBRID dispatch: text-layer pages parse (no pixels
+                # ever produced), scanned pages raster + OCR below
+                idx = (None if sliced
+                       else list(range(int(lo), int(hi))))
+                for i, (pkind, payload, pw, ph) in enumerate(
+                    pdftext.extract_hybrid_pages(
                         raw, page_indices=idx, mode="L",
                     )
-                elif kind == "tiff":
-                    idx = (None if sliced
-                           else list(range(int(lo), int(hi))))
-                    pages = tiffcodec.decode_tiff(
-                        raw, mode="L", page_indices=idx,
-                    )
-                elif formats.sniff_kind(raw) == "png":
-                    pages = [pdfcodec.rgb_to_gray(pngcodec.decode_png(raw))]
-                else:
-                    pages = [pdfcodec.rgb_to_gray(jpegcodec.decode_jpeg(raw))]
-            except Exception:
-                # residual corruption past the probe: entropy-level only
-                # (JPEG entropy bits carry no checksum; a PDF image
-                # stream body can be broken behind a valid structure).
-                # Degrade to zero OCR blocks for this bucket — the
-                # empty-page-passthrough contract — rather than failing
-                # the job; everything structurally detectable already
-                # quarantined with a triage row at probe time.
+                ):
+                    if pkind == "text":
+                        emit_text_blocks(
+                            doc_id, int(offset), ref, int(lo) + i,
+                            payload, pw, ph, out,
+                        )
+                    else:
+                        ocr_rendered_page(
+                            doc_id, int(offset), ref, int(lo) + i,
+                            payload, out,
+                        )
                 continue
-            for i, page in enumerate(pages):
-                ocr_rendered_page(
-                    doc_id, int(offset), ref, int(lo) + i, page, out
+            if kind == "pdf":
+                # a sliced payload holds ONLY this bucket's pages
+                # (local indices 0..hi-lo); global numbering still
+                # comes from page_lo below
+                idx = (None if sliced
+                       else list(range(int(lo), int(hi))))
+                pages = pdfcodec.decode_pdf(
+                    raw, page_indices=idx, mode="L",
                 )
-        res = pd.DataFrame(out)
-        for c in _INT_BLOCK_COLS:
-            res[c] = res[c].astype("int32")
-        res["conf"] = res["conf"].astype("float64")
-        yield res
+            elif kind == "tiff":
+                idx = (None if sliced
+                       else list(range(int(lo), int(hi))))
+                pages = tiffcodec.decode_tiff(
+                    raw, mode="L", page_indices=idx,
+                )
+            elif formats.sniff_kind(raw) == "png":
+                pages = [pdfcodec.rgb_to_gray(pngcodec.decode_png(raw))]
+            else:
+                pages = [pdfcodec.rgb_to_gray(jpegcodec.decode_jpeg(raw))]
+        except Exception:
+            # residual corruption past the probe: entropy-level only
+            # (JPEG entropy bits carry no checksum; a PDF image
+            # stream body can be broken behind a valid structure).
+            # Degrade to zero OCR blocks for this bucket — the
+            # empty-page-passthrough contract — rather than failing
+            # the job; everything structurally detectable already
+            # quarantined with a triage row at probe time.
+            continue
+        for i, page in enumerate(pages):
+            ocr_rendered_page(
+                doc_id, int(offset), ref, int(lo) + i, page, out
+            )
+    res = pd.DataFrame(out)
+    for c in _INT_BLOCK_COLS:
+        res[c] = res[c].astype("int32")
+    res["conf"] = res["conf"].astype("float64")
+    return res
 
 
 def real_page_buckets(
@@ -229,6 +306,7 @@ def real_page_buckets(
     broadcast_spans: bool | None = None,
     spans: DataFrame | None = None,
     slice_payloads: bool = True,
+    text_layer: bool = True,
 ) -> DataFrame:
     """Stage 1: spans ⋈ payloads -> validated page-bucket rows.
 
@@ -260,7 +338,8 @@ def real_page_buckets(
     build = F.broadcast(span_refs) if broadcast_spans else span_refs
     media_spans = build.join(media.select("media_ref", "data"), "media_ref")
     buckets = media_spans.mapInPandas(
-        _bucket_batches(bucket_pages, slice_payloads), schema=REAL_BUCKET
+        _bucket_batches(bucket_pages, slice_payloads, text_layer),
+        schema=REAL_BUCKET,
     )
     missing = span_refs.join(
         media.select("media_ref"), "media_ref", "left_anti"
@@ -286,17 +365,26 @@ def real_media_errors(buckets: DataFrame) -> DataFrame:
 
 
 def ocr_real_blocks(
-    buckets: DataFrame, num_partitions: int | None = None
+    buckets: DataFrame, num_partitions: int | None = None,
+    text_layer: bool = True,
 ) -> DataFrame:
     """Stage 2: bucket rows -> OCR block rows, behind the explicit
-    bucket-key repartition (see module docstring item 2)."""
+    bucket-key repartition (see module docstring item 2).
+
+    ``text_layer`` (default on) enables the per-page HYBRID dispatch for
+    PDFs: pages with a text layer are parsed directly
+    (:func:`..pdftext.extract_hybrid_pages` — no rasterization, no
+    detect/recognize), scanned pages take the raster+OCR path. Must match
+    the flag the bucket stage was probed with — a text PDF probed with
+    ``text_layer=False`` quarantines there and never reaches this stage.
+    """
     if num_partitions is None:
         num_partitions = 3 * buckets.sparkSession.sparkContext.defaultParallelism
     buckets = buckets.filter(F.col("media_kind") != MEDIA_KIND_ERROR)
     buckets = buckets.repartition(
         num_partitions, "doc_id", "offset", "bucket_index"
     )
-    return buckets.mapInPandas(_ocr_real_batches, schema=BLOCK)
+    return buckets.mapInPandas(_ocr_real_batches_fn(text_layer), schema=BLOCK)
 
 
 def extract_real_documents(
@@ -307,6 +395,7 @@ def extract_real_documents(
     broadcast_spans: bool | None = None,
     share_spans: bool = True,
     slice_payloads: bool = True,
+    text_layer: bool = True,
 ) -> DataFrame:
     """End-to-end OCR extraction over REAL-codec media payloads.
 
@@ -328,7 +417,7 @@ def extract_real_documents(
     spans = shared_exploded_spans(documents) if share_spans else None
     buckets = real_page_buckets(
         documents, media, bucket_pages, broadcast_spans, spans=spans,
-        slice_payloads=slice_payloads,
+        slice_payloads=slice_payloads, text_layer=text_layer,
     )
-    blocks = ocr_real_blocks(buckets, num_partitions)
+    blocks = ocr_real_blocks(buckets, num_partitions, text_layer=text_layer)
     return assemble_spans(documents, blocks, spans=spans)

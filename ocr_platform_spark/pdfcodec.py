@@ -1514,56 +1514,63 @@ def decode_pdf(
             raise ValueError(
                 f"page index out of range (document has {len(page_nodes)})"
             ) from e
-    pages = []
-    for node, attrs in page_nodes:
-        x0, y0, W, H, rot = _canvas_dims(doc, node, attrs, scale)
-        canvas = np.full((H, W) if gray else (H, W, 3), 255, np.uint8)
-        resources = doc.get(attrs.get("Resources") or node.get("Resources") or {})
-        content = _page_content(doc, node)
-        for ctm, xd, xbytes in _content_images(doc, content, resources):
-            a, b, c, dctm, e, f = ctm
-            if abs(b) > 1e-9 or abs(c) > 1e-9:
-                raise ValueError(
-                    "rotated/sheared image placement unsupported "
-                    "(axis-aligned scanned pages only)"
-                )
-            img = _decode_image(doc, xd, xbytes, gray=gray)
-            # unit square -> device rect (PDF y-up, raster y-down)
-            dx0 = (min(e, e + a) - x0) * scale
-            dx1 = (max(e, e + a) - x0) * scale
-            dy_top = H - (max(f, f + dctm) - y0) * scale
-            dy_bot = H - (min(f, f + dctm) - y0) * scale
-            px0, px1 = int(round(dx0)), int(round(dx1))
-            py0, py1 = int(round(dy_top)), int(round(dy_bot))
-            tw, th = px1 - px0, py1 - py0
-            if tw <= 0 or th <= 0:
-                continue  # degenerate placement: nothing visible
-            img = _resize_img(img, tw, th)
-            if gray and img.ndim == 3:
-                # color source on the luma canvas: convert AFTER the
-                # resample so mode="L" == rgb_to_gray(mode="RGB") exactly
-                img = rgb_to_gray(img)
-            if a < 0:
-                img = img[:, ::-1]
-            if dctm < 0:
-                img = img[::-1]
-            # clip to canvas
-            sx0, sy0 = max(0, -px0), max(0, -py0)
-            cx0, cy0 = max(0, px0), max(0, py0)
-            cx1, cy1 = min(W, px1), min(H, py1)
-            if cx1 <= cx0 or cy1 <= cy0:
-                continue
-            src = img[sy0:sy0 + (cy1 - cy0), sx0:sx0 + (cx1 - cx0)]
-            if doc.get(xd.get("ImageMask", False)):
-                # stencil: unmarked samples are TRANSPARENT — composite
-                # black ink with min(), never overwrite with white
-                np.minimum(canvas[cy0:cy1, cx0:cx1], src,
-                           out=canvas[cy0:cy1, cx0:cx1])
-            else:
-                canvas[cy0:cy1, cx0:cx1] = src
-        if rot:
-            # /Rotate is CLOCKWISE display rotation (PDF 7.7.3.3);
-            # np.rot90 is counterclockwise, hence the negative turns
-            canvas = np.ascontiguousarray(np.rot90(canvas, k=-rot // 90))
-        pages.append(canvas)
-    return pages
+    return [_render_page_node(doc, node, attrs, scale, gray)
+            for node, attrs in page_nodes]
+
+
+def _render_page_node(doc: _Document, node: dict, attrs: dict,
+                      scale: float, gray: bool) -> np.ndarray:
+    """Rasterize ONE page-tree node at ``scale`` — the per-page body of
+    :func:`decode_pdf`, factored out so the hybrid text-layer path
+    (:mod:`.pdftext`) can render the scanned pages of a mixed document
+    through the identical code."""
+    x0, y0, W, H, rot = _canvas_dims(doc, node, attrs, scale)
+    canvas = np.full((H, W) if gray else (H, W, 3), 255, np.uint8)
+    resources = doc.get(attrs.get("Resources") or node.get("Resources") or {})
+    content = _page_content(doc, node)
+    for ctm, xd, xbytes in _content_images(doc, content, resources):
+        a, b, c, dctm, e, f = ctm
+        if abs(b) > 1e-9 or abs(c) > 1e-9:
+            raise ValueError(
+                "rotated/sheared image placement unsupported "
+                "(axis-aligned scanned pages only)"
+            )
+        img = _decode_image(doc, xd, xbytes, gray=gray)
+        # unit square -> device rect (PDF y-up, raster y-down)
+        dx0 = (min(e, e + a) - x0) * scale
+        dx1 = (max(e, e + a) - x0) * scale
+        dy_top = H - (max(f, f + dctm) - y0) * scale
+        dy_bot = H - (min(f, f + dctm) - y0) * scale
+        px0, px1 = int(round(dx0)), int(round(dx1))
+        py0, py1 = int(round(dy_top)), int(round(dy_bot))
+        tw, th = px1 - px0, py1 - py0
+        if tw <= 0 or th <= 0:
+            continue  # degenerate placement: nothing visible
+        img = _resize_img(img, tw, th)
+        if gray and img.ndim == 3:
+            # color source on the luma canvas: convert AFTER the
+            # resample so mode="L" == rgb_to_gray(mode="RGB") exactly
+            img = rgb_to_gray(img)
+        if a < 0:
+            img = img[:, ::-1]
+        if dctm < 0:
+            img = img[::-1]
+        # clip to canvas
+        sx0, sy0 = max(0, -px0), max(0, -py0)
+        cx0, cy0 = max(0, px0), max(0, py0)
+        cx1, cy1 = min(W, px1), min(H, py1)
+        if cx1 <= cx0 or cy1 <= cy0:
+            continue
+        src = img[sy0:sy0 + (cy1 - cy0), sx0:sx0 + (cx1 - cx0)]
+        if doc.get(xd.get("ImageMask", False)):
+            # stencil: unmarked samples are TRANSPARENT — composite
+            # black ink with min(), never overwrite with white
+            np.minimum(canvas[cy0:cy1, cx0:cx1], src,
+                       out=canvas[cy0:cy1, cx0:cx1])
+        else:
+            canvas[cy0:cy1, cx0:cx1] = src
+    if rot:
+        # /Rotate is CLOCKWISE display rotation (PDF 7.7.3.3);
+        # np.rot90 is counterclockwise, hence the negative turns
+        canvas = np.ascontiguousarray(np.rot90(canvas, k=-rot // 90))
+    return canvas
