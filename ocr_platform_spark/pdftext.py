@@ -38,7 +38,11 @@ extracting silently-wrong text):
 * images and vector paths on a *text* page are inert for extraction
   (they are not text); a page with NO show operators at all is a
   *scanned* page and takes the raster+OCR path, where the strict
-  scanned-subset validation applies unchanged.
+  scanned-subset validation applies unchanged. A page carrying a text
+  OBJECT but no show operator (``BT … ET`` that never shows) is NOT
+  claimed by the text tier — it falls to the scanned contract, which
+  refuses ``BT``: quarantining a degenerate producer beats guessing
+  whether its empty text object was meant to carry the page's content.
 
 Line/block assembly: show-op runs are merged on a shared baseline
 (|dy| <= ``BASELINE_TOL_PX``) — a gap under ``JOIN_GAP_EM`` em

@@ -272,6 +272,14 @@ def test_show_before_tf_raises():
         pdftext.validate_hybrid(raw)
 
 
+def test_showless_text_object_falls_to_scanned_and_quarantines():
+    # BT/ET with no show op does not claim the page for the text tier;
+    # the scanned contract then refuses the text machinery outright
+    raw = one_page(b"BT /F1 10 Tf 10 50 Td ET")
+    with pytest.raises(ValueError, match="unsupported"):
+        pdftext.validate_hybrid(raw)
+
+
 def test_vector_only_page_still_quarantines():
     # no show ops -> scanned contract -> path painting refused, exactly
     # as before the hybrid tier existed
