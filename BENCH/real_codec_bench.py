@@ -43,6 +43,7 @@ def _ensure_corpus() -> str:
 
     from test_extract_real import (reencode_real, reencode_tiff,
                                    reencode_wild)
+    from test_extract_text_layer import reencode_text_layer
 
     import itertools
 
@@ -52,7 +53,11 @@ def _ensure_corpus() -> str:
                # rotating wild-compression mix (G3-2D / LZW / PackBits /
                # MH TIFFs + CCITT-G3+LZW PDFs) — the long-tail corpus
                "media_wild.parquet":
-                   lambda data: reencode_wild(data, next(wild_idx))}
+                   lambda data: reencode_wild(data, next(wild_idx)),
+               # born-digital: PDFs carry their text layer (one Tj per
+               # OCR-block line), images stay PNG — the OCR-bypass arm
+               "media_text.parquet":
+                   lambda data: reencode_text_layer(data)[0]}
     missing = {f: fn for f, fn in targets.items()
                if not os.path.exists(os.path.join(CACHE, f))}
     if not missing:
@@ -93,6 +98,7 @@ def main() -> None:
     media_real = spark.read.parquet(f"{d}/media_real.parquet")
     media_tiff = spark.read.parquet(f"{d}/media_tiff.parquet")
     media_wild = spark.read.parquet(f"{d}/media_wild.parquet")
+    media_text = spark.read.parquet(f"{d}/media_text.parquet")
     n_pages = media_synth.groupBy().sum("page_count").collect()[0][0] or 0
 
     # warm-up (JVM + codegen), excluded
@@ -119,6 +125,11 @@ def main() -> None:
         "wild_mix_bucket8": best2(
             lambda: extract_real.extract_real_documents(
                 docs, media_wild, bucket_pages=8)),
+        # the OCR bypass: text-layer PDF pages parse instead of
+        # raster+detect+recognize (PNG images still OCR)
+        "text_layer_bucket8": best2(
+            lambda: extract_real.extract_real_documents(
+                docs, media_text, bucket_pages=8)),
     }
     out = {
         "n_docs": N_DOCS,
@@ -128,6 +139,8 @@ def main() -> None:
                           for k, v in results.items()},
         "real_vs_synthetic_ratio": round(
             results["real_bucket8"] / results["synthetic_flagship"], 3),
+        "text_layer_speedup_vs_scanned": round(
+            results["real_bucket8"] / results["text_layer_bucket8"], 3),
     }
     print(json.dumps(out))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
