@@ -1,8 +1,10 @@
 """Real-codec extraction throughput exhibit: synthetic flagship vs
 extract_real_documents over the SAME corpus re-encoded as real media
-(PNG files + scanned PDFs, a CCITT-G4 multi-page TIFF arm, and a
-rotating wild-compression mix arm), plus a
-bucket_pages sweep.
+(PNG files + scanned PDFs, a CCITT-G4 multi-page TIFF arm, a rotating
+wild-compression mix arm, a born-digital text-layer arm, and an
+HTML/DOM arm), plus a bucket_pages sweep. The text/html arms measure
+the same CONTENT at equivalent-pages throughput (n_pages is the
+synthetic corpus page count throughout).
 
 What this pins: the page-bucket pipeline is not a correctness-only toy —
 its throughput is within small-integer range of the descriptor pipeline
@@ -43,6 +45,7 @@ def _ensure_corpus() -> str:
 
     from test_extract_real import (reencode_real, reencode_tiff,
                                    reencode_wild)
+    from test_extract_html import content_html
     from test_extract_text_layer import reencode_text_layer
 
     import itertools
@@ -57,7 +60,11 @@ def _ensure_corpus() -> str:
                # born-digital: PDFs carry their text layer (one Tj per
                # OCR-block line), images stay PNG — the OCR-bypass arm
                "media_text.parquet":
-                   lambda data: reencode_text_layer(data)[0]}
+                   lambda data: reencode_text_layer(data)[0],
+               # web documents: every media as an HTML page (content
+               # blocks + boilerplate) — the DOM-heuristic arm, no
+               # raster work at all
+               "media_html.parquet": content_html}
     missing = {f: fn for f, fn in targets.items()
                if not os.path.exists(os.path.join(CACHE, f))}
     if not missing:
@@ -99,6 +106,7 @@ def main() -> None:
     media_tiff = spark.read.parquet(f"{d}/media_tiff.parquet")
     media_wild = spark.read.parquet(f"{d}/media_wild.parquet")
     media_text = spark.read.parquet(f"{d}/media_text.parquet")
+    media_html = spark.read.parquet(f"{d}/media_html.parquet")
     n_pages = media_synth.groupBy().sum("page_count").collect()[0][0] or 0
 
     # warm-up (JVM + codegen), excluded
@@ -130,6 +138,11 @@ def main() -> None:
         "text_layer_bucket8": best2(
             lambda: extract_real.extract_real_documents(
                 docs, media_text, bucket_pages=8)),
+        # the DOM tier: every media an HTML document — pure string
+        # parsing, zero raster work anywhere in the job
+        "html_dom_bucket8": best2(
+            lambda: extract_real.extract_real_documents(
+                docs, media_html, bucket_pages=8)),
     }
     out = {
         "n_docs": N_DOCS,
@@ -141,6 +154,8 @@ def main() -> None:
             results["real_bucket8"] / results["synthetic_flagship"], 3),
         "text_layer_speedup_vs_scanned": round(
             results["real_bucket8"] / results["text_layer_bucket8"], 3),
+        "html_dom_speedup_vs_scanned": round(
+            results["real_bucket8"] / results["html_dom_bucket8"], 3),
     }
     print(json.dumps(out))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

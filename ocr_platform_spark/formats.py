@@ -53,9 +53,11 @@ def sniff_kind(raw: bytes) -> str:
     """Byte-level content sniffing (the reference dispatches on
     content-type/extension, ``ocr_tasks.py:36-39``; serving sniffs magic
     bytes). Returns one of ``spdf | simg | pdf | png | jpeg | tiff |
-    unknown`` — ``pdf``/``png``/``jpeg``/``tiff`` are REAL codecs handled
-    by the optional
-    :func:`ocr_platform_spark.multimodal.decode_real_media` seam."""
+    html | unknown`` — ``pdf``/``png``/``jpeg``/``tiff`` are REAL codecs
+    handled by the optional
+    :func:`ocr_platform_spark.multimodal.decode_real_media` seam;
+    ``html`` extracts via the DOM tier
+    (:mod:`ocr_platform_spark.htmltext`)."""
     if raw.startswith(MAGIC_PDF):
         return "spdf"
     if raw.startswith(MAGIC_IMG):
@@ -68,6 +70,12 @@ def sniff_kind(raw: bytes) -> str:
         return "jpeg"
     if raw.startswith(MAGIC_REAL_TIFF):
         return "tiff"
+    # HTML has no magic number: sniff a leading doctype/<html> tag after
+    # an optional UTF-8 BOM + whitespace (the pragmatic browser rule)
+    head = raw[3:64] if raw.startswith(b"\xef\xbb\xbf") else raw[:64]
+    head = head.lstrip(b" \t\r\n").lower()
+    if head.startswith(b"<!doctype") or head.startswith(b"<html"):
+        return "html"
     return "unknown"
 
 RENDER_DPI = 150  # ref: apps/worker/app/tasks/ocr_tasks.py:47 (get_pixmap(dpi=150))
@@ -124,11 +132,16 @@ def decode_media(raw: bytes) -> tuple[str, list[PageDesc]]:
         kind = "image"
     else:
         sniffed = sniff_kind(raw)
-        if sniffed in ("pdf", "png", "jpeg"):
+        if sniffed in ("pdf", "png", "jpeg", "tiff"):
             raise ValueError(
                 f"real-codec payload ({sniffed}): decode with "
                 "ocr_platform_spark.multimodal.decode_real_media "
                 "(requires the optional PIL / pypdfium2 libraries)"
+            )
+        if sniffed == "html":
+            raise ValueError(
+                "HTML payload: reflowable text has no page rasters — "
+                "extract with ocr_platform_spark.htmltext"
             )
         raise ValueError(f"unknown media magic {magic!r}")
     doc = json.loads(zlib.decompress(body).decode("utf-8"))

@@ -21,12 +21,13 @@ is whole-stage-codegen JVM work, the heuristic tier Arrow-batched.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .. import htmltext
 
 # --- deterministic synthetic page --------------------------------------------
 
@@ -122,30 +123,17 @@ FROM documents
 
 # --- tier 2: DOM-heuristic main content --------------------------------------
 
-_BLOCK_RE = re.compile(
-    r"<(p|div|nav|footer|header|article|section)\b[^>]*>(.*?)</\1>",
-    re.S | re.I,
-)
-_TAG_RE = re.compile(r"<[^>]+>")
-_LINK_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
-_WS_RE = re.compile(r"\s+")
+# block walk shared with the pipeline DOM tier (..htmltext — single
+# source of truth; the recursion into containers matters, see the
+# innermost_blocks docstring there: without it the <p> inside
+# <div class="content"> would never be visited, the exact bug the
+# analytic DuckDB oracle MAIN_CONTENT_SQL below caught)
+_BLOCK_RE = htmltext.BLOCK_RE
+_TAG_RE = htmltext.TAG_RE
+_LINK_RE = htmltext.LINK_RE
+_WS_RE = htmltext.WS_RE
+_innermost_blocks = htmltext.innermost_blocks
 KEEP_FRACTION = 0.5  # keep blocks scoring >= this fraction of the best
-
-
-def _innermost_blocks(html: str, base: int = 0):
-    """Yield ``(document_position, inner_html)`` for every INNERMOST block
-    element, recursing into containers. Recursion matters: ``finditer``
-    consumes a container match whole, so without descending into it the
-    blocks nested inside (e.g. the ``<p>`` inside ``<div class="content">``)
-    would never be visited at all — the exact bug the analytic DuckDB
-    oracle (MAIN_CONTENT_SQL below) caught: the heuristic returned only the
-    footer and dropped the article text it exists to extract."""
-    for m in _BLOCK_RE.finditer(html):
-        inner = m.group(2)
-        if _BLOCK_RE.search(inner):
-            yield from _innermost_blocks(inner, base + m.start(2))
-        else:
-            yield base + m.start(), inner
 
 
 def extract_main_content(html: str) -> str:
@@ -219,4 +207,56 @@ SELECT doc_id,
     ELSE '{_FOOTER_TEXT}'
   END AS main_text
 FROM documents
+"""
+
+
+# --- tier 3: the pipeline DOM tier (link-density keep rule) -------------------
+
+
+def html_main_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction pipeline's DOM tier (:func:`..htmltext.main_blocks`
+    — the keep rule ``operators/extract_real`` dispatches HTML media
+    through) over the same synthesized boilerplate pages: one row per
+    KEPT block.
+
+    Analytic oracle (HTML_MAIN_BLOCKS_SQL): the link-density rule is
+    length-INDEPENDENT, so on the synthesized page the classification is
+    closed-form for every document — anchor-share nav 18/18 = 1.0,
+    sidebar 12/18 = 0.667, footer 13/28 = 0.464 (anchors join with one
+    space; the tag-strip space separates them from bare text) are all
+    ≥ 1/3 and drop; the content ``<p>`` has no anchors (density 0) and
+    survives whenever the document text is non-blank. The oracle is
+    derived from that arithmetic, not from the block-walker code path —
+    same independence argument as MAIN_CONTENT_SQL, same corpus
+    assumptions (no markup metacharacters in ``text``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        synthesize_html(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import htmltext
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "block_index": [], "block_text": []
+            }
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for i, b in enumerate(htmltext.main_blocks(html)):
+                    out["doc_id"].append(doc_id)
+                    out["block_index"].append(i)
+                    out["block_text"].append(b.text)
+            res = pd.DataFrame(out)
+            res["block_index"] = res["block_index"].astype("int32")
+            yield res
+
+    return docs.mapInPandas(
+        _extract, schema="doc_id bigint, block_index int, block_text string"
+    )
+
+
+HTML_MAIN_BLOCKS_SQL = f"""
+SELECT doc_id, 0 AS block_index, {_T} AS block_text
+FROM documents
+WHERE length({_T}) > 0
 """

@@ -1,0 +1,196 @@
+"""HTML main-content extraction for the distributed pipeline — the DOM
+tier of the north rule's main-content triad ("HTML boilerplate strip,
+PDF/layout parse, DOM heuristics").
+
+A media payload that sniffs as HTML (:func:`..formats.sniff_kind` →
+``"html"``) is a single reflowable "page" whose content blocks extract
+by DOM heuristics instead of raster + OCR — the third dispatch arm of
+:func:`..operators.extract_real.extract_real_documents`, next to the
+scanned raster+OCR path and the born-digital PDF text layer
+(:mod:`..pdftext`). The reference has no HTML path at all (it OCRs
+uploaded PDFs/images only, ``apps/worker/app/tasks/ocr_tasks.py:36-39``);
+this tier exists because a 100 TB interleaved corpus is dominated by web
+documents, and parsing them costs microseconds of string work per page
+against ~10 ms of raster+detect+recognize.
+
+Block model (shared with :mod:`..functions.html_extract`, which keeps
+the readability-style *scored* heuristic for the query surface): every
+INNERMOST block element (``p/div/nav/footer/header/article/section``)
+in document order. Boilerplate classification here is by **link density
+alone** (the boilerpipe-style primary feature): a block whose
+anchor-text share is ≥ :data:`LINK_DENSITY_MAX` is navigation/footer
+chrome and drops; low-link blocks survive *regardless of length*. The
+length × (1 − density) score that ``main_content`` uses for whole-page
+summarization would misclassify short content blocks — an OCR-shaped
+span can be two characters — so the pipeline tier deliberately does not
+weight by length. Deterministic either way; both tiers are pinned
+(this one by span-sequence equality with the synthetic flagship in
+tests/test_extract_html.py, the scored one by the analytic DuckDB
+oracle MAIN_CONTENT_SQL).
+
+Text normalization per block: ``<br>`` becomes a newline (so a block
+maps 1:1 onto a multi-line OCR block whose strip texts join with
+``\\n``), every other tag becomes a space, the basic entities decode
+(``&amp;`` LAST, so doubly-escaped text survives), whitespace collapses
+per line — literal source newlines included, which are inter-word
+whitespace under HTML rendering rules — and empty lines drop. Geometry: HTML has
+none, so blocks carry document character offsets as detection-shaped
+boxes (``y1`` = block position, ``x1`` = 0) — monotone in document
+order, which is exactly what the downstream ``(page, y1, x1)`` span
+sort needs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+#: innermost-block walk shared with functions/html_extract (single
+#: source of truth — the scored query tier imports these back)
+BLOCK_RE = re.compile(
+    r"<(p|div|nav|footer|header|article|section)\b[^>]*>(.*?)</\1>",
+    re.S | re.I,
+)
+TAG_RE = re.compile(r"<[^>]+>")
+LINK_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
+WS_RE = re.compile(r"\s+")
+_BR_RE = re.compile(r"<br\s*/?\s*>", re.I)
+#: <br> placeholder that survives the whitespace collapse (literal
+#: newlines in HTML SOURCE are inter-word whitespace, only <br> breaks
+#: a line); NUL can't appear in legal HTML text
+_BR_SENTINEL = "\x00"
+
+#: a block with ≥ this anchor-text share is boilerplate (nav/footer
+#: chrome); the synthetic fixtures sit at nav 0.89 / sidebar 0.61 /
+#: footer 0.43 vs content 0.0, all safely away from the boundary
+LINK_DENSITY_MAX = 1.0 / 3.0
+
+#: decode order matters: ``&amp;`` LAST or doubly-escaped entities
+#: ("&amp;lt;") would double-decode to "<" instead of "&lt;" — the same
+#: cascade rule functions/html_extract._STRIP_STEPS pins for the
+#: relational tier
+_ENTITY_STEPS = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def unescape_entities(s: str) -> str:
+    for pat, rep in _ENTITY_STEPS:
+        s = s.replace(pat, rep)
+    return s
+
+
+def escape_text(s: str) -> str:
+    """Inverse of :func:`unescape_entities` (``&`` FIRST going in)."""
+    s = s.replace("&", "&amp;")
+    for rep, pat in (("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'")):
+        s = s.replace(pat, rep)
+    return s
+
+
+def innermost_blocks(html: str, base: int = 0):
+    """Yield ``(document_position, inner_html)`` for every INNERMOST
+    block element, recursing into containers. Recursion matters:
+    ``finditer`` consumes a container match whole, so without descending
+    the blocks nested inside (e.g. the ``<p>`` inside
+    ``<div class="content">``) would never be visited at all."""
+    for m in BLOCK_RE.finditer(html):
+        inner = m.group(2)
+        if BLOCK_RE.search(inner):
+            yield from innermost_blocks(inner, base + m.start(2))
+        else:
+            yield base + m.start(), inner
+
+
+@dataclass
+class ContentBlock:
+    """One visible block: character position + normalized text + the
+    anchor-text share its keep/drop classification used."""
+
+    pos: int
+    text: str
+    link_density: float
+
+    # detection-shaped box for emit_text_blocks: document character
+    # offsets stand in for pixel geometry — y1 = pos keeps the global
+    # (page, y1, x1) span sort in document order
+    @property
+    def x1(self) -> int:
+        return 0
+
+    @property
+    def y1(self) -> int:
+        return self.pos
+
+    @property
+    def x2(self) -> int:
+        return max(1, len(self.text))
+
+    @property
+    def y2(self) -> int:
+        return self.pos + 1
+
+
+def _visible_text(fragment: str) -> str:
+    """Tag-stripped, entity-decoded, whitespace-collapsed text; lines
+    come ONLY from ``<br>`` (literal source newlines are inter-word
+    whitespace, per HTML rendering rules), empty lines drop."""
+    body = unescape_entities(
+        TAG_RE.sub(" ", _BR_RE.sub(_BR_SENTINEL, fragment))
+    )
+    lines = [WS_RE.sub(" ", line).strip()
+             for line in body.split(_BR_SENTINEL)]
+    return "\n".join(line for line in lines if line)
+
+
+def content_blocks(html: str) -> list[ContentBlock]:
+    """Every innermost block with visible text, in document order."""
+    out: list[ContentBlock] = []
+    for pos, inner in innermost_blocks(html):
+        text = _visible_text(inner)
+        if not text:
+            continue
+        link_text = _visible_text(" ".join(LINK_RE.findall(inner)))
+        link_len = len(link_text.replace("\n", " "))
+        density = link_len / len(text) if text else 1.0
+        out.append(ContentBlock(pos, text, density))
+    out.sort(key=lambda b: b.pos)
+    return out
+
+
+def main_blocks(html: str) -> list[ContentBlock]:
+    """The pipeline keep-rule: link-density boilerplate drop."""
+    return [b for b in content_blocks(html)
+            if b.link_density < LINK_DENSITY_MAX]
+
+
+def validate_html(raw: bytes) -> tuple[int, int, int]:
+    """Probe-time pre-flight: ``(n_pages=1, width=0, height=0)``.
+
+    Quarantine conditions (each is a real silent-corruption risk, not
+    pedantry): undecodable UTF-8 (mojibake would flow into span text),
+    a missing ``</html>`` (truncated payload — the tail of the content
+    is gone), and an unclosed ``<script>``/``<style>`` (subtree-drop
+    semantics would swallow the rest of the document as code). Width
+    and height are 0: HTML is reflowable — there is no raster geometry
+    to report, and the extraction tier never produces pixels."""
+    try:
+        html = raw.decode("utf-8-sig")
+    except UnicodeDecodeError as e:
+        raise ValueError(f"HTML payload is not valid UTF-8: {e}") from e
+    low = html.lower()
+    if "</html>" not in low:
+        raise ValueError("truncated HTML: no closing </html>")
+    for tag in ("script", "style"):
+        if low.count(f"<{tag}") != low.count(f"</{tag}>"):
+            raise ValueError(
+                f"unclosed <{tag}> element: subtree drop would swallow "
+                "the rest of the document"
+            )
+    return 1, 0, 0

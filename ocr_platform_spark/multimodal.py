@@ -141,6 +141,12 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
             img.seek(i)
             pages.append(np.asarray(img.convert("RGB"), dtype=np.uint8))
         return "tiff", pages
+    if kind == "html":
+        raise ValueError(
+            "HTML payload: reflowable text has no raster form — the "
+            "pipeline extracts it via ocr_platform_spark.htmltext "
+            "(operators/extract_real dispatches on kind='html')"
+        )
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 
 
@@ -291,6 +297,14 @@ def probe_real_media(
         # inflating samples, so deep and shallow coincide
         n, w, h = tiffcodec.probe_tiff(raw)
         return "tiff", n, w, h
+    if kind == "html":
+        from . import htmltext
+
+        # UTF-8 + structural truncation/unclosed-subtree checks; string
+        # work only, so deep and shallow coincide. Width/height are 0:
+        # reflowable text carries no raster geometry.
+        n, w, h = htmltext.validate_html(raw)
+        return "html", n, w, h
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 
 

@@ -54,6 +54,15 @@ unchanged (text pages make buckets *cheaper*, never bigger). The strict
 scanned-only contract of rounds 1-3 remains available as
 ``text_layer=False``.
 
+**The HTML DOM tier**: payloads sniffing as HTML (the dominant document
+kind of a real web-scale corpus; no analog in the reference, which only
+OCRs uploads) are one reflowable "page" extracted by DOM heuristics —
+innermost block elements, link-density boilerplate drop
+(:mod:`..htmltext`) — through the same probe/quarantine, bucket and
+span-assembly stages. Like the text layer, an HTML page costs string
+parsing only; unlike PDFs it is independent of the ``text_layer`` flag
+(there is no raster alternative to fall back to).
+
 Equality contract (pinned in tests/test_extract_real.py): a corpus whose
 synthetic media are re-encoded as real PNG files / scanned PDFs at
 identity scale extracts EXACTLY the same spans through this pipeline as
@@ -68,8 +77,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import (formats, jpegcodec, multimodal, pdfcodec, pdftext,
-                pngcodec, tiffcodec)
+from .. import (formats, htmltext, jpegcodec, multimodal, pdfcodec,
+                pdftext, pngcodec, tiffcodec)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -192,11 +201,13 @@ def _bucket_batches(bucket_pages: int | None, slice_payloads: bool = True,
 def emit_text_blocks(doc_id: str, offset: int, ref: str, page_index: int,
                      blocks: list, page_w: int, page_h: int,
                      out: dict[str, list]) -> None:
-    """Text-layer blocks -> the same ``BLOCK`` rows the OCR core emits
-    (:func:`..operators.extract.ocr_rendered_page`): one row per line
-    block, ``conf=1.0`` (the text layer is authoritative — there is no
-    recognition uncertainty to score), text under the M11 unicode-strip
-    contract."""
+    """Text-layer / DOM-tier blocks -> the same ``BLOCK`` rows the OCR
+    core emits (:func:`..operators.extract.ocr_rendered_page`): one row
+    per block, ``conf=1.0`` (the source text is authoritative — there is
+    no recognition uncertainty to score), text under the M11
+    unicode-strip contract. ``blocks`` duck-types on
+    ``x1/y1/x2/y2/text`` (:class:`..pdftext.TextBlock` or
+    :class:`..htmltext.ContentBlock`)."""
     for i, b in enumerate(blocks):
         text = b.text.strip()
         if not text:
@@ -239,6 +250,17 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
             # PDF pages stay 2-D end-to-end (no RGB round trip),
             # color content converts with PIL's exact convert("L")
             # luma AFTER resampling (pdfcodec.rgb_to_gray)
+            if kind == "html":
+                # DOM tier: innermost blocks, link-density boilerplate
+                # drop — no pixels ever produced. One reflowable "page";
+                # block y1 = document character position, so the global
+                # (page, y1, x1) span sort is document order.
+                emit_text_blocks(
+                    doc_id, int(offset), ref, int(lo),
+                    htmltext.main_blocks(raw.decode("utf-8-sig")),
+                    0, 0, out,
+                )
+                continue
             if kind == "pdf" and text_layer:
                 # HYBRID dispatch: text-layer pages parse (no pixels
                 # ever produced), scanned pages raster + OCR below

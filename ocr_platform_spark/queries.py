@@ -812,6 +812,14 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
         dedup.EMBEDDING_NEAR_DUP_SQL,
     ),
     "ann_recall": (similarity.ann_recall, similarity.ANN_RECALL_SQL),
+    # html_main_blocks follows the same demotion policy: a derivative of
+    # the in-cap html_text/html_main_content siblings (the pipeline DOM
+    # tier's keep rule), pytest-pinned end-to-end by span equality in
+    # test_extract_html.py, oracle-backed via check_oracle.py
+    "html_main_blocks": (
+        html_extract.html_main_blocks,
+        html_extract.HTML_MAIN_BLOCKS_SQL,
+    ),
     "extract_spans": (extract_spans, None),
     "extract_detect_boxes": (extract_detect_boxes, None),
     "extract_two_phase": (extract_two_phase, None),

@@ -28,7 +28,10 @@ def test_sniff_kind_magic_dispatch():
     assert formats.sniff_kind(formats.encode_image(
         formats.PageDesc(width=10, height=10))) == "simg"
     assert formats.sniff_kind(formats.encode_pdf([])) == "spdf"
+    assert formats.sniff_kind(b"<html><body>x</body></html>") == "html"
+    assert formats.sniff_kind(b"\xef\xbb\xbf \n<!DOCTYPE html><html>") == "html"
     assert formats.sniff_kind(b"garbage") == "unknown"
+    assert formats.sniff_kind(b"<xml>not html</xml>") == "unknown"
 
 
 def test_decode_media_names_the_real_codec_seam():

@@ -37,12 +37,19 @@ GATED = [
 # the rows-only extraction/multimodal pipelines.
 PAST_CAP = [
     "simhash_pairs", "embedding_near_dup", "ann_recall",
+    "html_main_blocks",
     "extract_spans", "extract_detect_boxes", "extract_two_phase",
     "extract_fused", "media_quarantine", "media_metadata",
     "page_features", "frame_sample",
 ]
 
-DEMOTED_SQL_BACKED = {"simhash_pairs", "embedding_near_dup", "ann_recall"}
+# html_main_blocks (round 4) follows the same policy: derivative of the
+# in-cap html_text/html_main_content siblings, pytest-pinned end-to-end
+# in test_extract_html.py, oracle-verified by tools/check_oracle.py.
+DEMOTED_SQL_BACKED = {
+    "simhash_pairs", "embedding_near_dup", "ann_recall",
+    "html_main_blocks",
+}
 
 
 def test_gated_first_50_pinned_exactly():
