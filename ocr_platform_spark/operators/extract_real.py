@@ -121,9 +121,12 @@ def _probe(raw: bytes, text_layer: bool = False) -> tuple[str, int]:
     return kind, n_pages
 
 
-def _bucket_batches(bucket_pages: int | None, slice_payloads: bool = True,
-                    text_layer: bool = False):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _bucket_batches_fn(bucket_pages: int | None,
+                       slice_payloads: bool = True,
+                       text_layer: bool = False):
+    def _bucket_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "offset", "media_ref", "media_kind",
                 "bucket_index", "page_lo", "page_hi", "error",
                 "sliced", "data"]
@@ -195,7 +198,7 @@ def _bucket_batches(bucket_pages: int | None, slice_payloads: bool = True,
                 res[c] = res[c].astype("int32")
             yield res
 
-    return fn
+    return _bucket_batches
 
 
 def emit_text_blocks(doc_id: str, offset: int, ref: str, page_index: int,
@@ -228,11 +231,15 @@ def emit_text_blocks(doc_id: str, offset: int, ref: str, page_index: int,
 
 
 def _ocr_real_batches_fn(text_layer: bool = False):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # keep the closure's __name__ descriptive: it is what
+    # .explain("formatted") prints on the MapInPandas node
+    def _ocr_real_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _ocr_real_frame(pdf, text_layer)
 
-    return fn
+    return _ocr_real_batches
 
 
 def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
@@ -360,7 +367,7 @@ def real_page_buckets(
     build = F.broadcast(span_refs) if broadcast_spans else span_refs
     media_spans = build.join(media.select("media_ref", "data"), "media_ref")
     buckets = media_spans.mapInPandas(
-        _bucket_batches(bucket_pages, slice_payloads, text_layer),
+        _bucket_batches_fn(bucket_pages, slice_payloads, text_layer),
         schema=REAL_BUCKET,
     )
     missing = span_refs.join(
