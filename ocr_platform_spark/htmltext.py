@@ -46,10 +46,22 @@ import re
 from dataclasses import dataclass
 
 #: innermost-block walk shared with functions/html_extract (single
-#: source of truth — the scored query tier imports these back)
+#: source of truth — the scored query tier imports these back).
+#: Tag set: containers + the common content blocks (headings, list
+#: items, table cells, quotes, preformatted)
 BLOCK_RE = re.compile(
-    r"<(p|div|nav|footer|header|article|section)\b[^>]*>(.*?)</\1>",
+    r"<(p|div|nav|footer|header|article|section"
+    r"|h[1-6]|li|blockquote|pre|td|th|dt|dd)\b[^>]*>(.*?)</\1>",
     re.S | re.I,
+)
+#: subtrees whose CONTENT is never visible text — dropped before the
+#: block walk (a <script> inside a content <div> must not leak code
+#: into span text, and a commented-out <p> must not extract; both can
+#: contain block-like tags inside string literals, so the drop has to
+#: happen before any block parsing)
+DROP_RE = re.compile(
+    r"(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->",
+    re.I,
 )
 TAG_RE = re.compile(r"<[^>]+>")
 LINK_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
@@ -150,7 +162,10 @@ def _visible_text(fragment: str) -> str:
 
 
 def content_blocks(html: str) -> list[ContentBlock]:
-    """Every innermost block with visible text, in document order."""
+    """Every innermost block with visible text, in document order
+    (positions refer to the script/style/comment-stripped document —
+    still monotone, which is all the downstream sort needs)."""
+    html = DROP_RE.sub(" ", html)
     out: list[ContentBlock] = []
     for pos, inner in innermost_blocks(html):
         text = _visible_text(inner)
@@ -193,4 +208,9 @@ def validate_html(raw: bytes) -> tuple[int, int, int]:
                 f"unclosed <{tag}> element: subtree drop would swallow "
                 "the rest of the document"
             )
+    if low.count("<!--") != low.count("-->"):
+        raise ValueError(
+            "unterminated HTML comment: subtree drop would swallow "
+            "the rest of the document"
+        )
     return 1, 0, 0

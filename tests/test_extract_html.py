@@ -105,22 +105,26 @@ def test_malformed_html_quarantines_at_probe(spark):
              "offset": 2},
             {"kind": "html", "text": None, "media_ref": "m-bad-3",
              "offset": 3},
+            {"kind": "html", "text": None, "media_ref": "m-bad-4",
+             "offset": 4},
         ]}],
         schema=schemas.DOCUMENTS,
     )
     media = spark.createDataFrame(
         [("m-bad-1", bytearray(b"<html><p>cut off")),
          ("m-bad-2", bytearray(b"<html>\xff\xfe</html>")),
-         ("m-bad-3", bytearray(b"<html><script>x</html>"))],
+         ("m-bad-3", bytearray(b"<html><script>x</html>")),
+         ("m-bad-4", bytearray(b"<html><!-- x</html>"))],
         "media_ref string, data binary",
     )
     buckets = extract_real.real_page_buckets(docs, media, bucket_pages=8)
     errs = {r["media_ref"]: r["error"]
             for r in extract_real.real_media_errors(buckets).collect()}
-    assert set(errs) == {"m-bad-1", "m-bad-2", "m-bad-3"}
+    assert set(errs) == {"m-bad-1", "m-bad-2", "m-bad-3", "m-bad-4"}
     assert "truncated" in errs["m-bad-1"]
     assert "UTF-8" in errs["m-bad-2"]
     assert "unclosed <script>" in errs["m-bad-3"]
+    assert "unterminated HTML comment" in errs["m-bad-4"]
     spans = _spans_by_doc(extract_real.extract_real_documents(docs, media))
     assert spans == {"d1": [("text", "keep me", None, 0)]}
 
@@ -153,6 +157,22 @@ def test_br_variants_and_entities():
     # escape_text is the exact inverse over arbitrary span text
     tricky = 'a & b <i> "quote" \'tick\' &amp;lt;'
     assert htmltext.unescape_entities(htmltext.escape_text(tricky)) == tricky
+
+
+def test_script_comment_subtrees_never_leak_and_content_tags_extract():
+    """A <script> inside a content block must not leak code into span
+    text (it can contain block-like tags in string literals), a
+    commented-out block must not extract, and the common content tags
+    (headings, list items, table cells) are first-class blocks."""
+    html = ('<html><body>'
+            '<div>real text<script>var fake = "<p>code</p>";</script></div>'
+            "<!-- <p>commented out</p> -->"
+            "<ul><li>item one</li><li>item two</li></ul>"
+            "<h2>heading</h2>"
+            "<table><tr><td>cell a</td><td>cell b</td></tr></table>"
+            "</body></html>")
+    assert [b.text for b in htmltext.main_blocks(html)] == [
+        "real text", "item one", "item two", "heading", "cell a", "cell b"]
 
 
 def test_source_newlines_are_whitespace():
