@@ -91,7 +91,24 @@ _ENTITY_STEPS = [
 ]
 
 
+_NUMERIC_ENTITY_RE = re.compile(r"&#(?:x([0-9a-fA-F]{1,6})|([0-9]{1,7}));")
+
+
+def _numeric_entity(m: re.Match) -> str:
+    cp = int(m.group(1), 16) if m.group(1) else int(m.group(2))
+    # outside Unicode / surrogate halves: keep the literal source text
+    # rather than guessing (chr() would raise or build invalid strings)
+    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+        return m.group(0)
+    return chr(cp)
+
+
 def unescape_entities(s: str) -> str:
+    # numeric references first (while "&#" spellings are still intact:
+    # decoding &amp; first would conjure references out of "&amp;#65;",
+    # the same double-decode hazard the &amp;-last rule guards against)
+    if "&#" in s:
+        s = _NUMERIC_ENTITY_RE.sub(_numeric_entity, s)
     for pat, rep in _ENTITY_STEPS:
         s = s.replace(pat, rep)
     return s

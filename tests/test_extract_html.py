@@ -159,6 +159,17 @@ def test_br_variants_and_entities():
     assert htmltext.unescape_entities(htmltext.escape_text(tricky)) == tricky
 
 
+def test_numeric_character_references():
+    """&#NN; / &#xHH; decode (decimal, hex, astral); surrogate halves
+    and out-of-range code points stay literal; the &amp;-last rule keeps
+    "&amp;#65;" from double-decoding into "A"."""
+    u = htmltext.unescape_entities
+    assert u("&#65;&#x42;c") == "ABc"
+    assert u("&#x1F600;") == "\U0001f600"
+    assert u("&#xD800; &#1114112;") == "&#xD800; &#1114112;"
+    assert u("&amp;#65;") == "&#65;"
+
+
 def test_script_comment_subtrees_never_leak_and_content_tags_extract():
     """A <script> inside a content block must not leak code into span
     text (it can contain block-like tags in string literals), a

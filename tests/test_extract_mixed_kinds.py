@@ -1,0 +1,58 @@
+"""The grand mixed-kind corpus: every extraction tier in ONE job.
+
+A realistic 100 TB crawl interleaves scanned PDFs, fax TIFFs,
+wild-compression long-tail formats, born-digital PDFs and web HTML in
+the same table. This pin rotates the seeded corpus's media across ALL
+five re-encoders and asserts span equality with the synthetic flagship
+through one `extract_real_documents` call — per-media dispatch (probe
+kinds, bucket slicing, raster OCR vs text-layer parse vs DOM walk) all
+coexisting in the same bucket shuffle and span assembly. Expectation is
+exact everywhere except text-layer PDFs (their deterministic
+one-span-per-line delta, shared with test_extract_text_layer).
+"""
+
+from __future__ import annotations
+
+from ocr_platform_spark import corpus, schemas
+from ocr_platform_spark.operators import extract, extract_real
+from tests.test_extract_html import content_html
+from tests.test_extract_real import (_spans_by_doc, reencode_real,
+                                     reencode_tiff, reencode_wild)
+from tests.test_extract_text_layer import reencode_text_layer, split_pdf_spans
+
+
+def test_all_tiers_in_one_job(spark):
+    docs, media = corpus.generate(30, seed=4242, max_pages=6)
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    synth = spark.createDataFrame(
+        [(ref, bytearray(m["data"])) for ref, m in media.items()],
+        "media_ref string, data binary",
+    )
+    rows, text_pdf_refs = [], set()
+    for i, (ref, m) in enumerate(sorted(media.items())):
+        tier = i % 5
+        if tier == 0:
+            data = reencode_real(m["data"])
+        elif tier == 1:
+            data = reencode_tiff(m["data"])
+        elif tier == 2:
+            data = reencode_wild(m["data"], i)
+        elif tier == 3:
+            data, is_pdf = reencode_text_layer(m["data"])
+            if is_pdf:
+                text_pdf_refs.add(ref)
+        else:
+            data = content_html(m["data"])
+        rows.append((ref, bytearray(data)))
+    assert text_pdf_refs, "rotation must hit at least one text-layer PDF"
+    mixed = spark.createDataFrame(rows, "media_ref string, data binary")
+
+    flagship = _spans_by_doc(extract.extract_documents(docs_df, synth))
+    got = _spans_by_doc(
+        extract_real.extract_real_documents(docs_df, mixed, bucket_pages=2)
+    )
+    assert set(got) == set(flagship)
+    for doc_id in flagship:
+        assert got[doc_id] == split_pdf_spans(
+            flagship[doc_id], text_pdf_refs
+        ), doc_id
