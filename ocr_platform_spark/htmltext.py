@@ -202,20 +202,53 @@ def main_blocks(html: str) -> list[ContentBlock]:
             if b.link_density < LINK_DENSITY_MAX]
 
 
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([-\w]+)", re.I
+)
+#: declared-charset allowlist — the legacy web's big three plus UTF-8
+#: spellings. Anything else quarantines: decoding with a guessed codec
+#: is exactly the silent-mojibake failure mode this engine refuses.
+_CHARSET_CODECS = {
+    "utf-8": "utf-8-sig", "utf8": "utf-8-sig",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+}
+
+
+def decode_html(raw: bytes) -> str:
+    """Payload bytes -> text, honoring a ``<meta charset=...>``
+    declaration in the first 2048 bytes (HTML5's pre-scan window);
+    default is UTF-8, the HTML5 default. Unknown charsets and bytes
+    invalid under the declared one raise ``ValueError`` (probe-time
+    quarantine — never mojibake)."""
+    codec = "utf-8-sig"
+    m = _META_CHARSET_RE.search(raw[:2048])
+    if m:
+        name = m.group(1).decode("ascii").lower()
+        codec = _CHARSET_CODECS.get(name)
+        if codec is None:
+            raise ValueError(f"unsupported declared charset {name!r}")
+    try:
+        return raw.decode(codec)
+    except UnicodeDecodeError as e:
+        raise ValueError(
+            f"HTML payload is not valid {codec}: {e}"
+        ) from e
+
+
 def validate_html(raw: bytes) -> tuple[int, int, int]:
     """Probe-time pre-flight: ``(n_pages=1, width=0, height=0)``.
 
     Quarantine conditions (each is a real silent-corruption risk, not
-    pedantry): undecodable UTF-8 (mojibake would flow into span text),
-    a missing ``</html>`` (truncated payload — the tail of the content
-    is gone), and an unclosed ``<script>``/``<style>`` (subtree-drop
-    semantics would swallow the rest of the document as code). Width
-    and height are 0: HTML is reflowable — there is no raster geometry
-    to report, and the extraction tier never produces pixels."""
-    try:
-        html = raw.decode("utf-8-sig")
-    except UnicodeDecodeError as e:
-        raise ValueError(f"HTML payload is not valid UTF-8: {e}") from e
+    pedantry): bytes invalid under the (declared or default) charset
+    (mojibake would flow into span text), a missing ``</html>``
+    (truncated payload — the tail of the content is gone), and an
+    unclosed ``<script>``/``<style>``/comment (subtree-drop semantics
+    would swallow the rest of the document as code). Width and height
+    are 0: HTML is reflowable — there is no raster geometry to report,
+    and the extraction tier never produces pixels."""
+    html = decode_html(raw)
     low = html.lower()
     if "</html>" not in low:
         raise ValueError("truncated HTML: no closing </html>")

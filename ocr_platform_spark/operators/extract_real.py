@@ -264,7 +264,7 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 # (page, y1, x1) span sort is document order.
                 emit_text_blocks(
                     doc_id, int(offset), ref, int(lo),
-                    htmltext.main_blocks(raw.decode("utf-8-sig")),
+                    htmltext.main_blocks(htmltext.decode_html(raw)),
                     0, 0, out,
                 )
                 continue

@@ -122,7 +122,7 @@ def test_malformed_html_quarantines_at_probe(spark):
             for r in extract_real.real_media_errors(buckets).collect()}
     assert set(errs) == {"m-bad-1", "m-bad-2", "m-bad-3", "m-bad-4"}
     assert "truncated" in errs["m-bad-1"]
-    assert "UTF-8" in errs["m-bad-2"]
+    assert "not valid utf-8" in errs["m-bad-2"]
     assert "unclosed <script>" in errs["m-bad-3"]
     assert "unterminated HTML comment" in errs["m-bad-4"]
     spans = _spans_by_doc(extract_real.extract_real_documents(docs, media))
@@ -157,6 +157,26 @@ def test_br_variants_and_entities():
     # escape_text is the exact inverse over arbitrary span text
     tricky = 'a & b <i> "quote" \'tick\' &amp;lt;'
     assert htmltext.unescape_entities(htmltext.escape_text(tricky)) == tricky
+
+
+def test_meta_charset_declarations():
+    """cp1252/latin-1 legacy pages decode via their declared charset;
+    unknown charsets and charset-invalid bytes quarantine (mojibake is
+    never an option)."""
+    import pytest as _pytest
+
+    cp1252 = ('<html><head><meta charset="windows-1252"></head>'
+              "<body><p>caf\xe9 “quoted”</p></body></html>"
+              ).encode("cp1252")
+    assert [b.text for b in htmltext.main_blocks(
+        htmltext.decode_html(cp1252))] == ["café “quoted”"]
+    assert htmltext.validate_html(cp1252) == (1, 0, 0)
+    with _pytest.raises(ValueError, match="unsupported declared charset"):
+        htmltext.decode_html(
+            b'<html><meta charset="shift_jis"><p>x</p></html>')
+    with _pytest.raises(ValueError, match="not valid"):
+        htmltext.decode_html(
+            b'<html><meta charset="utf-8"><p>\xff</p></html>')
 
 
 def test_numeric_character_references():
