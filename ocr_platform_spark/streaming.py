@@ -202,6 +202,7 @@ def process_extract_batch(
     num_partitions: int | None = None,
     on_batch: Callable[[int, int], None] | None = None,
     broadcast_spans: bool = True,
+    pipeline: Callable[..., DataFrame] | None = None,
 ) -> None:
     """One micro-batch through the extraction pipeline — the foreachBatch
     body, module-level so the retry semantics are directly testable.
@@ -211,15 +212,22 @@ def process_extract_batch(
     restart. Both writes are therefore keyed on ``batch_id`` with dynamic
     partition overwrite — a retry replaces exactly its own partition
     instead of appending duplicates (the same idempotent-commit shape as
-    ``lineage.run_extract_job``'s chunks)."""
+    ``lineage.run_extract_job``'s chunks).
+
+    ``pipeline``: the extraction callable (``extract_documents`` default;
+    pass ``operators.extract_real.extract_real_documents`` to stream a
+    real-media/web corpus — same ``(documents, media, ...)`` contract,
+    the same seam ``lineage.run_extract_job`` exposes)."""
     t0 = time.perf_counter()
+    if pipeline is None:
+        pipeline = extract_documents
     # count once on the raw source batch (column-pruned parquet scan),
     # recorded in lineage AND handed to the callback — on_batch must
     # not trigger a second pass over the micro-batch
     n_docs = batch_df.count()
     # micro-batches are bounded, so the pinned spans broadcast is safe by
     # construction here; the flag is still threaded for contract parity
-    out = extract_documents(
+    out = pipeline(
         batch_df, media, num_partitions=num_partitions,
         broadcast_spans=broadcast_spans,
     )
@@ -261,6 +269,7 @@ def stream_extract(
     num_partitions: int | None = None,
     on_batch: Callable[[int, int], None] | None = None,
     broadcast_spans: bool = True,
+    pipeline: Callable[..., DataFrame] | None = None,
 ):
     """Stream documents parquet from ``landing_dir`` through the extraction
     pipeline into ``out_dir`` (append), micro-batch lineage into
@@ -268,6 +277,9 @@ def stream_extract(
 
     Returns the started ``StreamingQuery``; with ``available_now`` the
     caller should ``awaitTermination()`` to drain the backlog.
+    ``pipeline`` selects the extraction callable (see
+    :func:`process_extract_batch`) — e.g. real-media/HTML corpora via
+    ``extract_real.extract_real_documents``.
     """
     reader = (
         spark.readStream.schema(DOCUMENTS)
@@ -283,7 +295,7 @@ def stream_extract(
         process_extract_batch(
             batch_df, batch_id, media, data_dir, lineage_dir,
             num_partitions=num_partitions, on_batch=on_batch,
-            broadcast_spans=broadcast_spans,
+            broadcast_spans=broadcast_spans, pipeline=pipeline,
         )
 
     writer = (

@@ -307,3 +307,50 @@ def test_batch_retry_is_idempotent(spark, tmp_path):
     lin = spark.read.parquet(lineage_dir)
     assert lin.count() == 1  # one lineage row per batch, not per attempt
     assert lin.first()["doc_count"] == len(docs)
+
+
+def test_stream_drain_real_media_pipeline(spark, tmp_path):
+    """The pipeline= seam: a landing stream of web/real media (HTML +
+    PNG re-encodings) drains through extract_real_documents and matches
+    the batch real pipeline exactly."""
+    from ocr_platform_spark.operators.extract_real import (
+        extract_real_documents,
+    )
+    from tests.test_extract_html import content_html
+    from tests.test_extract_real import reencode_real
+
+    docs, media = corpus.generate(14, seed=77, max_pages=4)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(2):
+        chunk = docs[i * 7 : (i + 1) * 7]
+        pq.write_table(
+            pa.Table.from_pylist(chunk, schema=DOCUMENTS_SCHEMA),
+            str(landing / f"part-{i}.parquet"),
+        )
+    real_rows = [
+        (ref, content_html(m["data"]) if i % 2 else reencode_real(m["data"]))
+        for i, (ref, m) in enumerate(sorted(media.items()))
+    ]
+    media_df = spark.createDataFrame(
+        [(r, bytearray(d)) for r, d in real_rows],
+        "media_ref string, data binary",
+    )
+
+    out_dir = str(tmp_path / "out")
+    q = streaming.stream_extract(
+        spark,
+        str(landing),
+        media_df,
+        out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        pipeline=extract_real_documents,
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(os.path.join(out_dir, "data"))
+    expected = extract_real_documents(
+        spark.read.parquet(str(landing)), media_df
+    )
+    assert _spans_by_doc(streamed) == _spans_by_doc(expected)
