@@ -30,8 +30,9 @@ oracle MAIN_CONTENT_SQL).
 
 Text normalization per block: ``<br>`` becomes a newline (so a block
 maps 1:1 onto a multi-line OCR block whose strip texts join with
-``\\n``), every other tag becomes a space, the basic entities decode
-(``&amp;`` LAST, so doubly-escaped text survives), whitespace collapses
+``\\n``), every other tag becomes a space, character references decode
+in ONE pass (numeric + the full HTML5 named table; single-pass, so
+doubly-escaped text like ``&amp;lt;`` survives both ways), whitespace collapses
 per line — literal source newlines included, which are inter-word
 whitespace under HTML rendering rules — and empty lines drop. Geometry: HTML has
 none, so blocks carry document character offsets as detection-shaped
@@ -59,8 +60,11 @@ BLOCK_RE = re.compile(
 #: into span text, and a commented-out <p> must not extract; both can
 #: contain block-like tags inside string literals, so the drop has to
 #: happen before any block parsing)
+#: the (?=[\s/>]) boundary keeps custom elements (``<script-editor>``,
+#: ``<style-guide>``) out of the drop — they are ordinary content tags
 DROP_RE = re.compile(
-    r"(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->",
+    r"(?s)<script(?=[\s/>])[^>]*>.*?</script>"
+    r"|<style(?=[\s/>])[^>]*>.*?</style>|<!--.*?-->",
     re.I,
 )
 TAG_RE = re.compile(r"<[^>]+>")
@@ -77,41 +81,47 @@ _BR_SENTINEL = "\x00"
 #: footer 0.43 vs content 0.0, all safely away from the boundary
 LINK_DENSITY_MAX = 1.0 / 3.0
 
-#: decode order matters: ``&amp;`` LAST or doubly-escaped entities
-#: ("&amp;lt;") would double-decode to "<" instead of "&lt;" — the same
-#: cascade rule functions/html_extract._STRIP_STEPS pins for the
-#: relational tier
-_ENTITY_STEPS = [
-    ("&nbsp;", " "),
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&#39;", "'"),
-    ("&amp;", "&"),
-]
+#: full HTML5 named-entity table (stdlib), semicolon-terminated forms
+#: only — legacy semicolonless references ("&amp" bare) stay literal,
+#: matching the strict posture everywhere else in this module. Unknown
+#: names also stay literal: that is exactly what browsers render.
+from html.entities import html5 as _HTML5_ENTITIES
+
+_NAMED_ENTITIES = {
+    name[:-1]: expansion
+    for name, expansion in _HTML5_ENTITIES.items()
+    if name.endswith(";")
+}
+
+#: ONE pass over every reference spelling at once. A multi-pass cascade
+#: cannot be ordered safely: numeric-first double-decodes "&#38;lt;"
+#: (correct rendering: the 4-char "&lt;") and named-first double-decodes
+#: "&amp;#65;" — a single scan consumes each "&...;" exactly once, so
+#: neither ordering hole exists. The relational tier
+#: (functions/html_extract._STRIP_STEPS) keeps its SQL-expressible
+#: basic-six cascade; on that subset the two decoders agree.
+_ENTITY_RE = re.compile(
+    r"&(?:#(?:[xX]([0-9a-fA-F]{1,6})|([0-9]{1,7}))"
+    r"|([a-zA-Z][a-zA-Z0-9]*));"
+)
 
 
-_NUMERIC_ENTITY_RE = re.compile(r"&#(?:x([0-9a-fA-F]{1,6})|([0-9]{1,7}));")
-
-
-def _numeric_entity(m: re.Match) -> str:
-    cp = int(m.group(1), 16) if m.group(1) else int(m.group(2))
-    # outside Unicode / surrogate halves: keep the literal source text
-    # rather than guessing (chr() would raise or build invalid strings)
-    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+def _entity(m: re.Match) -> str:
+    if m.group(3) is not None:
+        return _NAMED_ENTITIES.get(m.group(3), m.group(0))
+    cp = int(m.group(1), 16) if m.group(1) is not None else int(m.group(2))
+    # NUL (would collide with the <br> sentinel — HTML5 calls &#0; a
+    # parse error), surrogate halves, and beyond-Unicode: keep the
+    # literal source text rather than guessing
+    if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
         return m.group(0)
     return chr(cp)
 
 
 def unescape_entities(s: str) -> str:
-    # numeric references first (while "&#" spellings are still intact:
-    # decoding &amp; first would conjure references out of "&amp;#65;",
-    # the same double-decode hazard the &amp;-last rule guards against)
-    if "&#" in s:
-        s = _NUMERIC_ENTITY_RE.sub(_numeric_entity, s)
-    for pat, rep in _ENTITY_STEPS:
-        s = s.replace(pat, rep)
-    return s
+    if "&" not in s:
+        return s
+    return _ENTITY_RE.sub(_entity, s)
 
 
 def escape_text(s: str) -> str:
@@ -202,9 +212,35 @@ def main_blocks(html: str) -> list[ContentBlock]:
             if b.link_density < LINK_DENSITY_MAX]
 
 
-_META_CHARSET_RE = re.compile(
-    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([-\w]+)", re.I
-)
+_META_TAG_RE = re.compile(rb"<meta(?=[\s/>])([^>]*)>", re.I)
+#: attribute tokenizer for the pre-scan: quoted or bare values. Real
+#: attribute parsing (not a flat "charset=" substring search) is what
+#: keeps '<meta name="description" content="... charset=shift_jis ...">'
+#: from being read as a declaration — ``charset`` must be an attribute
+#: NAME, or live inside an http-equiv=content-type content value.
+_ATTR_RE = re.compile(rb"([a-zA-Z][-\w]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)")
+_CONTENT_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([-\w]+)", re.I)
+
+
+def _declared_charset(raw: bytes) -> "str | None":
+    """The charset a conforming pre-scan of the first 2048 bytes finds:
+    ``<meta charset=X>`` or ``<meta http-equiv=content-type
+    content="...; charset=X">``; ``None`` when neither is declared."""
+    for mt in _META_TAG_RE.finditer(raw[:2048]):
+        attrs: dict[bytes, bytes] = {}
+        for am in _ATTR_RE.finditer(mt.group(1)):
+            v = am.group(2)
+            if v[:1] in (b'"', b"'"):
+                v = v[1:-1]
+            attrs.setdefault(am.group(1).lower(), v)
+        if b"charset" in attrs:
+            return attrs[b"charset"].strip().lower().decode(
+                "ascii", "replace")
+        if attrs.get(b"http-equiv", b"").lower() == b"content-type":
+            m = _CONTENT_CHARSET_RE.search(attrs.get(b"content", b""))
+            if m:
+                return m.group(1).lower().decode("ascii", "replace")
+    return None
 #: declared-charset allowlist — the legacy web's big three plus UTF-8
 #: spellings. Anything else quarantines: decoding with a guessed codec
 #: is exactly the silent-mojibake failure mode this engine refuses.
@@ -223,9 +259,8 @@ def decode_html(raw: bytes) -> str:
     invalid under the declared one raise ``ValueError`` (probe-time
     quarantine — never mojibake)."""
     codec = "utf-8-sig"
-    m = _META_CHARSET_RE.search(raw[:2048])
-    if m:
-        name = m.group(1).decode("ascii").lower()
+    name = _declared_charset(raw)
+    if name is not None:
         codec = _CHARSET_CODECS.get(name)
         if codec is None:
             raise ValueError(f"unsupported declared charset {name!r}")
@@ -253,7 +288,11 @@ def validate_html(raw: bytes) -> tuple[int, int, int]:
     if "</html>" not in low:
         raise ValueError("truncated HTML: no closing </html>")
     for tag in ("script", "style"):
-        if low.count(f"<{tag}") != low.count(f"</{tag}>"):
+        # tag-boundary match, NOT a raw substring count: '<style-guide>'
+        # is a custom element and 'a<script_count' is plain text — both
+        # must not trip the quarantine (mirrors DROP_RE's boundary)
+        n_open = len(re.findall(rf"<{tag}(?=[\s/>])", low))
+        if n_open != low.count(f"</{tag}>"):
             raise ValueError(
                 f"unclosed <{tag}> element: subtree drop would swallow "
                 "the rest of the document"

@@ -300,11 +300,20 @@ def probe_real_media(
     if kind == "html":
         from . import htmltext
 
-        # UTF-8 + structural truncation/unclosed-subtree checks; string
-        # work only, so deep and shallow coincide. Width/height are 0:
-        # reflowable text carries no raster geometry.
-        n, w, h = htmltext.validate_html(raw)
-        return "html", n, w, h
+        # Width/height are 0: reflowable text carries no raster
+        # geometry. deep=True runs the full structural pre-flight
+        # (whole-payload decode + truncation/unclosed-subtree checks) —
+        # what the extraction probe wants. The shallow/metadata probe
+        # stays O(pre-scan window) like every other kind's header walk:
+        # it only refuses an unsupported DECLARED charset (2048-byte
+        # scan), mirroring the PDF probe_dims-vs-validate_scanned split.
+        if deep:
+            n, w, h = htmltext.validate_html(raw)
+            return "html", n, w, h
+        name = htmltext._declared_charset(raw)
+        if name is not None and name not in htmltext._CHARSET_CODECS:
+            raise ValueError(f"unsupported declared charset {name!r}")
+        return "html", 1, 0, 0
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 
 

@@ -252,6 +252,12 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
         if kind == MEDIA_KIND_ERROR:
             continue
         raw = bytes(data)
+        # Decode inside the try (a decode failure drops the bucket
+        # ATOMICALLY — no partial emission), emission outside it (an
+        # OCR/kernel failure propagates LOUDLY; swallowing it after
+        # some pages' rows were appended would leave a silently
+        # part-extracted document).
+        blocks = hybrid = pages = None
         try:
             # mode="L": the OCR kernels are grayscale — native-gray
             # PDF pages stay 2-D end-to-end (no RGB round trip),
@@ -262,34 +268,16 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 # drop — no pixels ever produced. One reflowable "page";
                 # block y1 = document character position, so the global
                 # (page, y1, x1) span sort is document order.
-                emit_text_blocks(
-                    doc_id, int(offset), ref, int(lo),
-                    htmltext.main_blocks(htmltext.decode_html(raw)),
-                    0, 0, out,
-                )
-                continue
-            if kind == "pdf" and text_layer:
+                blocks = htmltext.main_blocks(htmltext.decode_html(raw))
+            elif kind == "pdf" and text_layer:
                 # HYBRID dispatch: text-layer pages parse (no pixels
-                # ever produced), scanned pages raster + OCR below
+                # ever produced), scanned pages raster here + OCR below
                 idx = (None if sliced
                        else list(range(int(lo), int(hi))))
-                for i, (pkind, payload, pw, ph) in enumerate(
-                    pdftext.extract_hybrid_pages(
-                        raw, page_indices=idx, mode="L",
-                    )
-                ):
-                    if pkind == "text":
-                        emit_text_blocks(
-                            doc_id, int(offset), ref, int(lo) + i,
-                            payload, pw, ph, out,
-                        )
-                    else:
-                        ocr_rendered_page(
-                            doc_id, int(offset), ref, int(lo) + i,
-                            payload, out,
-                        )
-                continue
-            if kind == "pdf":
+                hybrid = pdftext.extract_hybrid_pages(
+                    raw, page_indices=idx, mode="L",
+                )
+            elif kind == "pdf":
                 # a sliced payload holds ONLY this bucket's pages
                 # (local indices 0..hi-lo); global numbering still
                 # comes from page_lo below
@@ -317,10 +305,26 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
             # the job; everything structurally detectable already
             # quarantined with a triage row at probe time.
             continue
-        for i, page in enumerate(pages):
-            ocr_rendered_page(
-                doc_id, int(offset), ref, int(lo) + i, page, out
-            )
+        if blocks is not None:
+            emit_text_blocks(doc_id, int(offset), ref, int(lo),
+                             blocks, 0, 0, out)
+        elif hybrid is not None:
+            for i, (pkind, payload, pw, ph) in enumerate(hybrid):
+                if pkind == "text":
+                    emit_text_blocks(
+                        doc_id, int(offset), ref, int(lo) + i,
+                        payload, pw, ph, out,
+                    )
+                else:
+                    ocr_rendered_page(
+                        doc_id, int(offset), ref, int(lo) + i,
+                        payload, out,
+                    )
+        else:
+            for i, page in enumerate(pages):
+                ocr_rendered_page(
+                    doc_id, int(offset), ref, int(lo) + i, page, out
+                )
     res = pd.DataFrame(out)
     for c in _INT_BLOCK_COLS:
         res[c] = res[c].astype("int32")

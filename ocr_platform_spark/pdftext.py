@@ -532,9 +532,20 @@ def _page_text_runs(
         op = m.group(0).decode("latin-1")
         pos = m.end()
         if op == "q":
-            stack.append(ctm)
+            # the PDF graphics state includes the text-state parameters
+            # (PDF 32000-1 §8.4.2: Tc/Tw/Tz/TL/Tf/Ts all listed) — only
+            # Tm/Tlm live outside it (BT resets those); restoring the
+            # CTM alone would leave e.g. a Tc set inside q..Q inflating
+            # every later advance, splitting blocks at wrong gaps
+            stack.append((ctm, ts.font, ts.size, ts.char_spacing,
+                          ts.word_spacing, ts.h_scale, ts.leading,
+                          ts.rise))
         elif op == "Q":
-            ctm = stack.pop() if stack else _ID
+            if stack:
+                (ctm, ts.font, ts.size, ts.char_spacing, ts.word_spacing,
+                 ts.h_scale, ts.leading, ts.rise) = stack.pop()
+            else:
+                ctm = _ID
         elif op == "cm":
             ctm = _mul(tuple(float(v) for v in operands[-6:]), ctm)
         elif op == "BT":
@@ -729,11 +740,18 @@ def _page_blocks(doc: _Document, node: dict, attrs: dict,
                         or {})
     if not isinstance(resources, dict):
         raise ValueError("page /Resources is not a dictionary")
-    runs, _has_images = _page_text_runs(
+    runs, has_images = _page_text_runs(
         doc, _page_content(doc, node), resources
     )
-    if not runs:
-        return None
+    if not any(r.text.strip() for r in runs):
+        # nothing VISIBLE in the text layer. With images present this is
+        # a scanned page wearing a whitespace-only (e.g. bad upstream
+        # OCR) invisible layer — dispatch to the raster path, where the
+        # scanned interpreter refuses the stray show ops LOUDLY
+        # (quarantine) rather than this tier silently emitting zero
+        # blocks and never OCR'ing the scan. With no images the page is
+        # genuinely blank: empty-page passthrough, no raster needed.
+        return None if has_images else []
     return runs_to_blocks(runs, x0, y0, w_px, h_px, rot, scale)
 
 
@@ -815,9 +833,22 @@ def validate_hybrid(raw: bytes) -> tuple[int, int, int]:
         if not isinstance(resources, dict):
             raise ValueError("page /Resources is not a dictionary")
         content = _page_content(doc, node)
-        runs, _has_images = _page_text_runs(doc, content, resources)
-        if runs:
+        runs, has_images = _page_text_runs(doc, content, resources)
+        if any(r.text.strip() for r in runs):
             continue  # text page: interpretation above IS the validation
+        if runs:
+            # whitespace-only text layer: extract dispatches this to the
+            # raster path (see _page_blocks), where the scanned
+            # interpreter refuses the show ops — surface that quarantine
+            # HERE, at probe time, unless the page is a genuine blank
+            # (no images → empty-page passthrough, nothing to validate)
+            if has_images:
+                raise ValueError(
+                    "page shows only whitespace text over images: the "
+                    "text layer is empty and the raster path refuses "
+                    "show operators"
+                )
+            continue
         for ctm, xd, _xbytes in _content_images(doc, content, resources):
             if abs(ctm[1]) > 1e-9 or abs(ctm[2]) > 1e-9:
                 raise ValueError(

@@ -225,3 +225,90 @@ def test_real_media_metadata_html(spark):
     row = multimodal.real_media_metadata(media).collect()[0]
     assert (row["kind"], row["n_pages"], row["width"], row["height"]) == (
         "html", 1, 0, 0)
+
+
+def test_named_entities_full_html5_table():
+    """The legacy web writes &eacute;/&mdash;/&hellip; freely — passing
+    them through as literal source text is silent wrong text. Unknown
+    names stay literal, exactly what browsers render."""
+    u = htmltext.unescape_entities
+    assert u("caf&eacute; &mdash; men&uacute;") == "café — menú"
+    assert u("&hellip;&rsquo;&nbsp;") == "…’ "
+    assert u("&notarealentity; &amp;") == "&notarealentity; &"
+    # &nbsp; collapses to a plain space in block text like before
+    html = "<html><body><p>a&nbsp;b</p></body></html>"
+    assert [b.text for b in htmltext.main_blocks(html)] == ["a b"]
+
+
+def test_single_pass_decode_has_no_ordering_holes():
+    """A multi-pass cascade double-decodes from one direction or the
+    other; the single scan consumes each reference exactly once."""
+    u = htmltext.unescape_entities
+    assert u("&amp;lt;") == "&lt;"    # named-first hazard
+    assert u("&#38;lt;") == "&lt;"    # numeric-first hazard
+    assert u("&#38;amp;") == "&amp;"
+    assert u("&amp;#65;") == "&#65;"
+
+
+def test_numeric_reference_edge_spellings():
+    """Uppercase &#X41; is legal HTML5; &#0; must never decode to NUL
+    (it would collide with the <br> sentinel and fabricate a line
+    break) — invalid references keep their literal source text."""
+    u = htmltext.unescape_entities
+    assert u("&#X41;&#x42;") == "AB"
+    assert u("a&#0;b") == "a&#0;b"
+    html = "<html><body><p>a&#0;b</p></body></html>"
+    assert [b.text for b in htmltext.main_blocks(html)] == ["a&#0;b"]
+
+
+def test_custom_elements_do_not_false_quarantine():
+    """<style-guide>/<script-editor> are custom elements, and
+    'a<script_count' is plain text — none of them is an unclosed
+    script/style, and none of them drops as a code subtree."""
+    doc = (b"<html><body><div><style-guide>styling advice</style-guide>"
+           b"</div><p>if(a&lt;script_count) holds</p></body></html>")
+    assert htmltext.validate_html(doc) == (1, 0, 0)
+    blocks = htmltext.main_blocks(htmltext.decode_html(doc))
+    assert [b.text for b in blocks] == [
+        "styling advice", "if(a<script_count) holds"]
+
+
+def test_charset_must_be_a_declaration_not_content_text():
+    """'charset=' inside a <meta name=description> CONTENT VALUE is not
+    a charset declaration (attribute parsing, not substring search);
+    the http-equiv content-type spelling IS one."""
+    doc = (b'<html><head><meta name="description" '
+           b'content="how to fix charset=shift_jis errors"></head>'
+           b"<body><p>caf\xc3\xa9</p></body></html>")
+    assert "café" in htmltext.decode_html(doc)  # stayed UTF-8
+    http_equiv = (b'<html><head><meta http-equiv="Content-Type" '
+                  b'content="text/html; charset=windows-1252"></head>'
+                  b"<body><p>caf\xe9 \x93q\x94</p></body></html>")
+    assert [b.text for b in htmltext.main_blocks(
+        htmltext.decode_html(http_equiv))] == ["café “q”"]
+
+
+def test_real_media_metadata_html_is_prescan_window_only(spark):
+    """The metadata pass is a header walk for every kind: for HTML that
+    means the 2048-byte pre-scan window ONLY — an unsupported DECLARED
+    charset quarantines there, but whole-payload structural checks
+    (truncation, unclosed subtrees) belong to the deep extraction probe
+    (the probe_dims-vs-validate_scanned split, HTML edition)."""
+    from ocr_platform_spark import multimodal
+
+    media = spark.createDataFrame(
+        [("m-trunc", bytearray(b"<html><p>cut off, no closing tag")),
+         ("m-charset", bytearray(b'<html><meta charset="shift_jis">x'))],
+        "media_ref string, data binary",
+    )
+    rows = {r["media_ref"]: r
+            for r in multimodal.real_media_metadata(media).collect()}
+    # shallow: truncation NOT detected here (O(window) contract) ...
+    assert rows["m-trunc"]["kind"] == "html"
+    assert rows["m-charset"]["kind"] == "error"
+    # ... but the deep extraction probe still quarantines it
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.probe_real_media(
+            bytes(b"<html><p>cut off, no closing tag"), deep=True)

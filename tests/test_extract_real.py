@@ -505,3 +505,44 @@ def test_wild_compression_pipeline_equals_synthetic_flagship(real_corpus,
     assert set(got) == set(expected)
     for doc_id in expected:
         assert got[doc_id] == expected[doc_id], doc_id
+
+
+def test_hybrid_bucket_drops_atomically_on_mid_doc_decode_failure():
+    """A hybrid PDF whose page 0 text layer is valid but whose page 1
+    image stream is corrupt PAST the probe (entropy-level: the dict
+    validates, the Flate body doesn't inflate) must emit ZERO rows for
+    the bucket — not page 0's rows with page 1 silently missing."""
+    import pandas as pd
+
+    from tests.test_pdfcodec import build_pdf, stream_obj
+
+    raw = build_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        4: stream_obj("", b"BT /F1 10 Tf 10 50 Td (pageone) Tj ET"),
+        5: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"),
+        6: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 48 24] "
+           b"/Resources << /XObject << /Im0 8 0 R >> >> /Contents 7 0 R >>",
+        7: stream_obj("", b"q 48 0 0 24 0 0 cm /Im0 Do Q"),
+        8: stream_obj(
+            "/Subtype /Image /Width 10 /Height 10 /ColorSpace /DeviceGray "
+            "/BitsPerComponent 8 /Filter /FlateDecode",
+            b"this is not zlib data",
+        ),
+    })
+    # the structural probe accepts it (dict-level checks only) ...
+    from ocr_platform_spark import multimodal
+
+    assert multimodal.probe_real_media(raw, deep=True, text_layer=True)[0] \
+        == "pdf"
+    # ... and the OCR stage drops the whole bucket, atomically
+    frame = pd.DataFrame({
+        "doc_id": ["d1"], "offset": [0], "media_ref": ["m1"],
+        "media_kind": ["pdf"], "page_lo": [0], "page_hi": [2],
+        "sliced": [False], "data": [raw],
+    })
+    res = extract_real._ocr_real_frame(frame, text_layer=True)
+    assert len(res) == 0

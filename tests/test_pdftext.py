@@ -424,3 +424,69 @@ def test_sliced_text_pdf_round_trip():
     sliced = pdfcodec.slice_pages(raw, [1])
     pages = pdftext.extract_hybrid_pages(sliced)
     assert [b.text for b in pages[0][1]] == ["pagetwo"]
+
+
+# --- graphics-state save/restore ----------------------------------------------
+
+
+def test_q_restores_text_state():
+    """Tc/Tw/Tz/TL/Tf/Ts are graphics-state parameters (PDF 32000-1
+    §8.4.2): a Tc set inside q..Q must not survive the Q. A leaked
+    Tc 40 inflates every later advance, splitting 'cd ef' into two
+    far-apart blocks."""
+    tail = b"BT /F1 12 Tf 10 50 Td (cd ef) Tj ET"
+    raw_qq = one_page(
+        b"q BT /F1 12 Tf 40 Tc 10 80 Td (ab) Tj ET Q " + tail)
+    raw_plain = one_page(tail)
+    qq = blocks_of(raw_qq)
+    assert [b.text for b in qq] == ["ab", "cd ef"]
+    plain = blocks_of(raw_plain)
+    assert [(b.x1, b.y1, b.x2, b.y2, b.text) for b in qq[1:]] == \
+        [(b.x1, b.y1, b.x2, b.y2, b.text) for b in plain]
+
+
+# --- whitespace-only text layers ----------------------------------------------
+
+
+def _whitespace_over_scan_pdf() -> bytes:
+    import zlib
+
+    import numpy as np
+
+    img = np.full((10, 10), 128, dtype=np.uint8)
+    return build_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 48 24] "
+           b"/Resources << /Font << /F1 5 0 R >> "
+           b"/XObject << /Im0 6 0 R >> >> /Contents 4 0 R >>",
+        4: stream_obj("", b"q 48 0 0 24 0 0 cm /Im0 Do Q "
+                          b"BT /F1 10 Tf 2 12 Td (   ) Tj ET"),
+        5: HELV,
+        6: stream_obj(
+            "/Subtype /Image /Width 10 /Height 10 /ColorSpace /DeviceGray "
+            "/BitsPerComponent 8 /Filter /FlateDecode",
+            zlib.compress(img.tobytes()),
+        ),
+    })
+
+
+def test_whitespace_only_layer_over_scan_quarantines():
+    """A scan wearing a whitespace-only invisible text layer (bad
+    upstream OCR) must NOT be claimed as a text page with zero blocks —
+    that silently loses the whole scan. It dispatches to the raster
+    path, whose show-op refusal quarantines it loudly."""
+    raw = _whitespace_over_scan_pdf()
+    with pytest.raises(ValueError, match="whitespace text over images"):
+        pdftext.validate_hybrid(raw)
+    with pytest.raises(ValueError):
+        pdftext.extract_hybrid_pages(raw)
+
+
+def test_whitespace_only_blank_page_is_empty_text_page():
+    """Whitespace-only show ops and NO images: a genuinely blank page —
+    empty-page passthrough, no raster, no quarantine."""
+    raw = one_page(b"BT /F1 10 Tf 10 50 Td (   ) Tj ET")
+    pages = pdftext.extract_hybrid_pages(raw)
+    assert pages[0][0] == "text" and pages[0][1] == []
+    assert pdftext.validate_hybrid(raw)[0] == 1
