@@ -43,8 +43,8 @@ def _ensure_corpus() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from test_extract_real import (reencode_real, reencode_tiff,
-                                   reencode_wild)
+    from test_extract_real import (reencode_gif_mixed, reencode_real,
+                                   reencode_tiff, reencode_wild)
     from test_extract_html import content_html
     from test_extract_text_layer import reencode_text_layer
 
@@ -64,7 +64,10 @@ def _ensure_corpus() -> str:
                # web documents: every media as an HTML page (content
                # blocks + boilerplate) — the DOM-heuristic arm, no
                # raster work at all
-               "media_html.parquet": content_html}
+               "media_html.parquet": content_html,
+               # GIF where page sizes allow multi-frame streams, real
+               # PDFs elsewhere — the legacy-web image arm
+               "media_gif.parquet": reencode_gif_mixed}
     missing = {f: fn for f, fn in targets.items()
                if not os.path.exists(os.path.join(CACHE, f))}
     if not missing:
@@ -107,6 +110,7 @@ def main() -> None:
     media_wild = spark.read.parquet(f"{d}/media_wild.parquet")
     media_text = spark.read.parquet(f"{d}/media_text.parquet")
     media_html = spark.read.parquet(f"{d}/media_html.parquet")
+    media_gif = spark.read.parquet(f"{d}/media_gif.parquet")
     n_pages = media_synth.groupBy().sum("page_count").collect()[0][0] or 0
 
     # warm-up (JVM + codegen), excluded
@@ -143,6 +147,10 @@ def main() -> None:
         "html_dom_bucket8": best2(
             lambda: extract_real.extract_real_documents(
                 docs, media_html, bucket_pages=8)),
+        # legacy-web palettized images: GIF LZW + palette lookup
+        "gif_mixed_bucket8": best2(
+            lambda: extract_real.extract_real_documents(
+                docs, media_gif, bucket_pages=8)),
     }
     out = {
         "n_docs": N_DOCS,

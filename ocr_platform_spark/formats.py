@@ -47,13 +47,15 @@ MAGIC_REAL_PDF = b"%PDF-"
 MAGIC_REAL_PNG = b"\x89PNG\r\n\x1a\n"
 MAGIC_REAL_JPEG = b"\xff\xd8\xff"
 MAGIC_REAL_TIFF = (b"II\x2a\x00", b"MM\x00\x2a")
+MAGIC_REAL_GIF = (b"GIF87a", b"GIF89a")
 
 
 def sniff_kind(raw: bytes) -> str:
     """Byte-level content sniffing (the reference dispatches on
     content-type/extension, ``ocr_tasks.py:36-39``; serving sniffs magic
     bytes). Returns one of ``spdf | simg | pdf | png | jpeg | tiff |
-    html | unknown`` — ``pdf``/``png``/``jpeg``/``tiff`` are REAL codecs
+    gif | html | unknown`` — ``pdf``/``png``/``jpeg``/``tiff``/``gif``
+    are REAL codecs
     handled by the optional
     :func:`ocr_platform_spark.multimodal.decode_real_media` seam;
     ``html`` extracts via the DOM tier
@@ -70,6 +72,8 @@ def sniff_kind(raw: bytes) -> str:
         return "jpeg"
     if raw.startswith(MAGIC_REAL_TIFF):
         return "tiff"
+    if raw.startswith(MAGIC_REAL_GIF):
+        return "gif"
     # HTML has no magic number: sniff a leading doctype/<html> tag after
     # an optional UTF-8 BOM + whitespace (the pragmatic browser rule)
     head = raw[3:64] if raw.startswith(b"\xef\xbb\xbf") else raw[:64]
@@ -132,7 +136,7 @@ def decode_media(raw: bytes) -> tuple[str, list[PageDesc]]:
         kind = "image"
     else:
         sniffed = sniff_kind(raw)
-        if sniffed in ("pdf", "png", "jpeg", "tiff"):
+        if sniffed in ("pdf", "png", "jpeg", "tiff", "gif"):
             raise ValueError(
                 f"real-codec payload ({sniffed}): decode with "
                 "ocr_platform_spark.multimodal.decode_real_media "

@@ -141,6 +141,13 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
             img.seek(i)
             pages.append(np.asarray(img.convert("RGB"), dtype=np.uint8))
         return "tiff", pages
+    if kind == "gif":
+        # pure-stdlib path first: gifcodec enforces the full-screen /
+        # no-transparency page contract that makes multi-frame GIFs
+        # decodable as independent pages; PIL would silently composite
+        from . import gifcodec
+
+        return "gif", gifcodec.decode_gif(raw)
     if kind == "html":
         raise ValueError(
             "HTML payload: reflowable text has no raster form — the "
@@ -297,6 +304,15 @@ def probe_real_media(
         # inflating samples, so deep and shallow coincide
         n, w, h = tiffcodec.probe_tiff(raw)
         return "tiff", n, w, h
+    if kind == "gif":
+        from . import gifcodec
+
+        # block-structure walk (full-screen frames, palettes, sub-block
+        # chains) without inflating LZW data — deep and shallow
+        # coincide; entropy corruption degrades at the OCR stage like
+        # JPEG entropy bits
+        n, w, h = gifcodec.probe_gif(raw)
+        return "gif", n, w, h
     if kind == "html":
         from . import htmltext
 

@@ -77,8 +77,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import (formats, htmltext, jpegcodec, multimodal, pdfcodec,
-                pdftext, pngcodec, tiffcodec)
+from .. import (formats, gifcodec, htmltext, jpegcodec, multimodal,
+                pdfcodec, pdftext, pngcodec, tiffcodec)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -168,6 +168,11 @@ def _bucket_batches_fn(bucket_pages: int | None,
                             slice_fn = (
                                 lambda idx, _r=raw:
                                 tiffcodec.slice_pages(_r, idx)
+                            )
+                        elif kind == "gif":
+                            slice_fn = (
+                                lambda idx, _r=raw:
+                                gifcodec.slice_pages(_r, idx)
                             )
                     except ValueError:
                         slice_fn = None
@@ -290,6 +295,12 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 idx = (None if sliced
                        else list(range(int(lo), int(hi))))
                 pages = tiffcodec.decode_tiff(
+                    raw, mode="L", page_indices=idx,
+                )
+            elif kind == "gif":
+                idx = (None if sliced
+                       else list(range(int(lo), int(hi))))
+                pages = gifcodec.decode_gif(
                     raw, mode="L", page_indices=idx,
                 )
             elif formats.sniff_kind(raw) == "png":

@@ -546,3 +546,85 @@ def test_hybrid_bucket_drops_atomically_on_mid_doc_decode_failure():
     })
     res = extract_real._ocr_real_frame(frame, text_layer=True)
     assert len(res) == 0
+
+
+def reencode_gif_mixed(payload: bytes) -> bytes:
+    """Synthetic container bytes -> a multi-frame GIF when every page
+    shares one size (GIF frames must all match the logical screen), else
+    the real-PDF re-encoding. The mix exercises GIF and PDF dispatch in
+    ONE corpus the way a web crawl interleaves them."""
+    from ocr_platform_spark import gifcodec
+
+    _kind, pages = _render_pages(payload)
+    if len({p.shape for p in pages}) == 1:
+        return gifcodec.encode_gif(list(pages))
+    return reencode_real(payload)
+
+
+@pytest.fixture(scope="module")
+def gif_corpus(spark):
+    docs, media = corpus.generate(24, seed=909, max_pages=6)
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    gif = spark.createDataFrame(
+        [(ref, bytearray(reencode_gif_mixed(m["data"])))
+         for ref, m in media.items()],
+        "media_ref string, data binary",
+    )
+    return docs_df, gif
+
+
+def test_gif_pipeline_equals_synthetic_flagship(real_corpus, gif_corpus):
+    """Span-sequence equality over multi-frame GIF media (mixed with
+    real PDFs where page sizes vary) — covering gifcodec decode, the
+    GIF bucket/slice path and the shared OCR core in one assertion."""
+    from ocr_platform_spark import formats
+
+    docs_df, synth, _real = real_corpus
+    gdocs_df, gif = gif_corpus
+    # the mix is real: some payloads ARE GIFs
+    kinds = {formats.sniff_kind(bytes(r["data"]))
+             for r in gif.collect()}
+    assert "gif" in kinds
+    expected = _spans_by_doc(extract.extract_documents(docs_df, synth))
+    got = _spans_by_doc(
+        extract_real.extract_real_documents(gdocs_df, gif, bucket_pages=2)
+    )
+    assert set(got) == set(expected)
+    for doc_id in expected:
+        assert got[doc_id] == expected[doc_id], doc_id
+
+
+def test_gif_bucket_rows_slice(spark):
+    """Multi-frame GIFs slice per bucket: sliced=True rows whose payload
+    is smaller than the original multi-frame stream (the corpus rarely
+    emits same-size multi-page media, so the 5-frame GIF is built
+    directly)."""
+    from ocr_platform_spark import formats, gifcodec
+
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, (40, 60), dtype=np.uint8)
+              for _ in range(5)]
+    raw = gifcodec.encode_gif(frames)
+    docs_df = spark.createDataFrame(
+        [{"doc_id": "g1", "spans": [
+            {"kind": "gif", "text": None, "media_ref": "m-g",
+             "offset": 0}]}],
+        schema=schemas.DOCUMENTS,
+    )
+    media = spark.createDataFrame([("m-g", bytearray(raw))],
+                                  "media_ref string, data binary")
+    rows = extract_real.real_page_buckets(
+        docs_df, media, bucket_pages=2
+    ).collect()
+    buckets = sorted(r["bucket_index"] for r in rows)
+    assert buckets == [0, 1, 2]
+    for r in rows:
+        assert r["media_kind"] == "gif" and r["sliced"]
+        payload = bytes(r["data"])
+        assert formats.sniff_kind(payload) == "gif"
+        assert len(payload) < len(raw)
+        lo, hi = r["page_lo"], r["page_hi"]
+        got = gifcodec.decode_gif(payload, mode="L")
+        assert len(got) == hi - lo
+        for i, page in enumerate(got):
+            assert np.array_equal(page, frames[lo + i])

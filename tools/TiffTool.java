@@ -30,8 +30,12 @@ public final class TiffTool {
                        args.length > 4 ? Float.parseFloat(args[4]) : 0.9f);
         } else if (args[0].equals("decodejpeg")) {
             decodeJpeg(args[1], args[2]);
+        } else if (args[0].equals("encodegif")) {
+            encodeGif(args[1], args[2]);
+        } else if (args[0].equals("decodegif")) {
+            decodeGif(args[1], args[2], args.length > 3 ? Integer.parseInt(args[3]) : 0);
         } else {
-            throw new IllegalArgumentException("encode|decode|encodejpeg|decodejpeg");
+            throw new IllegalArgumentException("encode|decode|encodejpeg|decodejpeg|encodegif|decodegif");
         }
     }
 
@@ -124,6 +128,52 @@ public final class TiffTool {
         writer.write(null, new IIOImage(img, null, null), p);
         ios.close();
         writer.dispose();
+    }
+
+    // GIF ground truth: ImageIO's GIF plugin is LZW-lossless over an
+    // explicit palette, so both directions pin bit-exactly. P5 input
+    // encodes through a 256-gray IndexColorModel via raster.setSample
+    // (setRGB gamma-warps indexed/gray rasters); decode normalizes the
+    // palettized raster through getRGB and emits P6.
+    static void encodeGif(String pnmPath, String gifPath) throws Exception {
+        BufferedImage src = readPnm(pnmPath);
+        int w = src.getWidth(), h = src.getHeight();
+        byte[] ramp = new byte[256];
+        for (int i = 0; i < 256; i++) ramp[i] = (byte) i;
+        java.awt.image.IndexColorModel icm =
+            new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp);
+        BufferedImage img = new BufferedImage(w, h,
+            BufferedImage.TYPE_BYTE_INDEXED, icm);
+        int[] smp = new int[src.getRaster().getNumBands()];
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                src.getRaster().getPixel(x, y, smp);
+                img.getRaster().setSample(x, y, 0, smp[0]);
+            }
+        if (!ImageIO.write(img, "gif", new File(gifPath)))
+            throw new IOException("no GIF writer available");
+    }
+
+    static void decodeGif(String gifPath, String pnmPath, int page) throws Exception {
+        Iterator<ImageReader> it = ImageIO.getImageReadersByFormatName("gif");
+        ImageReader reader = it.next();
+        ImageInputStream iis = ImageIO.createImageInputStream(new File(gifPath));
+        reader.setInput(iis);
+        BufferedImage img = reader.read(page);
+        int w = img.getWidth(), h = img.getHeight();
+        OutputStream out = new BufferedOutputStream(new FileOutputStream(pnmPath));
+        out.write("P6\n".getBytes());
+        out.write((w + " " + h + "\n255\n").getBytes());
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int rgb = img.getRGB(x, y);
+                out.write((rgb >> 16) & 255);
+                out.write((rgb >> 8) & 255);
+                out.write(rgb & 255);
+            }
+        out.close();
+        reader.dispose();
+        iis.close();
     }
 
     static void decodeJpeg(String jpegPath, String pnmPath) throws Exception {
