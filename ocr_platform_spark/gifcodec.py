@@ -24,11 +24,13 @@ silent wrong raster):
 * GIF87a and GIF89a, global or per-frame local palettes, interlaced
   and sequential frames;
 * multi-frame streams ONLY when every frame covers the full logical
-  screen with no transparency — each frame then decodes as an
-  independent page, exactly the multi-page TIFF model. Animated GIFs
-  with partial-frame composition or transparent pixels require the
-  previous-canvas state; refusing them loudly beats compositing them
-  wrong (the OCR kernels would read ghosted text);
+  screen — each frame then decodes as an independent page, exactly the
+  multi-page TIFF model. Transparency is honored on the FIRST frame
+  (its transparent pixels composite over the spec-defined initial
+  canvas, the background color); animated GIFs with partial-frame
+  composition or transparency on later frames require the
+  previous-canvas state, and refusing them loudly beats compositing
+  them wrong (the OCR kernels would read ghosted text);
 * Plain Text / Application / Comment extensions are skipped by the
   sub-block grammar; a missing trailer or a broken sub-block chain
   quarantines (truncated payload).
@@ -258,7 +260,7 @@ def _parse(raw: bytes, want_data: bool) -> tuple[int, int, list[dict]]:
             f"GIF {width}x{height} exceeds pixel cap {MAX_PIXELS}"
         )
     frames: list[dict] = []
-    transparent = False
+    transparent_idx: "int | None" = None
     n = len(raw)
     while True:
         if pos >= n:
@@ -275,7 +277,8 @@ def _parse(raw: bytes, want_data: bool) -> tuple[int, int, list[dict]]:
             if label == 0xF9:  # Graphic Control Extension
                 if pos + 6 > n or raw[pos] != 4:
                     raise ValueError("malformed GIF graphic control block")
-                transparent = bool(raw[pos + 1] & 0x01)
+                transparent_idx = (raw[pos + 4]
+                                   if raw[pos + 1] & 0x01 else None)
                 pos = _skip_subblocks(raw, pos)
             else:
                 pos = _skip_subblocks(raw, pos)
@@ -301,10 +304,14 @@ def _parse(raw: bytes, want_data: bool) -> tuple[int, int, list[dict]]:
                 "partial-frame GIF composition unsupported (frame "
                 f"{fw}x{fh}@{left},{top} vs screen {width}x{height})"
             )
-        if transparent:
+        if transparent_idx is not None and frames:
+            # frame 0's transparent pixels composite over the spec-
+            # defined initial canvas (the background color) — decodable
+            # standalone; LATER frames composite over prior frames per
+            # their disposal method, which needs previous-canvas state
             raise ValueError(
-                "transparent GIF frames unsupported (compositing "
-                "requires previous-canvas state)"
+                "transparent GIF frames after the first unsupported "
+                "(compositing requires previous-canvas state)"
             )
         palette = lct if lct is not None else gct
         if palette is None:
@@ -314,12 +321,20 @@ def _parse(raw: bytes, want_data: bool) -> tuple[int, int, list[dict]]:
             raise ValueError("GIF truncated before LZW minimum code size")
         mcs = raw[pos]
         pos += 1
+        # structural header field, checked HERE so probe and decode
+        # agree — an out-of-range mcs must quarantine at probe time,
+        # not degrade to zero blocks at the OCR stage
+        if not 2 <= mcs <= 8:
+            raise ValueError(
+                f"GIF LZW minimum code size {mcs} outside 2..8"
+            )
         data_start = pos
         pos = _skip_subblocks(raw, pos)
         frame = {
             "interlace": bool(fpacked & 0x40),
             "palette": palette,
             "mcs": mcs,
+            "transparent": transparent_idx,
             # verbatim byte span of the whole image block (0x2C
             # introducer through the sub-block terminator) for slicing
             "span": (introducer, pos),
@@ -334,7 +349,7 @@ def _parse(raw: bytes, want_data: bool) -> tuple[int, int, list[dict]]:
                 p += 1 + ln
             frame["data"] = bytes(buf)
         frames.append(frame)
-        transparent = False
+        transparent_idx = None  # a GCE governs only the NEXT image
         if len(frames) > _MAX_FRAMES:
             raise ValueError(f"GIF exceeds frame cap {_MAX_FRAMES}")
     if not frames:
@@ -394,6 +409,12 @@ def decode_gif(
             raise ValueError(
                 f"frame index out of range (GIF has {len(frames)})"
             ) from e
+    # frame-0 transparent pixels composite over the spec-defined initial
+    # canvas: the background color (GCT[bg index]), white when absent
+    bg = (255, 255, 255)
+    if raw[10] & 0x80 and raw[11] < (2 << (raw[10] & 0x07)):
+        off = 13 + 3 * raw[11]
+        bg = tuple(raw[off:off + 3])
     out = []
     for fr in frames:
         idx = np.frombuffer(
@@ -401,6 +422,9 @@ def decode_gif(
             dtype=np.uint8,
         ).reshape(height, width)
         pal = np.frombuffer(fr["palette"], dtype=np.uint8).reshape(-1, 3)
+        if fr["transparent"] is not None and fr["transparent"] < len(pal):
+            pal = pal.copy()
+            pal[fr["transparent"]] = bg
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError(
                 f"GIF pixel index {int(idx.max())} outside "
@@ -439,6 +463,12 @@ def slice_pages(raw: bytes, page_indices) -> bytes:
         gct_end += 3 * (2 << (raw[10] & 0x07))
     out = bytearray(raw[:gct_end])
     for fr in picked:
+        if fr["transparent"] is not None:
+            # the GCE lives OUTSIDE the frame's verbatim span; dropping
+            # it would silently repaint transparent pixels with their
+            # palette color — re-emit a minimal equivalent GCE
+            out += (b"\x21\xf9\x04\x01\x00\x00"
+                    + bytes([fr["transparent"]]) + b"\x00")
         start, end = fr["span"]
         out += raw[start:end]
     out.append(0x3B)
@@ -466,6 +496,10 @@ def encode_gif(
     h, w = rgb[0].shape[:2]
     if any(f.shape[:2] != (h, w) for f in rgb):
         raise ValueError("all frames must share one size")
+    if not (1 <= w <= 0xFFFF and 1 <= h <= 0xFFFF):
+        raise ValueError(
+            f"frame size {w}x{h} outside GIF's 1..65535 u16 range"
+        )
     flat = np.concatenate([f.reshape(-1, 3) for f in rgb])
     colors = np.unique(flat, axis=0)
     if colors.shape[0] > 256:

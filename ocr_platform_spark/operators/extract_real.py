@@ -94,6 +94,15 @@ from .extract import (
 #: K pages of raster work bound each task's CPU time.
 DEFAULT_BUCKET_PAGES = 8
 
+#: multi-page container codecs sharing the (slice_pages, decode) shape —
+#: a new paged format registers here once and both the bucket slicer and
+#: the OCR-stage decoder pick it up (PDF stays special: its slicer is a
+#: parse-once object and its decode is the text-layer/raster hybrid)
+_PAGED_CODECS = {
+    "tiff": (tiffcodec.slice_pages, tiffcodec.decode_tiff),
+    "gif": (gifcodec.slice_pages, gifcodec.decode_gif),
+}
+
 REAL_BUCKET = (
     "doc_id string, offset int, media_ref string, media_kind string, "
     "bucket_index int, page_lo int, page_hi int, error string, "
@@ -164,15 +173,10 @@ def _bucket_batches_fn(bucket_pages: int | None,
                     try:
                         if kind == "pdf":
                             slice_fn = pdfcodec._Slicer(raw).slice
-                        elif kind == "tiff":
+                        elif kind in _PAGED_CODECS:
                             slice_fn = (
-                                lambda idx, _r=raw:
-                                tiffcodec.slice_pages(_r, idx)
-                            )
-                        elif kind == "gif":
-                            slice_fn = (
-                                lambda idx, _r=raw:
-                                gifcodec.slice_pages(_r, idx)
+                                lambda idx, _r=raw, _k=kind:
+                                _PAGED_CODECS[_k][0](_r, idx)
                             )
                     except ValueError:
                         slice_fn = None
@@ -291,16 +295,10 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 pages = pdfcodec.decode_pdf(
                     raw, page_indices=idx, mode="L",
                 )
-            elif kind == "tiff":
+            elif kind in _PAGED_CODECS:
                 idx = (None if sliced
                        else list(range(int(lo), int(hi))))
-                pages = tiffcodec.decode_tiff(
-                    raw, mode="L", page_indices=idx,
-                )
-            elif kind == "gif":
-                idx = (None if sliced
-                       else list(range(int(lo), int(hi))))
-                pages = gifcodec.decode_gif(
+                pages = _PAGED_CODECS[kind][1](
                     raw, mode="L", page_indices=idx,
                 )
             elif formats.sniff_kind(raw) == "png":

@@ -36,11 +36,14 @@ def _structured_gray(w=200, h=120, seed=11):
 
 
 def test_lzw_hand_assembled_lsb_first_stream():
-    """Canonical bit vector: mcs=2 → clear=4, end=5, width 3. Codes
-    [clear, 0, 1, 2, end] pack LSB-first into exactly b"\\x44\\x54"
-    (first code in the LOW bits of byte 0 — the opposite of TIFF LZW)."""
-    data = bytes([0x44, 0x54])
-    assert gifcodec.lzw_decode_gif(data, 2, 3) == bytes([0, 1, 2])
+    """Canonical bit vector: mcs=2 → clear=4, end=5, width starts 3.
+    Codes [clear, 0, 1, 2, 8, end]: after code 2 the table reaches 8
+    entries, so code 8 (a KwKwK reference needing the 4th bit — a
+    late-bumping decoder misreads it) and End are read at width 4.
+    Packs LSB-first into exactly b"\\x44\\x84\\x05" (first code in the
+    LOW bits of byte 0 — the opposite of TIFF LZW)."""
+    data = bytes([0x44, 0x84, 0x05])
+    assert gifcodec.lzw_decode_gif(data, 2, 5) == bytes([0, 1, 2, 2, 2])
 
 
 def test_lzw_round_trip_and_kwkwk():
@@ -193,15 +196,17 @@ def test_quarantine_conditions():
     bad[desc + 6] = 0
     with pytest.raises(ValueError, match="partial-frame"):
         gifcodec.decode_gif(bytes(bad))
-    # transparency flag in a GCE before the frame
-    gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"
-    trans = raw[:desc] + gce + raw[desc:]
-    with pytest.raises(ValueError, match="transparent"):
-        gifcodec.decode_gif(trans)
     # a non-transparent GCE is fine (plain animation timing)
     gce_ok = b"\x21\xf9\x04\x00\x05\x00\x00\x00"
     ok = raw[:desc] + gce_ok + raw[desc:]
     assert np.array_equal(gifcodec.decode_gif(ok, mode="L")[0], f)
+    # out-of-range LZW minimum code size is STRUCTURAL: probe must
+    # quarantine it (not leave it for a silent decode-stage degrade)
+    mcs_byte = desc + 10
+    for bad_mcs in (0, 1, 9, 255):
+        broken = _tamper(raw, mcs_byte, bad_mcs)
+        with pytest.raises(ValueError, match="minimum code size"):
+            gifcodec.probe_gif(broken)
     # pixel index outside the palette: 2-entry GCT, mcs=8 stream
     # carrying index 5
     lzw = gifcodec.lzw_encode_gif(bytes([0, 5]), 8)
@@ -272,3 +277,65 @@ def test_we_decode_imageio_gifs_bitexact(tifftool, tmp_path):
     tifftool("encodegif", tmp_path / "in.pgm", tmp_path / "j.gif")
     raw = (tmp_path / "j.gif").read_bytes()
     assert np.array_equal(gifcodec.decode_gif(raw, mode="L")[0], f)
+
+
+# --- transparency (first frame composites over the background color) ----------
+
+
+def _gce(transparent_idx=None, delay=0):
+    packed = 0x01 if transparent_idx is not None else 0x00
+    return bytes([0x21, 0xF9, 0x04, packed, delay & 0xFF, delay >> 8,
+                  transparent_idx or 0, 0x00])
+
+
+def test_first_frame_transparency_composites_over_background():
+    """Frame 0's transparent pixels are well-defined without any prior
+    canvas: they show the logical-screen background color. Built by
+    hand so the background index, palette and transparent index are all
+    explicit."""
+    # 4-entry GCT: black, white, red, green; background index 1 (white)
+    gct = bytes([0, 0, 0, 255, 255, 255, 200, 10, 10, 10, 200, 10])
+    lzw = gifcodec.lzw_encode_gif(bytes([0, 2, 3, 2]), 2)
+    raw = (b"GIF89a" + b"\x04\x00\x01\x00" + bytes([0x81]) + b"\x01\x00"
+           + gct
+           + _gce(transparent_idx=2)
+           + b"\x2c\x00\x00\x00\x00\x04\x00\x01\x00\x00"
+           + b"\x02" + bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b")
+    page = gifcodec.decode_gif(raw)[0]
+    # index 2 (red) is transparent -> background white; others keep
+    assert page.tolist() == [[[0, 0, 0], [255, 255, 255],
+                              [10, 200, 10], [255, 255, 255]]]
+    assert gifcodec.probe_gif(raw) == (1, 4, 1)
+
+
+def test_transparency_on_later_frames_quarantines():
+    f = _structured_gray(20, 15, seed=6)
+    raw = gifcodec.encode_gif([f, f])
+    desc1 = 13 + 3 * (2 << (raw[10] & 7))
+    assert raw[desc1] == 0x2C
+    # second frame's introducer: skip to it via the first frame's span
+    from ocr_platform_spark.gifcodec import _parse
+
+    _w, _h, frames = _parse(raw, want_data=False)
+    desc2 = frames[1]["span"][0]
+    trans2 = raw[:desc2] + _gce(transparent_idx=0) + raw[desc2:]
+    with pytest.raises(ValueError, match="after the first"):
+        gifcodec.probe_gif(trans2)
+    # ... on the FIRST frame the same GCE is accepted
+    trans1 = raw[:desc1] + _gce(transparent_idx=0) + raw[desc1:]
+    assert gifcodec.probe_gif(trans1) == (2, 20, 15)
+
+
+def test_slice_preserves_first_frame_transparency():
+    """The GCE lives outside the frame's verbatim span; the slicer must
+    re-emit it or transparent pixels silently repaint."""
+    gct = bytes([0, 0, 0, 255, 255, 255, 200, 10, 10, 10, 200, 10])
+    lzw = gifcodec.lzw_encode_gif(bytes([2, 0, 2, 1]), 2)
+    raw = (b"GIF89a" + b"\x04\x00\x01\x00" + bytes([0x81]) + b"\x01\x00"
+           + gct
+           + _gce(transparent_idx=2)
+           + b"\x2c\x00\x00\x00\x00\x04\x00\x01\x00\x00"
+           + b"\x02" + bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b")
+    sliced = gifcodec.slice_pages(raw, [0])
+    assert np.array_equal(gifcodec.decode_gif(sliced)[0],
+                          gifcodec.decode_gif(raw)[0])
