@@ -485,9 +485,10 @@ def encode_gif(
     decodable by :func:`decode_gif`, PIL, and Java ImageIO."""
     if not frames:
         raise ValueError("encode_gif needs at least one frame")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    all_gray = all(a.ndim == 2 for a in arrs)
     rgb = []
-    for f in frames:
-        a = np.asarray(f, dtype=np.uint8)
+    for a in arrs:
         if a.ndim == 2:
             a = np.stack([a, a, a], axis=-1)
         if a.ndim != 3 or a.shape[2] != 3:
@@ -500,29 +501,40 @@ def encode_gif(
         raise ValueError(
             f"frame size {w}x{h} outside GIF's 1..65535 u16 range"
         )
-    flat = np.concatenate([f.reshape(-1, 3) for f in rgb])
-    colors = np.unique(flat, axis=0)
-    if colors.shape[0] > 256:
-        raise ValueError(f"{colors.shape[0]} distinct colors exceed "
-                         "the 256-entry GIF palette")
-    # palette size: power of two >= count, min 4 (mcs floor is 2)
-    bits = max(2, int(np.ceil(np.log2(max(2, colors.shape[0])))))
-    n_ent = 1 << bits
-    pal = np.zeros((n_ent, 3), dtype=np.uint8)
-    pal[:colors.shape[0]] = colors
-    # color -> index lookup via a dense key table
-    keys = (colors[:, 0].astype(np.uint32) << 16) \
-        | (colors[:, 1].astype(np.uint32) << 8) | colors[:, 2]
-    lut = {int(k): i for i, k in enumerate(keys)}
+    if all_gray:
+        # gray fast path: the 256-entry ramp palette makes every pixel
+        # its own index — no color collection, no per-pixel lookup
+        bits = 8
+        pal = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+        keys = None
+    else:
+        flat = np.concatenate([f.reshape(-1, 3) for f in rgb])
+        colors = np.unique(flat, axis=0)
+        if colors.shape[0] > 256:
+            raise ValueError(f"{colors.shape[0]} distinct colors exceed "
+                             "the 256-entry GIF palette")
+        # palette size: power of two >= count, min 4 (mcs floor is 2)
+        bits = max(2, int(np.ceil(np.log2(max(2, colors.shape[0])))))
+        pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+        pal[:colors.shape[0]] = colors
+        # color -> index: np.unique(axis=0) sorts rows lexicographically,
+        # so the packed keys are sorted and searchsorted is exact (and
+        # C-speed — a per-pixel Python dict lookup was the encode
+        # bottleneck at corpus scale)
+        keys = (colors[:, 0].astype(np.uint32) << 16) \
+            | (colors[:, 1].astype(np.uint32) << 8) | colors[:, 2]
     out = bytearray(b"GIF89a")
     out += bytes((w & 0xFF, w >> 8, h & 0xFF, h >> 8))
     out.append(0x80 | ((bits - 1) & 0x07) << 4 | (bits - 1))  # GCT flag
     out += b"\x00\x00"  # bg index, aspect
     out += pal.tobytes()
-    for f in rgb:
-        key = (f[:, :, 0].astype(np.uint32) << 16) \
-            | (f[:, :, 1].astype(np.uint32) << 8) | f[:, :, 2]
-        idx = np.vectorize(lut.__getitem__, otypes=[np.uint8])(key)
+    for a, f in zip(arrs, rgb):
+        if keys is None:
+            idx = a  # gray ramp: pixel value IS the palette index
+        else:
+            key = (f[:, :, 0].astype(np.uint32) << 16) \
+                | (f[:, :, 1].astype(np.uint32) << 8) | f[:, :, 2]
+            idx = np.searchsorted(keys, key).astype(np.uint8)
         if interlace:
             order = np.concatenate([
                 np.arange(start, h, step)

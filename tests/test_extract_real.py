@@ -550,13 +550,15 @@ def test_hybrid_bucket_drops_atomically_on_mid_doc_decode_failure():
 
 def reencode_gif_mixed(payload: bytes) -> bytes:
     """Synthetic container bytes -> a multi-frame GIF when every page
-    shares one size (GIF frames must all match the logical screen), else
-    the real-PDF re-encoding. The mix exercises GIF and PDF dispatch in
-    ONE corpus the way a web crawl interleaves them."""
+    shares one size (GIF frames must all match the logical screen) and
+    the media is short — web GIFs are images and short documents, not
+    200-page scans — else the real-PDF re-encoding. The mix exercises
+    GIF and PDF dispatch in ONE corpus the way a web crawl interleaves
+    them."""
     from ocr_platform_spark import gifcodec
 
     _kind, pages = _render_pages(payload)
-    if len({p.shape for p in pages}) == 1:
+    if len(pages) <= 16 and len({p.shape for p in pages}) == 1:
         return gifcodec.encode_gif(list(pages))
     return reencode_real(payload)
 
