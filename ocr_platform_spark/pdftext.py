@@ -18,15 +18,20 @@ Supported subset (everything outside it raises ``ValueError`` at the
 probe, so unsupported documents quarantine with a triage row instead of
 extracting silently-wrong text):
 
-* simple 1-byte fonts: ``/Type1``, ``/TrueType``, ``/MMType1``.
-  Composite ``/Type0`` (CID) and ``/Type3`` (procedure glyph) fonts are
-  refused — mapping multi-byte CID text without the font program risks
-  silent mojibake, the one failure mode this engine never allows.
-* character decode precedence: ``/ToUnicode`` CMap (1-byte codes) if
-  present, else ``/Encoding`` (``WinAnsiEncoding`` / ``MacRomanEncoding``
+* simple 1-byte fonts (``/Type1``, ``/TrueType``, ``/MMType1``) and
+  composite ``/Type0`` with ``/Encoding /Identity-H`` + ``/ToUnicode``
+  — the dominant born-digital class (every embedded-TrueType producer
+  emits one): 2-byte big-endian codes, code == CID, widths from the
+  descendant CIDFont's ``/W``+``/DW``. Type0 WITHOUT ``/ToUnicode``
+  (opaque glyph ids), non-Identity CMaps, Identity-V (vertical
+  layout) and ``/Type3`` (procedure glyph) fonts are refused — mapping
+  them without the font program risks silent mojibake, the one failure
+  mode this engine never allows.
+* character decode precedence: ``/ToUnicode`` CMap if present, else
+  ``/Encoding`` (``WinAnsiEncoding`` / ``MacRomanEncoding``
   / ``StandardEncoding`` by name, or a dictionary with ``/BaseEncoding``
   + ``/Differences`` over an Adobe-glyph-list subset), else the font
-  default ``StandardEncoding``. An unmapped byte raises — never ``?``.
+  default ``StandardEncoding``. An unmapped code raises — never ``?``.
 * axis-aligned text (text-space * CTM with no rotation/shear term);
   page-level ``/Rotate`` right angles are honored by transforming the
   emitted boxes exactly as the raster path rotates its canvas.
@@ -227,11 +232,12 @@ _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 
 
-def _hex_code(tok: bytes) -> int:
+def _hex_code(tok: bytes, code_bytes: int = 1) -> int:
     v = int(tok, 16)
-    if len(tok) > 4 or v > 0xFF:
+    if len(tok) > 2 * max(code_bytes, 2) or v > (1 << 8 * code_bytes) - 1:
         raise ValueError(
-            "multi-byte ToUnicode source code: composite fonts unsupported"
+            f"ToUnicode source code {tok!r} wider than the font's "
+            f"{code_bytes}-byte codespace"
         )
     return v
 
@@ -242,17 +248,19 @@ def _hex_text(tok: bytes) -> str:
     return bytes.fromhex(tok.decode("ascii")).decode("utf-16-be")
 
 
-def parse_tounicode(data: bytes) -> dict[int, str]:
-    """1-byte ``/ToUnicode`` CMap -> {code: text}. bfchar and bfrange
-    sections only (the subset simple-font producers emit); sources wider
-    than one byte raise — that is Type0 territory."""
+def parse_tounicode(data: bytes, code_bytes: int = 1) -> dict[int, str]:
+    """``/ToUnicode`` CMap -> {code: text}. bfchar and bfrange sections
+    only (the subset real producers emit). ``code_bytes`` is the font's
+    codespace width: 1 for simple fonts, 2 for Identity-H composite
+    fonts (where the code IS the CID); sources wider than the declared
+    codespace raise."""
     table: dict[int, str] = {}
     for m in _BFCHAR_RE.finditer(data):
         toks = _HEX_RE.findall(m.group(1))
         if len(toks) % 2:
             raise ValueError("unpaired bfchar entry in ToUnicode CMap")
         for src, dst in zip(toks[::2], toks[1::2]):
-            table[_hex_code(src)] = _hex_text(dst)
+            table[_hex_code(src, code_bytes)] = _hex_text(dst)
     for m in _BFRANGE_RE.finditer(data):
         body = m.group(1)
         pos = 0
@@ -260,11 +268,11 @@ def parse_tounicode(data: bytes) -> dict[int, str]:
             mm = _HEX_RE.search(body, pos)
             if not mm:
                 break
-            lo = _hex_code(mm.group(1))
+            lo = _hex_code(mm.group(1), code_bytes)
             m2 = _HEX_RE.search(body, mm.end())
             if not m2:
                 raise ValueError("truncated bfrange in ToUnicode CMap")
-            hi = _hex_code(m2.group(1))
+            hi = _hex_code(m2.group(1), code_bytes)
             pos = m2.end()
             nxt = _skip_ws(body, pos)
             if nxt < len(body) and body[nxt] == 0x5B:  # [ dst dst ... ]
@@ -304,6 +312,11 @@ class _Font:
     missing_width: float
     ascent: float    # fraction of em
     descent: float   # fraction of em (positive)
+    #: string-code width: 1 (simple fonts) or 2 (Identity-H CID fonts,
+    #: big-endian codes; the code IS the CID)
+    code_bytes: int = 1
+    #: CID -> width (composite fonts' /W); missing_width is then /DW
+    width_map: "dict[int, float] | None" = None
 
     def decode_char(self, code: int) -> str:
         got = self.decode_map.get(code)
@@ -314,22 +327,113 @@ class _Font:
         return got
 
     def width(self, code: int) -> float:
+        if self.width_map is not None:
+            return self.width_map.get(code, self.missing_width)
         if self.widths is not None:
             i = code - self.first_char
             if 0 <= i < len(self.widths):
                 return self.widths[i]
         return self.missing_width
 
+    def codes(self, s: bytes) -> "list[int] | bytes":
+        """Split a show-operator string into character codes per the
+        font's codespace width."""
+        if self.code_bytes == 1:
+            return s
+        if len(s) % 2:
+            raise ValueError(
+                "odd-length show string for a 2-byte CID font"
+            )
+        return [(s[i] << 8) | s[i + 1] for i in range(0, len(s), 2)]
+
 
 _SIMPLE_SUBTYPES = {"Type1", "TrueType", "MMType1"}
 
 
+def _parse_cid_widths(doc: _Document, w) -> dict[int, float]:
+    """CIDFont ``/W`` array -> {cid: width}. Two entry forms per PDF
+    9.7.4.3: ``c [w1 w2 ...]`` and ``c_first c_last w``."""
+    if w is None:
+        return {}
+    if not isinstance(w, list):
+        raise ValueError("CIDFont /W is not an array")
+    out: dict[int, float] = {}
+    i = 0
+    while i < len(w):
+        if i + 1 >= len(w):
+            raise ValueError("truncated CIDFont /W array")
+        c = int(doc.get(w[i]))
+        nxt = doc.get(w[i + 1])
+        if isinstance(nxt, list):
+            for j, ww in enumerate(nxt):
+                out[c + j] = float(doc.get(ww))
+            i += 2
+        else:
+            if i + 2 >= len(w):
+                raise ValueError("truncated CIDFont /W range entry")
+            c2 = int(nxt)
+            if not 0 <= c <= c2 <= 0xFFFF:
+                raise ValueError(f"CIDFont /W range {c}..{c2} invalid")
+            ww = float(doc.get(w[i + 2]))
+            for cid in range(c, c2 + 1):
+                out[cid] = ww
+            i += 3
+    return out
+
+
+def _load_type0_font(doc: _Document, fdict: dict) -> _Font:
+    """Composite ``/Type0`` font, the dominant born-digital class
+    (every embedded-TrueType producer emits one). Supported subset:
+    ``/Encoding /Identity-H`` (2-byte big-endian codes, code == CID)
+    WITH a ``/ToUnicode`` CMap — without one the CIDs are opaque glyph
+    ids and extracting them would be mojibake, so it quarantines.
+    Vertical writing (Identity-V) and embedded CMap streams raise."""
+    enc = doc.get(fdict.get("Encoding", None))
+    if not isinstance(enc, (str, _Name)) or str(enc) != "Identity-H":
+        raise ValueError(
+            f"Type0 /Encoding /{doc.get(enc)!s} unsupported "
+            "(Identity-H only: other CMaps need code->CID tables, "
+            "Identity-V needs vertical layout)"
+        )
+    tu = fdict.get("ToUnicode")
+    if tu is None:
+        raise ValueError(
+            "Type0 font without /ToUnicode: CIDs are opaque glyph ids "
+            "and extracting them would be silent mojibake"
+        )
+    _d, data = doc.get_stream(tu)
+    decode_map = parse_tounicode(data, code_bytes=2)
+    desc = doc.get(fdict.get("DescendantFonts", None))
+    if isinstance(desc, list) and len(desc) == 1:
+        df = doc.get(desc[0])
+    else:
+        df = None
+    if not isinstance(df, dict):
+        raise ValueError("Type0 /DescendantFonts is not a 1-element array")
+    dw = float(doc.get(df.get("DW", 1000)) or 1000)
+    width_map = _parse_cid_widths(doc, doc.get(df.get("W", None)))
+    ascent, descent = DEFAULT_ASCENT, DEFAULT_DESCENT
+    fd = doc.get(df.get("FontDescriptor", None))
+    if isinstance(fd, dict):
+        asc = doc.get(fd.get("Ascent", None))
+        if asc:
+            ascent = float(asc) / 1000.0
+        dsc = doc.get(fd.get("Descent", None))
+        if dsc:
+            descent = abs(float(dsc)) / 1000.0
+    return _Font(decode_map, None, 0, dw, ascent, descent,
+                 code_bytes=2, width_map=width_map)
+
+
 def _load_font(doc: _Document, fdict: dict) -> _Font:
     subtype = str(doc.get(fdict.get("Subtype", "")))
+    if subtype == "Type0":
+        return _load_type0_font(doc, fdict)
     if subtype not in _SIMPLE_SUBTYPES:
         raise ValueError(
-            f"font subtype /{subtype} unsupported (simple 1-byte fonts "
-            "only: composite/Type3 text risks silent mojibake)"
+            f"font subtype /{subtype} unsupported (simple 1-byte and "
+            "Identity-H composite fonts only: Type3/other text risks "
+            "silent mojibake)"
         )
     # decode precedence: ToUnicode, else /Encoding (+Differences)
     decode_map: dict[int, str]
@@ -496,10 +600,12 @@ def _page_text_runs(
         size_dev = ts.size * d
         chars = []
         adv = 0.0  # text-space x advance
-        for code in s:
+        for code in ts.font.codes(s):
             chars.append(ts.font.decode_char(code))
             w = ts.font.width(code) / 1000.0 * ts.size + ts.char_spacing
-            if code == 32:
+            # PDF 9.3.3: word spacing applies to byte 32 of SINGLE-byte
+            # codes only — a 2-byte CID 32 never takes Tw
+            if code == 32 and ts.font.code_bytes == 1:
                 w += ts.word_spacing
             adv += w * ts.h_scale
         runs.append(_Run(

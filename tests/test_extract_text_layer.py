@@ -43,17 +43,51 @@ def page_ocr_blocks(img: np.ndarray) -> list[tuple[int, int, str]]:
     return [(y1, x1, text) for y1, x1, _bi, text in rows]
 
 
-def text_layer_pdf(rasters: list[np.ndarray]) -> bytes:
+def _cid_font_objs() -> dict[int, bytes]:
+    """Identity-H composite font over the 32-char corpus alphabet:
+    CID = alphabet index + 1, ToUnicode bfchar per glyph."""
+    from ocr_platform_spark import kernels
+
+    pairs = b" ".join(
+        f"<{i + 1:04X}> <{ord(ch):04X}>".encode()
+        for i, ch in enumerate(kernels.ALPHABET)
+    )
+    cmap = (b"%d beginbfchar " % len(kernels.ALPHABET)) + pairs \
+        + b" endbfchar"
+    return {
+        3: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Emb "
+            b"/Encoding /Identity-H /DescendantFonts [9001 0 R] "
+            b"/ToUnicode 9002 0 R >>"),
+        9001: (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Emb "
+             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+             b"/Supplement 0 >> /DW 500 >>"),
+        9002: stream_obj("", cmap),
+    }
+
+
+def _cid_hex(line: str) -> bytes:
+    from ocr_platform_spark import kernels
+
+    idx = {ch: i + 1 for i, ch in enumerate(kernels.ALPHABET)}
+    return b"<" + b"".join(b"%04X" % idx[ch] for ch in line) + b">"
+
+
+def text_layer_pdf(rasters: list[np.ndarray], cid: bool = False) -> bytes:
     """Born-digital PDF whose text layer reproduces each page's OCR
     blocks: line ``i`` of a block is a ``Tj`` targeted at pixel
     ``(x1, y1 + i)`` (the 1 px stack keeps a block's lines contiguous
-    under the global ``(y, x)`` sort — corpus bands are >= 28 px apart)."""
+    under the global ``(y, x)`` sort — corpus bands are >= 28 px apart).
+    ``cid=True`` writes the SAME layer through an Identity-H composite
+    font (2-byte codes) instead of 1-byte WinAnsi Helvetica."""
     objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
     font_num = 3
-    objs[font_num] = (
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-        b"/Encoding /WinAnsiEncoding >>"
-    )
+    if cid:
+        objs.update(_cid_font_objs())
+    else:
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"
+        )
     kids, nxt = [], 4
     for img in rasters:
         h_px, w_px = img.shape[:2]
@@ -65,9 +99,11 @@ def text_layer_pdf(rasters: list[np.ndarray]) -> bytes:
                 baseline_px = (y1 + i) + ASCENT * FONT_PTS * SCALE
                 tx = x1 / SCALE
                 ty = (h_px - baseline_px) / SCALE
+                shown = (_cid_hex(line) if cid
+                         else f"({_pdf_escape(line)})".encode())
                 parts.append(
-                    f"1 0 0 1 {tx:.10f} {ty:.10f} Tm "
-                    f"({_pdf_escape(line)}) Tj".encode()
+                    f"1 0 0 1 {tx:.10f} {ty:.10f} Tm ".encode()
+                    + shown + b" Tj"
                 )
         parts.append(b"ET")
         if len(parts) == 2:
@@ -132,6 +168,38 @@ def test_text_layer_pipeline_equals_flagship_modulo_line_split(text_corpus):
     flagship = _spans_by_doc(extract.extract_documents(docs_df, synth))
     got = _spans_by_doc(
         extract_real.extract_real_documents(docs_df, real, bucket_pages=2)
+    )
+    assert set(got) == set(flagship)
+    for doc_id in flagship:
+        assert got[doc_id] == split_pdf_spans(flagship[doc_id], pdf_refs), (
+            doc_id
+        )
+
+
+def test_identity_h_text_layer_pipeline_equals_flagship(text_corpus):
+    """The SAME text layer written through Identity-H composite fonts
+    (2-byte codes + ToUnicode, the dominant born-digital class) must
+    extract identically to the 1-byte variant — span-sequence equality
+    with the flagship, modulo the line split."""
+    docs_df, synth, _real, pdf_refs = text_corpus
+    docs, media = corpus.generate(24, seed=909, max_pages=6)
+    reenc = {}
+    for ref, m in media.items():
+        kind, rasters = _render_pages(m["data"])
+        if kind == "image":
+            reenc[ref] = pngcodec.encode_png(
+                np.stack([rasters[0]] * 3, axis=-1))
+        else:
+            reenc[ref] = text_layer_pdf(rasters, cid=True)
+    spark = docs_df.sparkSession
+    cid_media = spark.createDataFrame(
+        [(ref, bytearray(d)) for ref, d in reenc.items()],
+        "media_ref string, data binary",
+    )
+    flagship = _spans_by_doc(extract.extract_documents(docs_df, synth))
+    got = _spans_by_doc(
+        extract_real.extract_real_documents(docs_df, cid_media,
+                                            bucket_pages=2)
     )
     assert set(got) == set(flagship)
     for doc_id in flagship:

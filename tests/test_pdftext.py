@@ -222,7 +222,7 @@ def test_tounicode_multibyte_codes_raise():
             b"/ToUnicode 6 0 R >>")
     raw = one_page(b"BT /F1 10 Tf 10 50 Td (A) Tj ET", font=font,
                    extra_objs={6: stream_obj("", cmap)})
-    with pytest.raises(ValueError, match="composite|multi-byte"):
+    with pytest.raises(ValueError, match="wider than the font's 1-byte"):
         pdftext.validate_hybrid(raw)
 
 
@@ -490,3 +490,92 @@ def test_whitespace_only_blank_page_is_empty_text_page():
     pages = pdftext.extract_hybrid_pages(raw)
     assert pages[0][0] == "text" and pages[0][1] == []
     assert pdftext.validate_hybrid(raw)[0] == 1
+
+
+# --- composite fonts (Type0 / Identity-H) --------------------------------------
+
+
+def _identity_h_objs(cmap: bytes, cid_font_extra: bytes = b"",
+                     font_extra: bytes = b"") -> dict[int, bytes]:
+    return {
+        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Emb "
+            b"/Encoding /Identity-H /DescendantFonts [7 0 R] "
+            b"/ToUnicode 6 0 R" + font_extra + b" >>"),
+        6: stream_obj("", cmap),
+        7: (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Emb "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /DW 500 "
+            b"/W [1 [600 700] 5 8 800]" + cid_font_extra + b" >>"),
+    }
+
+
+def test_identity_h_decodes_and_advances():
+    """The dominant born-digital class: 2-byte big-endian codes, code ==
+    CID, ToUnicode text, /W + /DW widths. CIDs 1,2 carry explicit
+    widths (600,700), CID 9 falls back to /DW 500."""
+    cmap = (b"3 beginbfchar <0001> <0041> <0002> <0042> "
+            b"<0009> <0043> endbfchar")
+    raw = one_page(b"BT /F1 10 Tf 10 50 Td <000100020009> Tj ET",
+                   extra_objs=_identity_h_objs(cmap))
+    blocks = blocks_of(raw)
+    assert [b.text for b in blocks] == ["ABC"]
+    # advance = (600 + 700 + 500)/1000 * 10pt = 18pt; endpoints round
+    # independently in pixel space
+    blk = blocks[0]
+    assert (blk.x1, blk.x2) == (round(10 * SCALE), round((10 + 18) * SCALE))
+    assert pdftext.validate_hybrid(raw)[0] == 1
+
+
+def test_identity_h_bfrange_and_tj_kern():
+    cmap = b"1 beginbfrange <0001> <0003> <0061> endbfrange"
+    raw = one_page(
+        b"BT /F1 10 Tf 10 50 Td [<0001> -1000 <00020003>] TJ ET",
+        extra_objs=_identity_h_objs(cmap))
+    # -1000/1000 em kern = -10pt: pulls the runs apart in TEXT space but
+    # the decode itself stays exact
+    assert "".join(b.text for b in blocks_of(raw)) in ("abc", "a bc")
+
+
+def test_identity_h_word_spacing_never_applies():
+    """PDF 9.3.3: Tw applies to byte 32 of SINGLE-byte codes only — a
+    2-byte CID 32 must not take word spacing (a wrong Tw widens the
+    advance and splits blocks)."""
+    cmap = (b"3 beginbfchar <0020> <0020> <0001> <0041> "
+            b"<0002> <0042> endbfchar")
+    with_tw = one_page(
+        b"BT /F1 10 Tf 100 Tw 10 50 Td <000100200002> Tj ET",
+        extra_objs=_identity_h_objs(cmap))
+    without = one_page(
+        b"BT /F1 10 Tf 10 50 Td <000100200002> Tj ET",
+        extra_objs=_identity_h_objs(cmap))
+    bw, bo = blocks_of(with_tw), blocks_of(without)
+    assert [(b.x1, b.x2, b.text) for b in bw] == \
+        [(b.x1, b.x2, b.text) for b in bo]
+
+
+def test_identity_h_refusals():
+    cmap = b"1 beginbfchar <0001> <0041> endbfchar"
+    # odd-length show string
+    raw = one_page(b"BT /F1 10 Tf 10 50 Td <000100> Tj ET",
+                   extra_objs=_identity_h_objs(cmap))
+    with pytest.raises(ValueError, match="odd-length"):
+        pdftext.validate_hybrid(raw)
+    # unmapped CID
+    raw = one_page(b"BT /F1 10 Tf 10 50 Td <0004> Tj ET",
+                   extra_objs=_identity_h_objs(cmap))
+    with pytest.raises(ValueError, match="unmapped"):
+        pdftext.validate_hybrid(raw)
+    # Identity-V (vertical layout)
+    objs = _identity_h_objs(cmap)
+    objs[5] = objs[5].replace(b"/Identity-H", b"/Identity-V")
+    raw = one_page(b"BT /F1 10 Tf 10 50 Td <0001> Tj ET",
+                   extra_objs=objs)
+    with pytest.raises(ValueError, match="Identity-H only"):
+        pdftext.validate_hybrid(raw)
+    # Type0 without ToUnicode: opaque glyph ids
+    objs = _identity_h_objs(cmap)
+    objs[5] = objs[5].replace(b"/ToUnicode 6 0 R", b"")
+    raw = one_page(b"BT /F1 10 Tf 10 50 Td <0001> Tj ET",
+                   extra_objs=objs)
+    with pytest.raises(ValueError, match="without /ToUnicode"):
+        pdftext.validate_hybrid(raw)
