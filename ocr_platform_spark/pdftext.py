@@ -365,6 +365,11 @@ def _parse_cid_widths(doc: _Document, w) -> dict[int, float]:
         c = int(doc.get(w[i]))
         nxt = doc.get(w[i + 1])
         if isinstance(nxt, list):
+            if not (0 <= c and c + len(nxt) - 1 <= 0xFFFF):
+                raise ValueError(
+                    f"CIDFont /W list entry at CID {c} ({len(nxt)} "
+                    "widths) leaves the 16-bit CID range"
+                )
             for j, ww in enumerate(nxt):
                 out[c + j] = float(doc.get(ww))
             i += 2
@@ -410,10 +415,20 @@ def _load_type0_font(doc: _Document, fdict: dict) -> _Font:
         df = None
     if not isinstance(df, dict):
         raise ValueError("Type0 /DescendantFonts is not a 1-element array")
-    dw = float(doc.get(df.get("DW", 1000)) or 1000)
+    dw_val = doc.get(df.get("DW", None))
+    # /DW 0 is legal (zero-width default glyphs) — only ABSENCE defaults
+    dw = 1000.0 if dw_val is None else float(dw_val)
     width_map = _parse_cid_widths(doc, doc.get(df.get("W", None)))
+    ascent, descent = _descriptor_metrics(
+        doc, doc.get(df.get("FontDescriptor", None)))
+    return _Font(decode_map, None, 0, dw, ascent, descent,
+                 code_bytes=2, width_map=width_map)
+
+
+def _descriptor_metrics(doc: _Document, fd) -> tuple[float, float]:
+    """``/FontDescriptor`` -> (ascent, descent) em fractions, shared by
+    the simple and composite loaders so box heights cannot diverge."""
     ascent, descent = DEFAULT_ASCENT, DEFAULT_DESCENT
-    fd = doc.get(df.get("FontDescriptor", None))
     if isinstance(fd, dict):
         asc = doc.get(fd.get("Ascent", None))
         if asc:
@@ -421,8 +436,7 @@ def _load_type0_font(doc: _Document, fdict: dict) -> _Font:
         dsc = doc.get(fd.get("Descent", None))
         if dsc:
             descent = abs(float(dsc)) / 1000.0
-    return _Font(decode_map, None, 0, dw, ascent, descent,
-                 code_bytes=2, width_map=width_map)
+    return ascent, descent
 
 
 def _load_font(doc: _Document, fdict: dict) -> _Font:
@@ -489,18 +503,13 @@ def _load_font(doc: _Document, fdict: dict) -> _Font:
         if not isinstance(w, list):
             raise ValueError("/Widths is not an array")
         widths = [float(doc.get(v)) for v in w]
-    missing, ascent, descent = DEFAULT_WIDTH, DEFAULT_ASCENT, DEFAULT_DESCENT
+    missing = DEFAULT_WIDTH
     fd = doc.get(fdict.get("FontDescriptor", None))
     if isinstance(fd, dict):
         mw = doc.get(fd.get("MissingWidth", None))
         if mw is not None:
             missing = float(mw)
-        asc = doc.get(fd.get("Ascent", None))
-        if asc:
-            ascent = float(asc) / 1000.0
-        dsc = doc.get(fd.get("Descent", None))
-        if dsc:
-            descent = abs(float(dsc)) / 1000.0
+    ascent, descent = _descriptor_metrics(doc, fd)
     return _Font(decode_map, widths, first_char, missing, ascent, descent)
 
 
@@ -574,10 +583,25 @@ def _page_text_runs(
     def _font_for(name: str) -> _Font:
         f = font_cache.get(name)
         if f is None:
-            fd = doc.get(fonts_res.get(name))
+            ref = fonts_res.get(name)
+            fd = doc.get(ref)
             if not isinstance(fd, dict):
                 raise ValueError(f"content references unknown font /{name}")
-            f = _load_font(doc, fd)
+            # document-level cache keyed by the indirect reference: every
+            # page of a 2,000-page document shares its fonts, and a
+            # composite font's load re-parses the ToUnicode CMap and
+            # expands /W ranges (up to 65536 entries) — per DOCUMENT,
+            # not per page. Inline (non-Ref) font dicts stay per-page.
+            doc_cache = getattr(doc, "_pdftext_font_cache", None)
+            if doc_cache is None:
+                doc_cache = {}
+                doc._pdftext_font_cache = doc_cache
+            key = ref if isinstance(ref, pdfcodec._Ref) else None
+            f = doc_cache.get(key) if key is not None else None
+            if f is None:
+                f = _load_font(doc, fd)
+                if key is not None:
+                    doc_cache[key] = f
             font_cache[name] = f
         return f
 

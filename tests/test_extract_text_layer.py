@@ -160,11 +160,25 @@ def text_corpus(spark):
         "media_ref string, data binary",
     )
     pdf_refs = {ref for ref, (_, is_pdf) in reenc.items() if is_pdf}
-    return docs_df, synth, real, pdf_refs
+    # the SAME corpus re-encoded through Identity-H composite fonts —
+    # built here so the CID test can never drift onto different
+    # generation parameters than the docs_df it compares against
+    cid_rows = []
+    for ref, m in media.items():
+        kind, rasters = _render_pages(m["data"])
+        if kind == "image":
+            cid_rows.append((ref, bytearray(pngcodec.encode_png(
+                np.stack([rasters[0]] * 3, axis=-1)))))
+        else:
+            cid_rows.append((ref, bytearray(text_layer_pdf(rasters,
+                                                           cid=True))))
+    cid = spark.createDataFrame(cid_rows,
+                                "media_ref string, data binary")
+    return docs_df, synth, real, pdf_refs, cid
 
 
 def test_text_layer_pipeline_equals_flagship_modulo_line_split(text_corpus):
-    docs_df, synth, real, pdf_refs = text_corpus
+    docs_df, synth, real, pdf_refs, _cid = text_corpus
     flagship = _spans_by_doc(extract.extract_documents(docs_df, synth))
     got = _spans_by_doc(
         extract_real.extract_real_documents(docs_df, real, bucket_pages=2)
@@ -181,21 +195,7 @@ def test_identity_h_text_layer_pipeline_equals_flagship(text_corpus):
     (2-byte codes + ToUnicode, the dominant born-digital class) must
     extract identically to the 1-byte variant — span-sequence equality
     with the flagship, modulo the line split."""
-    docs_df, synth, _real, pdf_refs = text_corpus
-    docs, media = corpus.generate(24, seed=909, max_pages=6)
-    reenc = {}
-    for ref, m in media.items():
-        kind, rasters = _render_pages(m["data"])
-        if kind == "image":
-            reenc[ref] = pngcodec.encode_png(
-                np.stack([rasters[0]] * 3, axis=-1))
-        else:
-            reenc[ref] = text_layer_pdf(rasters, cid=True)
-    spark = docs_df.sparkSession
-    cid_media = spark.createDataFrame(
-        [(ref, bytearray(d)) for ref, d in reenc.items()],
-        "media_ref string, data binary",
-    )
+    docs_df, synth, _real, pdf_refs, cid_media = text_corpus
     flagship = _spans_by_doc(extract.extract_documents(docs_df, synth))
     got = _spans_by_doc(
         extract_real.extract_real_documents(docs_df, cid_media,
@@ -212,7 +212,7 @@ def test_text_pdfs_quarantine_without_text_layer_flag(text_corpus):
     """The strict scanned-only contract survives: the same corpus probed
     with text_layer=False quarantines every born-digital PDF (text
     operators are vector content there) and extracts none of them."""
-    docs_df, _synth, real, pdf_refs = text_corpus
+    docs_df, _synth, real, pdf_refs, _cid = text_corpus
     buckets = extract_real.real_page_buckets(
         docs_df, real, bucket_pages=2, text_layer=False
     )

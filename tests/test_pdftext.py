@@ -531,9 +531,35 @@ def test_identity_h_bfrange_and_tj_kern():
     raw = one_page(
         b"BT /F1 10 Tf 10 50 Td [<0001> -1000 <00020003>] TJ ET",
         extra_objs=_identity_h_objs(cmap))
-    # -1000/1000 em kern = -10pt: pulls the runs apart in TEXT space but
-    # the decode itself stays exact
-    assert "".join(b.text for b in blocks_of(raw)) in ("abc", "a bc")
+    # TJ item -1000 moves the pen RIGHT 1000/1000 em = 10pt: a 1.0 em
+    # gap sits between JOIN_GAP_EM (0.15) and SPACE_GAP_EM (1.2), so
+    # the runs SPACE-join into one block — pinned exactly, so a CID
+    # width regression that shifts the gap classification fails here
+    assert [b.text for b in blocks_of(raw)] == ["a bc"]
+
+
+def test_identity_h_dw_zero_is_honored():
+    """/DW 0 is legal (zero-width default glyphs): CIDs outside /W must
+    advance 0, not a silently-defaulted 1000."""
+    cmap = (b"2 beginbfchar <0001> <0041> <0009> <0042> endbfchar")
+    objs = _identity_h_objs(cmap)
+    objs[7] = objs[7].replace(b"/DW 500", b"/DW 0")
+    raw = one_page(b"BT /F1 10 Tf 10 50 Td <00010009> Tj ET",
+                   extra_objs=objs)
+    blk, = blocks_of(raw)
+    # CID 1 width 600 from /W; CID 9 falls to /DW 0 — advance 6pt only
+    assert (blk.x1, blk.x2) == (round(10 * SCALE), round(16 * SCALE))
+
+
+def test_cid_widths_list_form_validates_bounds():
+    cmap = b"1 beginbfchar <0001> <0041> endbfchar"
+    objs = _identity_h_objs(cmap)
+    objs[7] = objs[7].replace(b"/W [1 [600 700] 5 8 800]",
+                              b"/W [65535 [600 700]]")
+    raw = one_page(b"BT /F1 10 Tf 10 50 Td <0001> Tj ET",
+                   extra_objs=objs)
+    with pytest.raises(ValueError, match="16-bit CID range"):
+        pdftext.validate_hybrid(raw)
 
 
 def test_identity_h_word_spacing_never_applies():
