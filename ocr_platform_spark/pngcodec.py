@@ -3,12 +3,16 @@
 Exists so the real-codec seam (:func:`ocr_platform_spark.multimodal.
 decode_real_media`) can exercise a GENUINE non-synthetic payload in
 environments without PIL (VERDICT r2 next-round #3): the decoder covers
-8-bit-depth, non-interlaced PNGs of color types 0 (gray), 2 (RGB),
-3 (palette), 4 (gray+alpha) and 6 (RGBA), with all five scanline filters.
-Output semantics match the reference decode path
+1/2/4/8-bit depths of color types 0 (gray) and 3 (palette) plus 8-bit
+types 2 (RGB), 4 (gray+alpha) and 6 (RGBA), with all five scanline
+filters and BOTH interlace methods (sequential and Adam7 — the legacy
+web's "progressive" PNGs). 16-bit samples refuse (PIL's I;16 ->
+convert("RGB") semantics are not byte-exact reproducible). Output
+semantics match the reference decode path
 (``apps/worker/app/tasks/ocr_tasks.py:54-55`` — ``PIL.Image.open(...)
 .convert("RGB")``): alpha is DROPPED (PIL's RGBA->RGB convert discards the
-channel without compositing), gray is replicated across 3 bands.
+channel without compositing), gray replicates across 3 bands, sub-byte
+gray scales by 255/(2^depth - 1) exactly as PIL expands it.
 
 This is a correctness seam, not a throughput path: unfiltering runs
 byte-at-a-time Python — real corpora should decode via PIL inside the
@@ -67,6 +71,36 @@ def _unfilter(dec: bytes, h: int, stride: int, bpp: int) -> bytearray:
     return out
 
 
+#: Adam7 pass layout (spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _decode_subimage(dec: bytes, pos: int, w: int, h: int, depth: int,
+                     ch: int) -> tuple[np.ndarray, int]:
+    """One filtered sub-image (the whole image, or one Adam7 pass) ->
+    ``(h, w, ch)`` uint8 SAMPLE values (sub-byte samples unscaled,
+    0..2^depth-1) and the new stream position."""
+    if w == 0 or h == 0:
+        return np.zeros((h, w, ch), np.uint8), pos
+    stride = (w * ch * depth + 7) // 8
+    bpp = max(1, ch * depth // 8)
+    need = h * (stride + 1)
+    if pos + need > len(dec):
+        raise ValueError("PNG pixel data length mismatch")
+    px = np.frombuffer(
+        bytes(_unfilter(dec[pos:pos + need], h, stride, bpp)), np.uint8
+    ).reshape(h, stride)
+    pos += need
+    if depth == 8:
+        return px.reshape(h, w, ch), pos
+    # sub-byte gray/palette: unpack MSB-first bit groups per scanline
+    bits = np.unpackbits(px, axis=1)[:, :w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :, None], pos
+
+
 def decode_png(raw: bytes) -> np.ndarray:
     """PNG bytes -> HxWx3 uint8 RGB array (PIL ``convert("RGB")`` parity)."""
     if not raw.startswith(SIGNATURE):
@@ -91,23 +125,28 @@ def decode_png(raw: bytes) -> np.ndarray:
     if hdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = hdr
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (stdlib seam is 8-bit only)")
-    if ctype not in _CHANNELS:
-        raise ValueError(f"unsupported PNG color type {ctype}")
-    if comp != 0 or filt != 0:
-        raise ValueError("non-standard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced PNG unsupported by the stdlib seam")
+    _check_ihdr(depth, ctype, comp, filt, interlace)
     if ctype == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE")
     ch = _CHANNELS[ctype]
-    stride = w * ch
     dec = zlib.decompress(bytes(idat))
-    if len(dec) != h * (stride + 1):
+    if interlace == 0:
+        px, end = _decode_subimage(dec, 0, w, h, depth, ch)
+    else:
+        # Adam7: seven independently-filtered passes scatter into place
+        px = np.zeros((h, w, ch), np.uint8)
+        end = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            sub, end = _decode_subimage(dec, end, wp, hp, depth, ch)
+            px[y0::dy, x0::dx] = sub
+    if end != len(dec):
         raise ValueError("PNG pixel data length mismatch")
-    px = np.frombuffer(bytes(_unfilter(dec, h, stride, ch)), np.uint8)
-    px = px.reshape(h, w, ch)
+    if depth != 8 and ctype == 0:
+        # expand sub-byte gray exactly as PIL does: 255/(2^depth - 1)
+        px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))) \
+            .astype(np.uint8)
     if ctype == 2:
         return np.ascontiguousarray(px)
     if ctype == 6:
@@ -122,6 +161,20 @@ def decode_png(raw: bytes) -> np.ndarray:
     if int(idx.max(initial=0)) >= len(palette):
         raise ValueError("PNG palette index out of range")
     return np.ascontiguousarray(palette[idx])
+
+
+def _check_ihdr(depth, ctype, comp, filt, interlace) -> None:
+    if ctype not in _CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if depth != 8 and not (ctype in (0, 3) and depth in (1, 2, 4)):
+        raise ValueError(
+            f"unsupported PNG bit depth {depth} for color type {ctype} "
+            "(8-bit everywhere; 1/2/4-bit gray and palette)"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("non-standard PNG compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
 
 
 def _chunk(typ: bytes, data: bytes) -> bytes:
@@ -181,12 +234,7 @@ def validate_png(raw: bytes) -> tuple[int, int]:
     if not (saw_idat and saw_end):
         raise ValueError("PNG truncated: missing IDAT/IEND")
     w, h, depth, ctype, comp, filt, interlace = hdr
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth}")
-    if ctype not in _CHANNELS:
-        raise ValueError(f"unsupported PNG color type {ctype}")
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("non-standard PNG compression/filter/interlace")
+    _check_ihdr(depth, ctype, comp, filt, interlace)
     if w <= 0 or h <= 0 or w * h > (1 << 28):
         raise ValueError(f"PNG dimensions {w}x{h} out of range")
     return w, h

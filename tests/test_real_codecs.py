@@ -805,3 +805,123 @@ def test_rgb_coded_jpeg_not_silently_ycbcr_converted():
                                   d0)
     with pytest.raises(ValueError, match="transform 2"):
         jpegcodec.decode_jpeg(insert_adobe(enc, 2))
+
+
+# --- PNG: Adam7 interlace + sub-byte depths ------------------------------------
+
+
+def _adam7_png(arr, depth=8, ctype=0, palette=None):
+    """Test-side Adam7 encoder (filter 0 per scanline, passes in spec
+    order) — the inverse construction of the decoder's scatter, built
+    independently from the pass table."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ocr_platform_spark import pngcodec
+
+    h, w = arr.shape[:2]
+    ch = arr.shape[2] if arr.ndim == 3 else 1
+    parts = []
+    for x0, y0, dx, dy in pngcodec._ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        hp, wp = sub.shape[:2]
+        if hp == 0 or wp == 0:
+            continue
+        for y in range(hp):
+            row = sub[y].reshape(wp * ch) if ch > 1 else sub[y].reshape(wp)
+            if depth == 8:
+                rb = row.astype(np.uint8).tobytes()
+            else:
+                bits = np.unpackbits(
+                    row.astype(np.uint8)[:, None], axis=1
+                )[:, 8 - depth:]
+                rb = np.packbits(bits.reshape(-1)).tobytes()
+            parts.append(b"\x00" + rb)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+    chunks = pngcodec.SIGNATURE + pngcodec._chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += pngcodec._chunk(b"PLTE", palette.tobytes())
+    return (chunks
+            + pngcodec._chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + pngcodec._chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlace_decodes_exactly():
+    import numpy as np
+
+    from ocr_platform_spark import pngcodec
+
+    rng = np.random.default_rng(5)
+    for h, w in ((1, 1), (3, 5), (8, 8), (13, 21)):
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        raw = _adam7_png(gray, depth=8, ctype=0)
+        assert np.array_equal(pngcodec.decode_png(raw),
+                              np.repeat(gray[:, :, None], 3, axis=2)), (h, w)
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        raw = _adam7_png(rgb, depth=8, ctype=2)
+        assert np.array_equal(pngcodec.decode_png(raw), rgb), (h, w)
+
+
+def test_png_subbyte_gray_and_palette():
+    import numpy as np
+
+    from ocr_platform_spark import pngcodec
+
+    rng = np.random.default_rng(7)
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        vals = rng.integers(0, 1 << depth, (9, 13), dtype=np.uint8)
+        raw = _adam7_png(vals, depth=depth, ctype=0)
+        expect = (vals * scale).astype(np.uint8)
+        got = pngcodec.decode_png(raw)
+        assert np.array_equal(got, np.repeat(expect[:, :, None], 3, -1)), (
+            depth)
+        assert pngcodec.validate_png(raw) == (13, 9)
+    # sub-byte palette indices look up WITHOUT scaling
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (7, 11), dtype=np.uint8)
+    raw = _adam7_png(idx, depth=4, ctype=3, palette=pal)
+    assert np.array_equal(pngcodec.decode_png(raw), pal[idx])
+    # 16-bit still refuses
+    import struct
+    import zlib
+
+    bad = (pngcodec.SIGNATURE
+           + pngcodec._chunk(b"IHDR",
+                             struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+           + pngcodec._chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+           + pngcodec._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bit depth 16"):
+        pngcodec.decode_png(bad)
+
+
+def test_png_imageio_interop_interlace_and_subbyte(tifftool, tmp_path):
+    """Java ImageIO writes the wild-web PNG shapes (Adam7 progressive,
+    1-bit bilevel, 4-bit palette); the stdlib decoder must reproduce
+    every one bit-exactly (PNG is lossless in all modes)."""
+    import numpy as np
+
+    from ocr_platform_spark import pngcodec
+
+    f = _textured_rgb(60, 80)[:, :, 0]  # structured gray
+    _write_pnm(tmp_path / "in.pgm", f)
+    cases = {
+        "plain": np.repeat(f[:, :, None], 3, -1),
+        "progressive": np.repeat(f[:, :, None], 3, -1),
+        "gray1": np.repeat(np.where(f >= 128, 255, 0)
+                           .astype(np.uint8)[:, :, None], 3, -1),
+        "gray1progressive": np.repeat(np.where(f >= 128, 255, 0)
+                                      .astype(np.uint8)[:, :, None], 3, -1),
+        "pal4": np.repeat(((f >> 4) * 17)
+                          .astype(np.uint8)[:, :, None], 3, -1),
+        "pal4progressive": np.repeat(((f >> 4) * 17)
+                                     .astype(np.uint8)[:, :, None], 3, -1),
+    }
+    for mode, expect in cases.items():
+        out = tmp_path / f"{mode}.png"
+        tifftool("encodepng", tmp_path / "in.pgm", out, mode)
+        got = pngcodec.decode_png(out.read_bytes())
+        assert np.array_equal(got, expect), mode
+        # and validate_png accepts the same shapes header-only
+        assert pngcodec.validate_png(out.read_bytes()) == (80, 60), mode

@@ -34,8 +34,12 @@ public final class TiffTool {
             encodeGif(args[1], args[2]);
         } else if (args[0].equals("decodegif")) {
             decodeGif(args[1], args[2], args.length > 3 ? Integer.parseInt(args[3]) : 0);
+        } else if (args[0].equals("encodepng")) {
+            encodePng(args[1], args[2], args[3]);
+        } else if (args[0].equals("decodepng")) {
+            decodeJpeg(args[1], args[2]); // generic ImageIO.read + PNM dump
         } else {
-            throw new IllegalArgumentException("encode|decode|encodejpeg|decodejpeg|encodegif|decodegif");
+            throw new IllegalArgumentException("encode|decode|encode/decodejpeg|encode/decodegif|encode/decodepng");
         }
     }
 
@@ -152,6 +156,43 @@ public final class TiffTool {
             }
         if (!ImageIO.write(img, "gif", new File(gifPath)))
             throw new IOException("no GIF writer available");
+    }
+
+    // PNG ground truth for the stdlib decoder: lossless in every mode,
+    // so parity pins are bit-exact. mode: plain | progressive (Adam7) |
+    // gray1[progressive] (1-bit bilevel) | pal4[progressive] (4-bit
+    // 16-gray palette).
+    static void encodePng(String pnmPath, String pngPath, String mode) throws Exception {
+        BufferedImage src = readPnm(pnmPath);
+        int w = src.getWidth(), h = src.getHeight();
+        BufferedImage img = src;
+        if (mode.startsWith("gray1")) {
+            img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY);
+            for (int y = 0; y < h; y++)
+                for (int x = 0; x < w; x++)
+                    img.getRaster().setSample(x, y, 0,
+                        src.getRaster().getSample(x, y, 0) >= 128 ? 1 : 0);
+        } else if (mode.startsWith("pal4")) {
+            byte[] ramp = new byte[16];
+            for (int i = 0; i < 16; i++) ramp[i] = (byte) (i * 17);
+            java.awt.image.IndexColorModel icm =
+                new java.awt.image.IndexColorModel(4, 16, ramp, ramp, ramp);
+            img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY, icm);
+            for (int y = 0; y < h; y++)
+                for (int x = 0; x < w; x++)
+                    img.getRaster().setSample(x, y, 0,
+                        src.getRaster().getSample(x, y, 0) >> 4);
+        }
+        Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("png");
+        ImageWriter writer = it.next();
+        ImageWriteParam p = writer.getDefaultWriteParam();
+        p.setProgressiveMode(mode.contains("progressive")
+            ? ImageWriteParam.MODE_DEFAULT : ImageWriteParam.MODE_DISABLED);
+        ImageOutputStream ios = ImageIO.createImageOutputStream(new File(pngPath));
+        writer.setOutput(ios);
+        writer.write(null, new IIOImage(img, null, null), p);
+        ios.close();
+        writer.dispose();
     }
 
     static void decodeGif(String gifPath, String pnmPath, int page) throws Exception {
