@@ -810,10 +810,16 @@ def test_rgb_coded_jpeg_not_silently_ycbcr_converted():
 # --- PNG: Adam7 interlace + sub-byte depths ------------------------------------
 
 
+#: Adam7 pass layout transcribed HERE from PNG spec §8.2 — deliberately
+#: NOT imported from pngcodec, so a wrong entry in the codec's table
+#: fails the round-trip instead of cancelling out
+_ADAM7_SPEC = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def _adam7_png(arr, depth=8, ctype=0, palette=None):
     """Test-side Adam7 encoder (filter 0 per scanline, passes in spec
-    order) — the inverse construction of the decoder's scatter, built
-    independently from the pass table."""
+    order) — the inverse construction of the decoder's scatter."""
     import struct
     import zlib
 
@@ -824,7 +830,7 @@ def _adam7_png(arr, depth=8, ctype=0, palette=None):
     h, w = arr.shape[:2]
     ch = arr.shape[2] if arr.ndim == 3 else 1
     parts = []
-    for x0, y0, dx, dy in pngcodec._ADAM7:
+    for x0, y0, dx, dy in _ADAM7_SPEC:
         sub = arr[y0::dy, x0::dx]
         hp, wp = sub.shape[:2]
         if hp == 0 or wp == 0:

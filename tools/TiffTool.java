@@ -37,7 +37,7 @@ public final class TiffTool {
         } else if (args[0].equals("encodepng")) {
             encodePng(args[1], args[2], args[3]);
         } else if (args[0].equals("decodepng")) {
-            decodeJpeg(args[1], args[2]); // generic ImageIO.read + PNM dump
+            decodeRgb("png", args[1], args[2], 0);
         } else {
             throw new IllegalArgumentException("encode|decode|encode/decodejpeg|encode/decodegif|encode/decodepng");
         }
@@ -196,9 +196,15 @@ public final class TiffTool {
     }
 
     static void decodeGif(String gifPath, String pnmPath, int page) throws Exception {
-        Iterator<ImageReader> it = ImageIO.getImageReadersByFormatName("gif");
+        decodeRgb("gif", gifPath, pnmPath, page);
+    }
+
+    // color-model-aware decode (getRGB, not raw Raster samples): indexed
+    // and bilevel images dump COLOR values, not palette indices/bits
+    static void decodeRgb(String fmt, String inPath, String pnmPath, int page) throws Exception {
+        Iterator<ImageReader> it = ImageIO.getImageReadersByFormatName(fmt);
         ImageReader reader = it.next();
-        ImageInputStream iis = ImageIO.createImageInputStream(new File(gifPath));
+        ImageInputStream iis = ImageIO.createImageInputStream(new File(inPath));
         reader.setInput(iis);
         BufferedImage img = reader.read(page);
         int w = img.getWidth(), h = img.getHeight();
