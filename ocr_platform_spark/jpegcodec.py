@@ -231,6 +231,24 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
+def cmyk_to_rgb(c: np.ndarray, m: np.ndarray, y: np.ndarray,
+                k: np.ndarray) -> np.ndarray:
+    """CMYK ink planes (uint8, 0 = no ink) -> HxWx3 uint8 RGB with PIL
+    ``convert("RGB")`` integer parity (Convert.c ``cmyk2rgb``): per
+    channel ``out = nk - MULDIV255(ink, nk)`` where ``nk = 255 - K`` and
+    ``MULDIV255(a, b) = ((t >> 8) + t) >> 8 with t = a*b + 128`` (the
+    +128 makes the /255 round-to-nearest). Shared by the JPEG
+    4-component assembly and the PDF raw-``DeviceCMYK`` image path."""
+    nk = 255 - k.astype(np.int32)
+
+    def _mix(ink):
+        t = ink.astype(np.int32) * nk + 128
+        return nk - ((t + (t >> 8)) >> 8)
+
+    out = np.stack([_mix(c), _mix(m), _mix(y)], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(raw: bytes, tables: bytes | None = None) -> np.ndarray:
     """JPEG bytes -> HxWx3 uint8 RGB (PIL ``convert("RGB")`` parity).
 
@@ -547,6 +565,32 @@ def _assemble(comps, planes, hmax, vmax, h, w, adobe=None) -> np.ndarray:
             out = np.stack(full, axis=-1)
             return np.clip(np.rint(out), 0, 255).astype(np.uint8)
         return _ycbcr_to_rgb(*full)
+    if len(full) == 4:
+        # 4-component CMYK family (print-origin JPEGs). Adobe APP14
+        # transform byte: 2 = YCCK (YCbCr-coded inverted CMY + inverted
+        # K — what Photoshop/Distiller emit), 0 = CMYK stored directly.
+        # Adobe writers store INVERTED ink values; PIL undoes that via
+        # the "CMYK;I" rawmode whenever the Adobe marker is present, so
+        # marker-present files invert and the rare marker-free
+        # 4-component file is taken as plain ink samples. libjpeg's
+        # YCCK->CMYK (jdcolor.c) clamps the YCC conversion BEFORE the
+        # inversion, which _ycbcr_to_rgb's round+clip mirrors.
+        if adobe == 2:
+            rgbish = _ycbcr_to_rgb(full[0], full[1], full[2])
+            c, m, y = rgbish[..., 0], rgbish[..., 1], rgbish[..., 2]
+            k = 255 - np.clip(np.rint(full[3]), 0, 255).astype(np.uint8)
+        elif adobe in (None, 0):
+            stored = [np.clip(np.rint(p), 0, 255).astype(np.uint8)
+                      for p in full]
+            if adobe == 0:
+                stored = [255 - s for s in stored]
+            c, m, y, k = stored
+        else:
+            raise ValueError(
+                f"Adobe APP14 transform {adobe} unsupported for "
+                "4-component scans"
+            )
+        return cmyk_to_rgb(c, m, y, k)
     raise ValueError(f"unsupported JPEG component count {len(full)}")
 
 
@@ -824,54 +868,93 @@ def _dht_segment(tc: int, th: int, table) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
+def _rgb_to_ycc(r, g, b):
+    """Forward JFIF / BT.601 full-range transform, float64 planes."""
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
 def encode_jpeg(
     arr: np.ndarray,
     luma_quant: np.ndarray | None = None,
     chroma_quant: np.ndarray | None = None,
     subsampling: str = "444",
     restart_interval: int = 0,
+    cmyk_transform: int = 2,
 ) -> bytes:
-    """HxWx3 uint8 RGB -> baseline JFIF JPEG bytes.
+    """HxWx3 uint8 RGB -> baseline JFIF JPEG bytes, or HxWx4 uint8 CMYK
+    (ink convention, 0 = no ink — PIL ``mode="CMYK"``) -> baseline Adobe
+    CMYK JPEG bytes.
 
     Quantization tables are zigzag-order length-64 int arrays; the default
     (all ones) makes round-trips exact up to FDCT/IDCT float rounding.
     ``subsampling``: "444" (every component full-res) or "420" (chroma box
-    2x2-averaged — exercises the decoder's multi-block MCU path)."""
-    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
-        raise ValueError("encode_jpeg expects HxWx3 uint8")
+    2x2-averaged — exercises the decoder's multi-block MCU path).
+
+    ``cmyk_transform`` (4-channel input only): 2 writes YCCK (inverted
+    CMY through the YCbCr transform + inverted K, the Photoshop/Distiller
+    shape; Cb/Cr subsample, K rides full-res like Y), 0 writes the four
+    inverted ink planes directly (4:4:4 only). Both emit the Adobe APP14
+    marker, so third-party decoders (libjpeg readers, Java ImageIO
+    ``readRaster``) see a conventional print-origin stream."""
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4) or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects HxWx3 RGB or HxWx4 CMYK uint8")
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    is_cmyk = arr.shape[2] == 4
+    if is_cmyk and cmyk_transform not in (0, 2):
+        raise ValueError(
+            f"cmyk_transform must be 0 (CMYK) or 2 (YCCK), got {cmyk_transform}"
+        )
+    if is_cmyk and cmyk_transform == 0 and subsampling != "444":
+        raise ValueError("CMYK transform 0 supports 4:4:4 only")
     ql = np.ones(64, np.int64) if luma_quant is None else np.asarray(luma_quant, np.int64)
     qc = np.ones(64, np.int64) if chroma_quant is None else np.asarray(chroma_quant, np.int64)
     h, w = arr.shape[:2]
-    rgb = arr.astype(np.float64)
-    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    if subsampling == "420":
-        ph, pw = -h % 2, -w % 2
-        def _half(p):
-            p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
-            return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
-        cb, cr = _half(cb), _half(cr)
-        samp = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
-        hs_y = vs_y = 2
-    else:
-        samp = [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
-        hs_y = vs_y = 1
+    sub = 2 if subsampling == "420" else 1
+    ph, pw = -h % 2, -w % 2
 
-    yb = _fdct_quant(y, ql)
-    cbb = _fdct_quant(cb, qc)
-    crb = _fdct_quant(cr, qc)
+    def _half(p):
+        p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+        return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
 
     dc_l, ac_l = _encode_codes(*_STD_DC_LUMA), _encode_codes(*_STD_AC_LUMA)
     dc_c, ac_c = _encode_codes(*_STD_DC_CHROMA), _encode_codes(*_STD_AC_CHROMA)
+    px = arr.astype(np.float64)
 
-    mcux = (w + 8 * hs_y - 1) // (8 * hs_y)
-    mcuy = (h + 8 * vs_y - 1) // (8 * vs_y)
+    # component spec: (cid, hs, vs, tq, plane, dc_codes, ac_codes)
+    if not is_cmyk:
+        y, cb, cr = _rgb_to_ycc(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+        if sub == 2:
+            cb, cr = _half(cb), _half(cr)
+        spec = [(1, sub, sub, 0, y, dc_l, ac_l),
+                (2, 1, 1, 1, cb, dc_c, ac_c),
+                (3, 1, 1, 1, cr, dc_c, ac_c)]
+    elif cmyk_transform == 2:
+        # stored YCCK: the decoder's inverse is cmy = ycc2rgb(stored),
+        # k = 255 - stored K — so the forward path feeds the ink CMY
+        # planes straight through the RGB->YCC matrix
+        y, cb, cr = _rgb_to_ycc(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+        kst = 255.0 - px[:, :, 3]
+        if sub == 2:
+            cb, cr = _half(cb), _half(cr)
+        spec = [(1, sub, sub, 0, y, dc_l, ac_l),
+                (2, 1, 1, 1, cb, dc_c, ac_c),
+                (3, 1, 1, 1, cr, dc_c, ac_c),
+                (4, sub, sub, 0, kst, dc_l, ac_l)]
+    else:  # transform 0: the four inverted ink planes, stored directly
+        spec = [(cid, 1, 1, 0, 255.0 - px[:, :, cid - 1], dc_l, ac_l)
+                for cid in (1, 2, 3, 4)]
+
+    hmax = max(s[1] for s in spec)
+    vmax = max(s[2] for s in spec)
+    blocks = {s[0]: _fdct_quant(s[4], ql if s[3] == 0 else qc) for s in spec}
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     wtr = _BitWriter()
-    pred = {1: 0, 2: 0, 3: 0}
+    pred = {s[0]: 0 for s in spec}
     mcu_count = 0
     rst = 0
     for my in range(mcuy):
@@ -880,23 +963,18 @@ def encode_jpeg(
                 wtr.pad()
                 wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
                 rst += 1
-                pred = {1: 0, 2: 0, 3: 0}
-            for by in range(vs_y):
-                for bx in range(hs_y):
-                    blk_y, blk_x = my * vs_y + by, mx * hs_y + bx
-                    if blk_y < yb.shape[0] and blk_x < yb.shape[1]:
-                        blk = yb[blk_y, blk_x]
-                    else:  # MCU padding beyond the padded plane: flat block
-                        blk = np.zeros(64, np.int64)
-                        blk[0] = pred[1]
-                    pred[1] = _encode_block(wtr, blk, pred[1], dc_l, ac_l)
-            for cid, blocks in ((2, cbb), (3, crb)):
-                if my < blocks.shape[0] and mx < blocks.shape[1]:
-                    blk = blocks[my, mx]
-                else:
-                    blk = np.zeros(64, np.int64)
-                    blk[0] = pred[cid]
-                pred[cid] = _encode_block(wtr, blk, pred[cid], dc_c, ac_c)
+                pred = {s[0]: 0 for s in spec}
+            for cid, hs, vs, _tq, _p, dc, ac in spec:
+                bl = blocks[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk_y, blk_x = my * vs + by, mx * hs + bx
+                        if blk_y < bl.shape[0] and blk_x < bl.shape[1]:
+                            blk = bl[blk_y, blk_x]
+                        else:  # MCU padding beyond the padded plane
+                            blk = np.zeros(64, np.int64)
+                            blk[0] = pred[cid]
+                        pred[cid] = _encode_block(wtr, blk, pred[cid], dc, ac)
             mcu_count += 1
     wtr.pad()
 
@@ -906,13 +984,22 @@ def encode_jpeg(
         body = bytes([tq]) + bytes(int(v) for v in q)
         return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
-    sof_body = struct.pack(">BHHB", 8, h, w, 3) + b"".join(
-        bytes([cid, hv, tq]) for cid, hv, tq in samp
+    sof_body = struct.pack(">BHHB", 8, h, w, len(spec)) + b"".join(
+        bytes([cid, (hs << 4) | vs, tq]) for cid, hs, vs, tq, *_ in spec
     )
-    sos_body = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    sos_body = bytes([len(spec)]) + b"".join(
+        bytes([cid, 0x00 if tq == 0 else 0x11]) for cid, _hs, _vs, tq, *_ in spec
+    ) + bytes([0, 63, 0])
     out = bytearray(b"\xff\xd8")
-    out += (b"\xff\xe0" + struct.pack(">H", 16)
-            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if is_cmyk:
+        # JFIF APP0 is defined for 1/3-component streams only; CMYK files
+        # carry the Adobe APP14 marker instead (tag + version 100 +
+        # flags0/flags1 zero + the color-transform byte)
+        out += (b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+                + struct.pack(">HHHB", 100, 0, 0, cmyk_transform))
+    else:
+        out += (b"\xff\xe0" + struct.pack(">H", 16)
+                + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _dqt(0, ql) + _dqt(1, qc)
     out += b"\xff\xc0" + struct.pack(">H", len(sof_body) + 2) + sof_body
     out += _dht_segment(0, 0, _STD_DC_LUMA) + _dht_segment(1, 0, _STD_AC_LUMA)

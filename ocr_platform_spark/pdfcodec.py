@@ -39,8 +39,9 @@ wrong raster; the quarantine path keys on ``ValueError``):
   Text-showing and
   path-painting operators raise — a vector page MUST NOT silently render
   as a blank canvas and feed empty text downstream.
-* image XObjects: 8-bit ``DeviceRGB``/``DeviceGray``, 1/2/4-bit gray
-  (``/Decode [1 0]`` inversion honoured), ``/ICCBased`` (N=3/1) and
+* image XObjects: 8-bit ``DeviceRGB``/``DeviceGray``/``DeviceCMYK``
+  (raw CMYK inks and Adobe CMYK/YCCK DCT streams), 1/2/4-bit gray
+  (``/Decode [1 0]`` inversion honoured), ``/ICCBased`` (N=4/3/1) and
   ``/Indexed`` palettes, and ``/ImageMask`` stencils (black-ink
   min-compositing — unmarked samples stay transparent); axis-aligned
   placement (CTM shear terms must be 0; negative scales = flips are
@@ -782,13 +783,13 @@ def _resolve_colorspace(doc: _Document, cs) -> tuple[str, object]:
     ``(hival+1, 3)`` uint8 RGB lookup for Indexed (else ``None``).
 
     ``/ICCBased`` profiles map by component count (the profile itself
-    carries no extra decode semantics for the scanned subset: N=3 ->
-    RGB, N=1 -> gray — what Distiller-era scanners wrap their samples
-    in); ``/Indexed`` resolves its base recursively and materializes
-    the lookup as RGB rows. CMYK/Lab/Separation raise."""
+    carries no extra decode semantics for the scanned subset: N=4 ->
+    CMYK, N=3 -> RGB, N=1 -> gray — what Distiller-era scanners wrap
+    their samples in); ``/Indexed`` resolves its base recursively and
+    materializes the lookup as RGB rows. Lab/Separation raise."""
     cs = doc.get(cs)
     if isinstance(cs, str):
-        if cs in ("DeviceRGB", "DeviceGray"):
+        if cs in ("DeviceRGB", "DeviceGray", "DeviceCMYK"):
             return str(cs), None
         raise ValueError(f"unsupported image colorspace /{cs}")
     if isinstance(cs, list) and cs:
@@ -796,6 +797,8 @@ def _resolve_colorspace(doc: _Document, cs) -> tuple[str, object]:
         if family == "ICCBased" and len(cs) == 2:
             sd = doc.get(cs[1])
             n = doc.get(sd.get("N")) if isinstance(sd, dict) else None
+            if n == 4:
+                return "DeviceCMYK", None
             if n == 3:
                 return "DeviceRGB", None
             if n == 1:
@@ -805,6 +808,8 @@ def _resolve_colorspace(doc: _Document, cs) -> tuple[str, object]:
             base_name, base_pal = _resolve_colorspace(doc, cs[1])
             if base_pal is not None:
                 raise ValueError("nested Indexed colorspace")
+            if base_name == "DeviceCMYK":
+                raise ValueError("Indexed over DeviceCMYK unsupported")
             ncomp = 3 if base_name == "DeviceRGB" else 1
             hival = doc.get(cs[2])
             if not isinstance(hival, int) or not 0 <= hival <= 255:
@@ -879,6 +884,16 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
         if filters[-1] == "DCTDecode":
             if cs == "Indexed":
                 raise ValueError("DCTDecode with Indexed colorspace")
+            if cs == "DeviceCMYK" and decode not in (
+                    None, [0, 1, 0, 1, 0, 1, 0, 1]):
+                # Acrobat-written CMYK JPEGs signal inversion via the
+                # Adobe APP14 marker, which decode_jpeg honors; an
+                # explicit non-default /Decode would double-invert, and
+                # which convention the producer meant is ambiguous in
+                # the wild — quarantine instead of guessing
+                raise ValueError(
+                    f"DCTDecode DeviceCMYK with explicit /Decode {decode}"
+                )
             return filters, cs, bpc, decode
         if not (cs == "DeviceGray" and bpc == 1) or \
                 decode not in (None, [0, 1], [1, 0]):
@@ -892,6 +907,8 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
     supported = (
         (cs == "DeviceRGB" and bpc == 8 and
          decode in (None, [0, 1, 0, 1, 0, 1])) or
+        (cs == "DeviceCMYK" and bpc == 8 and
+         decode in (None, [0, 1, 0, 1, 0, 1, 0, 1])) or
         (cs == "DeviceGray" and bpc == 8 and decode in (None, [0, 1])) or
         (cs == "DeviceGray" and bpc in (2, 4) and decode is None) or
         (cs == "DeviceGray" and bpc == 1 and
@@ -901,7 +918,8 @@ def _image_plan(doc: _Document, d: dict) -> tuple[list, str, int, object]:
     if not supported:
         raise ValueError(
             f"unsupported image colorspace/depth/decode {cs}/{bpc}/{decode} "
-            "(DeviceRGB-8, DeviceGray-8, DeviceGray-1, Indexed-1/2/4/8 only)"
+            "(DeviceRGB-8, DeviceCMYK-8, DeviceGray-8, DeviceGray-1, "
+            "Indexed-1/2/4/8 only)"
         )
     return filters, cs, bpc, decode
 
@@ -1038,6 +1056,15 @@ def _decode_image(doc: _Document, d: dict, data: bytes,
         if len(data) < need:
             raise ValueError("truncated RGB image samples")
         return np.frombuffer(data[:need], np.uint8).reshape(h, w, 3).copy()
+    if cs == "DeviceCMYK" and bpc == 8:
+        # raw DeviceCMYK samples are ink values directly (PDF 8.6.4.4:
+        # 0 = no ink) — no Adobe-JPEG inversion applies outside DCT
+        need = w * h * 4
+        if len(data) < need:
+            raise ValueError("truncated CMYK image samples")
+        s = np.frombuffer(data[:need], np.uint8).reshape(h, w, 4)
+        return jpegcodec.cmyk_to_rgb(s[..., 0], s[..., 1],
+                                     s[..., 2], s[..., 3])
     if cs == "DeviceGray" and bpc == 8:
         need = w * h
         if len(data) < need:

@@ -973,13 +973,14 @@ def test_iccbased_rgb_and_gray_decode_like_device():
         {6: stream_obj("/N 1", b"junk")})
     np.testing.assert_array_equal(pdfcodec.decode_pdf(icc_g)[0],
                                   pdfcodec.decode_pdf(dev)[0])
-    # CMYK profiles refuse
+    # out-of-family component counts refuse (N=4 now maps to CMYK —
+    # pinned in test_jpeg_cmyk — so the refusal pin uses N=2)
     bad = _cs_page(
         stream_obj(
             "/Subtype /Image /Width 80 /Height 60 "
             "/ColorSpace [/ICCBased 6 0 R] /BitsPerComponent 8 "
             "/Filter /FlateDecode", zlib.compress(img.tobytes())),
-        {6: stream_obj("/N 4", b"junk")})
+        {6: stream_obj("/N 2", b"junk")})
     with pytest.raises(ValueError, match="ICCBased"):
         pdfcodec.decode_pdf(bad)
 
@@ -1046,9 +1047,9 @@ def test_indexed_malformed_quarantines():
     # unsupported colorspace family still names itself in the error
     raw = _cs_page(stream_obj(
         "/Subtype /Image /Width 10 /Height 10 "
-        "/ColorSpace /DeviceCMYK /BitsPerComponent 8 "
+        "/ColorSpace /Lab /BitsPerComponent 8 "
         "/Filter /FlateDecode", zlib.compress(idx.tobytes())))
-    with pytest.raises(ValueError, match="DeviceCMYK"):
+    with pytest.raises(ValueError, match="Lab"):
         pdfcodec.decode_pdf(raw)
 
 

@@ -30,6 +30,8 @@ public final class TiffTool {
                        args.length > 4 ? Float.parseFloat(args[4]) : 0.9f);
         } else if (args[0].equals("decodejpeg")) {
             decodeJpeg(args[1], args[2]);
+        } else if (args[0].equals("decodejpegraster")) {
+            decodeJpegRaster(args[1], args[2]);
         } else if (args[0].equals("encodegif")) {
             encodeGif(args[1], args[2]);
         } else if (args[0].equals("decodegif")) {
@@ -241,6 +243,29 @@ public final class TiffTool {
                 else out.write(smp[0]);
             }
         out.close();
+    }
+
+    // raw entropy-decoded samples WITHOUT color conversion (readRaster):
+    // the ground truth for CMYK/YCCK JPEGs, which ImageIO.read refuses.
+    // Output: "PR\n<w> <h> <bands>\n255\n" + pixel-interleaved bytes.
+    static void decodeJpegRaster(String jpegPath, String rawPath) throws Exception {
+        Iterator<ImageReader> it = ImageIO.getImageReadersByFormatName("jpeg");
+        ImageReader reader = it.next();
+        ImageInputStream iis = ImageIO.createImageInputStream(new File(jpegPath));
+        reader.setInput(iis);
+        Raster r = reader.readRaster(0, null);
+        int w = r.getWidth(), h = r.getHeight(), bands = r.getNumBands();
+        OutputStream out = new BufferedOutputStream(new FileOutputStream(rawPath));
+        out.write(("PR\n" + w + " " + h + " " + bands + "\n255\n").getBytes());
+        int[] smp = new int[bands];
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                r.getPixel(x, y, smp);
+                for (int b = 0; b < bands; b++) out.write(smp[b]);
+            }
+        out.close();
+        reader.dispose();
+        iis.close();
     }
 
     static void decode(String tiffPath, String pnmPath, int page) throws Exception {
