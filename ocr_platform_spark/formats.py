@@ -48,13 +48,16 @@ MAGIC_REAL_PNG = b"\x89PNG\r\n\x1a\n"
 MAGIC_REAL_JPEG = b"\xff\xd8\xff"
 MAGIC_REAL_TIFF = (b"II\x2a\x00", b"MM\x00\x2a")
 MAGIC_REAL_GIF = (b"GIF87a", b"GIF89a")
+MAGIC_REAL_BMP = b"BM"
+_BMP_DIB_SIZES = (12, 40, 52, 56, 64, 108, 124)
 
 
 def sniff_kind(raw: bytes) -> str:
     """Byte-level content sniffing (the reference dispatches on
     content-type/extension, ``ocr_tasks.py:36-39``; serving sniffs magic
     bytes). Returns one of ``spdf | simg | pdf | png | jpeg | tiff |
-    gif | html | unknown`` — ``pdf``/``png``/``jpeg``/``tiff``/``gif``
+    gif | bmp | html | unknown`` —
+    ``pdf``/``png``/``jpeg``/``tiff``/``gif``/``bmp``
     are REAL codecs
     handled by the optional
     :func:`ocr_platform_spark.multimodal.decode_real_media` seam;
@@ -74,6 +77,11 @@ def sniff_kind(raw: bytes) -> str:
         return "tiff"
     if raw.startswith(MAGIC_REAL_GIF):
         return "gif"
+    # "BM" alone is a weak 2-byte magic: require a known DIB header size
+    # in bytes 14-18 so ASCII text starting "BM" doesn't misdispatch
+    if raw.startswith(MAGIC_REAL_BMP) and len(raw) >= 18 and \
+            int.from_bytes(raw[14:18], "little") in _BMP_DIB_SIZES:
+        return "bmp"
     # HTML has no magic number: sniff a leading doctype/<html> tag after
     # an optional UTF-8 BOM + whitespace (the pragmatic browser rule)
     head = raw[3:64] if raw.startswith(b"\xef\xbb\xbf") else raw[:64]
@@ -136,7 +144,7 @@ def decode_media(raw: bytes) -> tuple[str, list[PageDesc]]:
         kind = "image"
     else:
         sniffed = sniff_kind(raw)
-        if sniffed in ("pdf", "png", "jpeg", "tiff", "gif"):
+        if sniffed in ("pdf", "png", "jpeg", "tiff", "gif", "bmp"):
             raise ValueError(
                 f"real-codec payload ({sniffed}): decode with "
                 "ocr_platform_spark.multimodal.decode_real_media "

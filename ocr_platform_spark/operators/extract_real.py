@@ -303,6 +303,10 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 )
             elif formats.sniff_kind(raw) == "png":
                 pages = [pdfcodec.rgb_to_gray(pngcodec.decode_png(raw))]
+            elif formats.sniff_kind(raw) == "bmp":
+                from .. import bmpcodec
+
+                pages = [pdfcodec.rgb_to_gray(bmpcodec.decode_bmp(raw))]
             else:
                 pages = [pdfcodec.rgb_to_gray(jpegcodec.decode_jpeg(raw))]
         except Exception:

@@ -40,6 +40,10 @@ public final class TiffTool {
             encodePng(args[1], args[2], args[3]);
         } else if (args[0].equals("decodepng")) {
             decodeRgb("png", args[1], args[2], 0);
+        } else if (args[0].equals("encodebmp")) {
+            encodeBmp(args[1], args[2], args[3]);
+        } else if (args[0].equals("decodebmp")) {
+            decodeBmp(args[1], args[2]);
         } else {
             throw new IllegalArgumentException("encode|decode|encode/decodejpeg|encode/decodegif|encode/decodepng");
         }
@@ -197,8 +201,70 @@ public final class TiffTool {
         writer.dispose();
     }
 
+    // BMP ground truth: lossless in every mode, so parity pins are
+    // bit-exact. compression: BI_RGB (24-bit from P6, 8-bit gray
+    // palette from P5) | BI_RLE8 (P5 through a 256-gray palette).
+    static void encodeBmp(String pnmPath, String bmpPath, String compression) throws Exception {
+        BufferedImage src = readPnm(pnmPath);
+        BufferedImage img = src;
+        if (src.getRaster().getNumBands() == 1) {
+            int w = src.getWidth(), h = src.getHeight();
+            byte[] ramp = new byte[256];
+            for (int i = 0; i < 256; i++) ramp[i] = (byte) i;
+            java.awt.image.IndexColorModel icm =
+                new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp);
+            img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm);
+            for (int y = 0; y < h; y++)
+                for (int x = 0; x < w; x++)
+                    img.getRaster().setSample(x, y, 0,
+                        src.getRaster().getSample(x, y, 0));
+        }
+        Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("bmp");
+        ImageWriter writer = it.next();
+        ImageWriteParam p = writer.getDefaultWriteParam();
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+        p.setCompressionType(compression);
+        ImageOutputStream ios = ImageIO.createImageOutputStream(new File(bmpPath));
+        writer.setOutput(ios);
+        writer.write(null, new IIOImage(img, null, null), p);
+        ios.close();
+        writer.dispose();
+    }
+
     static void decodeGif(String gifPath, String pnmPath, int page) throws Exception {
         decodeRgb("gif", gifPath, pnmPath, page);
+    }
+
+    // BMP decode via RAW raster samples: the BMP reader models a gray-ramp
+    // palette as TYPE_BYTE_GRAY in a LINEAR gray ColorSpace, so getRGB
+    // gamma-warps (128 -> 188) even though the decoded samples are exact.
+    // Indexed images (non-gray palettes) still normalize through the
+    // IndexColorModel, which maps palette colors without a gamma step.
+    static void decodeBmp(String bmpPath, String pnmPath) throws Exception {
+        BufferedImage img = ImageIO.read(new File(bmpPath));
+        if (img == null) throw new IOException("ImageIO could not decode " + bmpPath);
+        int w = img.getWidth(), h = img.getHeight();
+        Raster r = img.getRaster();
+        boolean indexed = img.getColorModel() instanceof java.awt.image.IndexColorModel;
+        boolean rgb = indexed || r.getNumBands() >= 3;
+        OutputStream out = new BufferedOutputStream(new FileOutputStream(pnmPath));
+        out.write((rgb ? "P6\n" : "P5\n").getBytes());
+        out.write((w + " " + h + "\n255\n").getBytes());
+        int[] smp = new int[r.getNumBands()];
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                if (indexed) {
+                    int v = img.getRGB(x, y);
+                    out.write((v >> 16) & 255);
+                    out.write((v >> 8) & 255);
+                    out.write(v & 255);
+                } else {
+                    r.getPixel(x, y, smp);
+                    if (rgb) { out.write(smp[0]); out.write(smp[1]); out.write(smp[2]); }
+                    else out.write(smp[0]);
+                }
+            }
+        out.close();
     }
 
     // color-model-aware decode (getRGB, not raw Raster samples): indexed
