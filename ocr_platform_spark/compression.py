@@ -56,8 +56,17 @@ def decode_lzw(data: bytes, early_change: int = 1,
         while nbits < width:
             if pos >= n:
                 # trailing zero-fill to the byte boundary is legal
-                # padding; any set bit is a truncated real code
-                if acc & ((1 << nbits) - 1):
+                # padding; any set bit is a truncated real code —
+                # EXCEPT a terminator written at the pre-bump width:
+                # Java ImageIO's TIFF writer flushes EOD without
+                # applying the width bump its final table entry just
+                # triggered (observed when the table hits 511 exactly
+                # at end of data, e.g. high-entropy 16x16 tiles), so a
+                # short tail that reads exactly as EOD is end-of-stream
+                tail = acc & ((1 << nbits) - 1)
+                if tail == _EOD and nbits >= 9:
+                    return bytes(out)
+                if tail:
                     raise ValueError("LZW stream ends mid-code")
                 return bytes(out)
             acc = (acc << 8) | data[pos]

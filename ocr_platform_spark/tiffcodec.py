@@ -25,9 +25,13 @@ wrong raster):
   tests/test_tiffcodec.py);
 * PhotometricInterpretation 0 (WhiteIsZero) / 1 (BlackIsZero) / 2
   (RGB) / 6 (YCbCr, compression-7 only);
-* multi-strip images (``RowsPerStrip``), FillOrder 1 and 2 (LSB-first
-  fax packing, bilevel), chunky planar config, default orientation;
-  CCITT uncompressed-mode option bits raise.
+* multi-strip images (``RowsPerStrip``), TILED layouts (``TileWidth``/
+  ``TileLength``/``TileOffsets``/``TileByteCounts`` — the GIS /
+  large-scan producer shape; edge tiles are full-size and cropped into
+  place), planar-separate RGB (``PlanarConfiguration`` 2, plane-major
+  strips, per-band Predictor 2), FillOrder 1 and 2 (LSB-first fax
+  packing, bilevel), default orientation; CCITT uncompressed-mode
+  option bits raise.
 
 :func:`probe_tiff` walks only the IFD headers (page count + first-page
 dims, no sample inflation) — the metadata-probe analog of
@@ -163,8 +167,18 @@ def _page_plan(tags: dict) -> tuple[int, int, int, int, int, int]:
             raise ValueError("TIFF FillOrder 2 only supported for 1-bit")
     elif fo != 1:
         raise ValueError(f"TIFF FillOrder {fo} unsupported")
-    if _tag1(tags, 284, 1) != 1:
-        raise ValueError("planar TIFF unsupported")
+    planar = _tag1(tags, 284, 1)
+    if planar == 2:
+        # planar-separate: supported for 8-bit RGB under the byte-stream
+        # codecs (scanner output); bit-level and JPEG layouts interleave
+        # in ways no wild producer emits — refuse those
+        if not (spp == 3 and bps == 8 and pi == 2
+                and comp in (1, 5, 8, 32946, 32773)):
+            raise ValueError(
+                "planar TIFF supported for 8-bit RGB byte codecs only"
+            )
+    elif planar != 1:
+        raise ValueError(f"TIFF PlanarConfiguration {planar} unsupported")
     if _tag1(tags, 274, 1) != 1:
         raise ValueError("rotated/mirrored TIFF orientation unsupported")
     pred = _tag1(tags, 317, 1)
@@ -216,9 +230,24 @@ def _page_plan(tags: dict) -> tuple[int, int, int, int, int, int]:
             f"TIFF compression {comp} unsupported (none=1, G3=2/3, G4=4, "
             "LZW=5, JPEG=7, Deflate=8/32946, PackBits=32773)"
         )
-    if 273 not in tags or 279 not in tags:
+    if any(t in tags for t in (322, 323, 324, 325)):
+        if not all(t in tags for t in (322, 323, 324, 325)):
+            raise ValueError("TIFF tile tags incomplete")
+        tw, tl = _tag1(tags, 322), _tag1(tags, 323)
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError(
+                f"TIFF tile size {tw}x{tl} must be a positive multiple "
+                "of 16"
+            )
+        if len(tags[324]) != len(tags[325]):
+            raise ValueError("TIFF tile offset/count arrays disagree")
+        if len(tags[324]) != ((w + tw - 1) // tw) * ((h + tl - 1) // tl):
+            raise ValueError("TIFF tile count does not cover the image")
+        if planar == 2:
+            raise ValueError("planar tiled TIFF unsupported")
+    elif 273 not in tags or 279 not in tags:
         raise ValueError("TIFF missing strip offsets/byte counts")
-    if len(tags[273]) != len(tags[279]):
+    elif len(tags[273]) != len(tags[279]):
         raise ValueError("TIFF strip offset/count arrays disagree")
     return w, h, comp, pi, bps, spp
 
@@ -236,116 +265,167 @@ def probe_tiff(raw: bytes) -> tuple[int, int, int]:
     return len(ifds), w0, h0
 
 
+def _decode_chunk(data: bytes, tags: dict, comp: int, pi: int, bps: int,
+                  spp: int, rows: int, width: int, endian: str,
+                  fo2: bool) -> np.ndarray:
+    """One compressed chunk (a strip, a full tile, or one plane's strip)
+    -> uint8 raster: ``(rows, width)`` gray or ``(rows, width, 3)``."""
+    if fo2 and comp in (1, 2, 3, 4):
+        # FillOrder 2 (LSB-first): CCITT data is a bit stream, so the
+        # reversal applies to the COMPRESSED bytes (fax modems store the
+        # entropy bits LSB-first); uncompressed data is its own pixel
+        # bytes. Byte-stream codecs reverse AFTER decompression instead
+        # (libtiff semantics) — see below.
+        data = _BITREV[np.frombuffer(data, np.uint8)].tobytes()
+    if comp == 7:
+        from . import jpegcodec
+
+        img = jpegcodec.decode_jpeg(bytes(data), tables=tags.get(347))
+        if img.shape[0] < rows or img.shape[1] < width:
+            raise ValueError("TIFF JPEG strip smaller than declared")
+        img = img[:rows, :width]
+        if spp == 1:
+            g = img[:, :, 0]  # decode_jpeg replicates gray to RGB
+            return 255 - g if pi == 0 else g.copy()
+        return img.copy()
+    if comp in (2, 3, 4):
+        # ccittcodec gives ink=1; PI=0 (WhiteIsZero, standard for
+        # fax) renders that as luminance 0, PI=1 inverts
+        if comp == 4:
+            bits = ccittcodec.decode_g4(data, width, rows)
+        elif comp == 2:
+            # Modified Huffman RLE: 1D rows, each byte-aligned
+            bits = ccittcodec.decode_g3(data, width, rows,
+                                        byte_align=True)
+        else:
+            # T.4: T4Options bit 0 selects 2D (EOL+tag rows)
+            k = 2 if _tag1(tags, 292, 0) & 0b1 else 0
+            bits = ccittcodec.decode_g3(data, width, rows, k=k)
+        g = (1 - bits) * 255 if pi == 0 else bits * 255
+        return g.astype(np.uint8)
+    rowbytes = (width * spp * bps + 7) // 8
+    if comp == 5:
+        data = compression.decode_lzw(data)
+    elif comp in (8, 32946):
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as e:
+            raise ValueError(f"bad TIFF Deflate strip: {e}") from e
+    elif comp == 32773:
+        data = compression.decode_packbits(
+            data, expected=rowbytes * rows
+        )
+    if fo2 and comp != 1:
+        # byte-stream codecs: FillOrder describes the PIXEL bytes,
+        # so the reversal applies to the decompressed data
+        data = _BITREV[np.frombuffer(data, np.uint8)].tobytes()
+    if _tag1(tags, 317, 1) == 2:
+        if len(data) < rowbytes * rows:
+            raise ValueError("truncated TIFF strip under Predictor 2")
+        arr = np.frombuffer(
+            data[:rowbytes * rows], np.uint8
+        ).reshape(rows, width, spp)
+        # undo horizontal differencing: modular prefix-sum per band
+        data = np.cumsum(arr, axis=1, dtype=np.uint8).tobytes()
+    if bps == 1:
+        stride = (width + 7) // 8
+        if len(data) < stride * rows:
+            raise ValueError("truncated TIFF bilevel strip")
+        bits = np.unpackbits(
+            np.frombuffer(data[:stride * rows], np.uint8)
+            .reshape(rows, stride), axis=1)[:, :width]
+        g = (1 - bits) * 255 if pi == 0 else bits * 255
+        return g.astype(np.uint8)
+    if bps == 4:  # 4-bit gray: exact expansion (255/15 = 17)
+        v = compression.unpack_subbyte_rows(data, width, rows, 4,
+                                            "TIFF 4-bit gray strip")
+        g = (v * 17).astype(np.uint8)
+        return 255 - g if pi == 0 else g
+    if bps == 16:  # 16-bit gray (film scans): high byte
+        need = width * rows * 2
+        if len(data) < need:
+            raise ValueError("truncated TIFF 16-bit gray strip")
+        v = np.frombuffer(data[:need], np.dtype(endian + "u2"))
+        g = (v >> 8).astype(np.uint8).reshape(rows, width)
+        return 255 - g if pi == 0 else g
+    if spp == 1:  # 8-bit gray
+        if len(data) < width * rows:
+            raise ValueError("truncated TIFF gray strip")
+        g = np.frombuffer(data[:width * rows], np.uint8).reshape(rows, width)
+        return 255 - g if pi == 0 else g.copy()
+    # 8-bit RGB chunky
+    need = width * rows * 3
+    if len(data) < need:
+        raise ValueError("truncated TIFF RGB strip")
+    return np.frombuffer(data[:need], np.uint8).reshape(rows, width, 3).copy()
+
+
 def _decode_page(raw: bytes, tags: dict, gray: bool,
                  endian: str = "<") -> np.ndarray:
     w, h, comp, pi, bps, spp = _page_plan(tags)
-    rps = _tag1(tags, 278, h)
-    if rps <= 0:
-        raise ValueError("TIFF RowsPerStrip must be positive")
-    offs, cnts = tags[273], tags[279]
-    if len(offs) != (h + rps - 1) // rps:
-        raise ValueError("TIFF strip count does not cover the image")
-    strips = []
-    for si, (o, c) in enumerate(zip(offs, cnts)):
-        if o + c > len(raw):
-            raise ValueError("TIFF strip past end of file")
-        rows = min(rps, h - si * rps)
-        data = raw[o:o + c]
-        fo2 = _tag1(tags, 266, 1) == 2
-        if fo2 and comp in (1, 2, 3, 4):
-            # FillOrder 2 (LSB-first): CCITT data is a bit stream, so
-            # the reversal applies to the COMPRESSED bytes (fax modems
-            # store the entropy bits LSB-first); uncompressed data is
-            # its own pixel bytes. Byte-stream codecs reverse AFTER
-            # decompression instead (libtiff semantics) — see below.
-            data = _BITREV[np.frombuffer(data, np.uint8)].tobytes()
-        if comp == 7:
-            from . import jpegcodec
-
-            img = jpegcodec.decode_jpeg(bytes(data), tables=tags.get(347))
-            if img.shape[0] < rows or img.shape[1] < w:
-                raise ValueError("TIFF JPEG strip smaller than declared")
-            img = img[:rows, :w]
-            if spp == 1:
-                g = img[:, :, 0]  # decode_jpeg replicates gray to RGB
-                strips.append(255 - g if pi == 0 else g.copy())
-            else:
-                strips.append(img.copy())
-            continue
-        if comp in (2, 3, 4):
-            # ccittcodec gives ink=1; PI=0 (WhiteIsZero, standard for
-            # fax) renders that as luminance 0, PI=1 inverts
-            if comp == 4:
-                bits = ccittcodec.decode_g4(data, w, rows)
-            elif comp == 2:
-                # Modified Huffman RLE: 1D rows, each byte-aligned
-                bits = ccittcodec.decode_g3(data, w, rows,
-                                            byte_align=True)
-            else:
-                # T.4: T4Options bit 0 selects 2D (EOL+tag rows)
-                k = 2 if _tag1(tags, 292, 0) & 0b1 else 0
-                bits = ccittcodec.decode_g3(data, w, rows, k=k)
-            g = (1 - bits) * 255 if pi == 0 else bits * 255
-            strips.append(g.astype(np.uint8))
-            continue
-        rowbytes = (w * spp * bps + 7) // 8
-        if comp == 5:
-            data = compression.decode_lzw(data)
-        elif comp in (8, 32946):
-            try:
-                data = zlib.decompress(data)
-            except zlib.error as e:
-                raise ValueError(f"bad TIFF Deflate strip: {e}") from e
-        elif comp == 32773:
-            data = compression.decode_packbits(
-                data, expected=rowbytes * rows
-            )
-        if fo2 and comp not in (1, 2, 3, 4):
-            # byte-stream codecs: FillOrder describes the PIXEL bytes,
-            # so the reversal applies to the decompressed data
-            data = _BITREV[np.frombuffer(data, np.uint8)].tobytes()
-        if _tag1(tags, 317, 1) == 2:
-            if len(data) < rowbytes * rows:
-                raise ValueError("truncated TIFF strip under Predictor 2")
-            arr = np.frombuffer(
-                data[:rowbytes * rows], np.uint8
-            ).reshape(rows, w, spp)
-            # undo horizontal differencing: modular prefix-sum per band
-            data = np.cumsum(arr, axis=1, dtype=np.uint8).tobytes()
-        if bps == 1:
-            stride = (w + 7) // 8
-            if len(data) < stride * rows:
-                raise ValueError("truncated TIFF bilevel strip")
-            bits = np.unpackbits(
-                np.frombuffer(data[:stride * rows], np.uint8)
-                .reshape(rows, stride), axis=1)[:, :w]
-            g = (1 - bits) * 255 if pi == 0 else bits * 255
-            strips.append(g.astype(np.uint8))
-        elif bps == 4:  # 4-bit gray: exact expansion (255/15 = 17)
-            v = compression.unpack_subbyte_rows(data, w, rows, 4,
-                                                "TIFF 4-bit gray strip")
-            g = (v * 17).astype(np.uint8)
-            strips.append(255 - g if pi == 0 else g)
-        elif bps == 16:  # 16-bit gray (film scans): high byte
-            need = w * rows * 2
-            if len(data) < need:
-                raise ValueError("truncated TIFF 16-bit gray strip")
-            v = np.frombuffer(data[:need], np.dtype(endian + "u2"))
-            g = (v >> 8).astype(np.uint8).reshape(rows, w)
-            strips.append(255 - g if pi == 0 else g)
-        elif spp == 1:  # 8-bit gray
-            if len(data) < w * rows:
-                raise ValueError("truncated TIFF gray strip")
-            g = np.frombuffer(data[:w * rows], np.uint8).reshape(rows, w)
-            strips.append(255 - g if pi == 0 else g.copy())
-        else:  # 8-bit RGB chunky
-            need = w * rows * 3
-            if len(data) < need:
-                raise ValueError("truncated TIFF RGB strip")
-            strips.append(
-                np.frombuffer(data[:need], np.uint8).reshape(rows, w, 3).copy()
-            )
-    page = np.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
+    fo2 = _tag1(tags, 266, 1) == 2
+    if 322 in tags:
+        # tiled layout (GIS / large-scan producers): tiles are FULL
+        # TileWidth x TileLength rasters, edge tiles padded — decode
+        # each independently and crop into the page canvas
+        tw, tl = _tag1(tags, 322), _tag1(tags, 323)
+        offs, cnts = tags[324], tags[325]
+        ta = (w + tw - 1) // tw
+        td = (h + tl - 1) // tl
+        if len(offs) != ta * td:
+            raise ValueError("TIFF tile count does not cover the image")
+        page = np.zeros((h, w, 3) if spp == 3 else (h, w), np.uint8)
+        for ti, (o, c) in enumerate(zip(offs, cnts)):
+            if o + c > len(raw):
+                raise ValueError("TIFF tile past end of file")
+            tile = _decode_chunk(raw[o:o + c], tags, comp, pi, bps, spp,
+                                 tl, tw, endian, fo2)
+            ty, tx = divmod(ti, ta)
+            y0, x0 = ty * tl, tx * tw
+            page[y0:y0 + tl, x0:x0 + tw] = tile[:h - y0, :w - x0]
+    elif _tag1(tags, 284, 1) == 2:
+        # planar-separate RGB: strips are plane-major (all of band 0,
+        # then band 1, ...), each strip one band's rows; Predictor 2
+        # differencing applies within a band, which the spp=1 chunk
+        # decode reproduces
+        rps = _tag1(tags, 278, h)
+        if rps <= 0:
+            raise ValueError("TIFF RowsPerStrip must be positive")
+        offs, cnts = tags[273], tags[279]
+        per = (h + rps - 1) // rps
+        if len(offs) != per * spp:
+            raise ValueError("TIFF planar strip count does not cover "
+                             "the image")
+        planes = []
+        for p in range(spp):
+            chunks = []
+            for si in range(per):
+                o, c = offs[p * per + si], cnts[p * per + si]
+                if o + c > len(raw):
+                    raise ValueError("TIFF strip past end of file")
+                rows = min(rps, h - si * rps)
+                chunks.append(_decode_chunk(raw[o:o + c], tags, comp,
+                                            pi, bps, 1, rows, w,
+                                            endian, fo2))
+            planes.append(np.concatenate(chunks, axis=0)
+                          if len(chunks) > 1 else chunks[0])
+        page = np.stack(planes, axis=-1)
+    else:
+        rps = _tag1(tags, 278, h)
+        if rps <= 0:
+            raise ValueError("TIFF RowsPerStrip must be positive")
+        offs, cnts = tags[273], tags[279]
+        if len(offs) != (h + rps - 1) // rps:
+            raise ValueError("TIFF strip count does not cover the image")
+        strips = []
+        for si, (o, c) in enumerate(zip(offs, cnts)):
+            if o + c > len(raw):
+                raise ValueError("TIFF strip past end of file")
+            rows = min(rps, h - si * rps)
+            strips.append(_decode_chunk(raw[o:o + c], tags, comp, pi,
+                                        bps, spp, rows, w, endian, fo2))
+        page = np.concatenate(strips, axis=0) if len(strips) > 1 \
+            else strips[0]
     if page.ndim == 3:
         if gray:
             from .pdfcodec import rgb_to_gray
@@ -388,7 +468,7 @@ def decode_tiff(
 #: serialization types for the tags the subset understands (for slicing)
 _TAG_TYPE = {256: 4, 257: 4, 258: 3, 259: 3, 262: 3, 266: 3, 273: 4,
              274: 3, 277: 3, 278: 4, 279: 4, 284: 3, 292: 4, 293: 4,
-             317: 3, 347: 7, 530: 3}
+             317: 3, 322: 4, 323: 4, 324: 4, 325: 4, 347: 7, 530: 3}
 
 
 @_strict_valueerror
@@ -417,17 +497,21 @@ def slice_pages(raw: bytes, page_indices) -> bytes:
     pending = 4  # patch position of the previous "next IFD" word
     for tags in sel:
         _page_plan(tags)  # only validated pages are re-emitted
+        # tiled pages carry their chunks in 324/325; strips in 273/279
+        ko, kc = (324, 325) if 322 in tags else (273, 279)
         strips = []
-        for o, c in zip(tags[273], tags[279]):
+        for o, c in zip(tags[ko], tags[kc]):
             if o + c > len(raw):
                 raise ValueError("TIFF strip past end of file")
             strips.append(raw[o:o + c])
         entries = []
         for tag in sorted(_TAG_TYPE):
-            if tag == 273:
+            if tag == ko:
                 vals = [0] * len(strips)  # assigned below
-            elif tag == 279:
+            elif tag == kc:
                 vals = [len(s) for s in strips]
+            elif tag in (273, 279, 324, 325):
+                continue  # the inactive layout's tags never re-emit
             elif tag in tags:
                 vals = tags[tag]
             else:
@@ -447,7 +531,7 @@ def slice_pages(raw: bytes, page_indices) -> bytes:
         for s in strips:
             so.append(pos)
             pos += len(s)
-        entries = [(t, ty, so if t == 273 else v) for t, ty, v in entries]
+        entries = [(t, ty, so if t == ko else v) for t, ty, v in entries]
         out += struct.pack(e + "H", len(entries))
         overflow = bytearray()
         ov_pos = overflow_off

@@ -53,7 +53,7 @@ def build_tiff(pages: list[dict], endian: str = "<") -> bytes:
         overflow = bytearray()
         ov_pos = overflow_off
         for tag, (typ, vals) in entries:
-            if tag == 273:
+            if tag in (273, 324):  # strip or tile offsets: actual positions
                 vals = so
             packed = struct.pack(e + fmt[typ] * len(vals), *vals)
             if len(packed) <= 4:
@@ -718,3 +718,170 @@ def test_tiff_fillorder2_with_byte_codecs_reverses_after_decompress():
         t = fo2_tiff(comp, data)
         np.testing.assert_array_equal(
             tiffcodec.decode_tiff(t, mode="L")[0], exp, err_msg=str(comp))
+
+
+# --- tiled and planar layouts ----------------------------------------------
+
+
+def _tile_chunks(arr: np.ndarray, tw: int, tl: int) -> list[bytes]:
+    """Row-major full-size tile chunks (edge tiles zero-padded, as the
+    spec requires full TileWidth x TileLength data)."""
+    h, w = arr.shape[:2]
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    padded = np.zeros((-(-h // tl) * tl, -(-w // tw) * tw, spp), np.uint8)
+    padded[:h, :w] = arr.reshape(h, w, spp)
+    chunks = []
+    for y0 in range(0, padded.shape[0], tl):
+        for x0 in range(0, padded.shape[1], tw):
+            chunks.append(padded[y0:y0 + tl, x0:x0 + tw].tobytes())
+    return chunks
+
+
+def _tiled_page(arr: np.ndarray, tw: int, tl: int, comp: int = 1) -> dict:
+    from ocr_platform_spark import compression
+
+    h, w = arr.shape[:2]
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    chunks = _tile_chunks(arr, tw, tl)
+    if comp == 5:
+        chunks = [compression.encode_lzw(c) for c in chunks]
+    elif comp == 32773:
+        chunks = [compression.encode_packbits(c) for c in chunks]
+    tags = {
+        256: (4, [w]), 257: (4, [h]), 258: (3, [8] * spp),
+        259: (3, [comp]), 262: (3, [2 if spp == 3 else 1]),
+        277: (3, [spp]),
+        322: (4, [tw]), 323: (4, [tl]),
+        324: (4, [0] * len(chunks)),  # patched by build_tiff
+        325: (4, [len(c) for c in chunks]),
+    }
+    return {"tags": tags, "strips": chunks}
+
+
+def test_tiled_gray_and_rgb_decode_exact():
+    g = _rng(41).integers(0, 256, (40, 56), dtype=np.uint8)
+    rgb = _rng(43).integers(0, 256, (33, 50, 3), dtype=np.uint8)
+    for arr in (g, rgb):
+        want = arr if arr.ndim == 3 else np.stack([arr] * 3, axis=-1)
+        for comp in (1, 5, 32773):
+            raw = build_tiff([_tiled_page(arr, 16, 16, comp)])
+            assert tiffcodec.probe_tiff(raw)[0] == 1
+            np.testing.assert_array_equal(
+                tiffcodec.decode_tiff(raw)[0], want, err_msg=str(comp))
+
+
+def test_tiled_multipage_slice_parity():
+    pages = [
+        _tiled_page(_rng(s).integers(0, 256, (24, 40), np.uint8), 16, 16, 5)
+        for s in (51, 52, 53)
+    ]
+    raw = build_tiff(pages)
+    assert tiffcodec.probe_tiff(raw)[0] == 3
+    full = tiffcodec.decode_tiff(raw)
+    sliced = tiffcodec.slice_pages(raw, [2, 0])
+    out = tiffcodec.decode_tiff(sliced)
+    np.testing.assert_array_equal(out[0], full[2])
+    np.testing.assert_array_equal(out[1], full[0])
+
+
+def _planar_page(arr: np.ndarray, rps: int, comp: int = 1,
+                 predictor: int = 1) -> dict:
+    """Plane-major strips: all of band 0's strips, then band 1's, ..."""
+    from ocr_platform_spark import compression
+
+    h, w, spp = arr.shape
+    strips = []
+    for p in range(spp):
+        for y0 in range(0, h, rps):
+            band = arr[y0:y0 + rps, :, p]
+            if predictor == 2:
+                band = np.concatenate(
+                    [band[:, :1], np.diff(band.astype(np.int16), axis=1)
+                     .astype(np.uint8)], axis=1)
+            data = band.tobytes()
+            if comp == 5:
+                data = compression.encode_lzw(data)
+            elif comp == 32773:
+                data = compression.encode_packbits(data)
+            strips.append(data)
+    tags = {
+        256: (4, [w]), 257: (4, [h]), 258: (3, [8] * spp),
+        259: (3, [comp]), 262: (3, [2]), 277: (3, [spp]),
+        278: (4, [rps]), 284: (3, [2]),
+        273: (4, [0] * len(strips)),
+        279: (4, [len(s) for s in strips]),
+    }
+    if predictor == 2:
+        tags[317] = (3, [2])
+    return {"tags": tags, "strips": strips}
+
+
+def test_planar_rgb_uncompressed_lzw_and_predictor():
+    arr = _rng(61).integers(0, 256, (25, 38, 3), dtype=np.uint8)
+    for comp, pred in ((1, 1), (5, 1), (32773, 1), (5, 2)):
+        raw = build_tiff([_planar_page(arr, rps=7, comp=comp,
+                                       predictor=pred)])
+        np.testing.assert_array_equal(
+            tiffcodec.decode_tiff(raw)[0], arr,
+            err_msg=f"comp={comp} pred={pred}")
+
+
+def test_tiled_and_planar_malformed_raise():
+    g = np.zeros((20, 20), np.uint8)
+    ok = _tiled_page(g, 16, 16)
+    cases = []
+    bad = {k: (t, list(v)) for k, (t, v) in ok["tags"].items()}
+    bad[322] = (4, [20])  # tile width not a multiple of 16
+    cases.append({"tags": bad, "strips": ok["strips"]})
+    bad2 = {k: v for k, v in ok["tags"].items() if k != 325}
+    cases.append({"tags": bad2, "strips": ok["strips"]})  # incomplete
+    bad3 = dict(ok["tags"])
+    bad3[284] = (3, [2])  # planar tiled
+    bad3[258] = (3, [8, 8, 8])
+    bad3[277] = (3, [3])
+    bad3[262] = (3, [2])
+    cases.append({"tags": bad3, "strips": ok["strips"]})
+    arr = np.zeros((8, 8, 3), np.uint8)
+    pl = _planar_page(arr, rps=8, comp=1)
+    bad4 = dict(pl["tags"])
+    bad4[259] = (3, [4])  # planar CCITT
+    cases.append({"tags": bad4, "strips": pl["strips"]})
+    bad5 = dict(ok["tags"])
+    bad5[324] = (4, [0])  # tile count does not cover the 2x2 grid
+    bad5[325] = (3, [len(ok["strips"][0])])
+    cases.append({"tags": bad5, "strips": ok["strips"][:1]})
+    for i, page in enumerate(cases):
+        with pytest.raises(ValueError):
+            tiffcodec.decode_tiff(build_tiff([page]))
+        with pytest.raises(ValueError):
+            tiffcodec.probe_tiff(build_tiff([page]))
+
+
+def test_imageio_tiled_tiffs_decode_bit_exact(tifftool, tmp_path):
+    """ImageIO-written TILED TIFFs (16x16 grid over non-divisible dims,
+    so edge tiles crop) across the byte-codec family."""
+    g = _rng(71).integers(0, 256, (40, 56), dtype=np.uint8)
+    rgb = _rng(73).integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    for arr, name in ((g, "g"), (rgb, "c")):
+        src = tmp_path / f"{name}.pnm"
+        _write(src, arr)
+        want = arr if arr.ndim == 3 else np.stack([arr] * 3, axis=-1)
+        for comp in ("None", "LZW", "Deflate", "PackBits"):
+            dst = tmp_path / f"{name}_{comp}.tiff"
+            tifftool("encode", src, dst, comp, 16, 16)
+            got = tiffcodec.decode_tiff(dst.read_bytes())
+            np.testing.assert_array_equal(got[0], want,
+                                          err_msg=f"{name} {comp}")
+            # and the slicer re-emits the tile layout intact
+            re = tiffcodec.slice_pages(dst.read_bytes(), [0])
+            np.testing.assert_array_equal(
+                tiffcodec.decode_tiff(re)[0], want)
+
+
+def _write(path, arr):
+    with open(path, "wb") as f:
+        if arr.ndim == 2:
+            f.write(b"P5\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]))
+        else:
+            f.write(b"P6\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]))
+        f.write(arr.tobytes())

@@ -22,7 +22,9 @@ import javax.imageio.stream.*;
 public final class TiffTool {
     public static void main(String[] args) throws Exception {
         if (args[0].equals("encode")) {
-            encode(args[1], args[2], args[3]);
+            encode(args[1], args[2], args[3],
+                   args.length > 5 ? Integer.parseInt(args[4]) : 0,
+                   args.length > 5 ? Integer.parseInt(args[5]) : 0);
         } else if (args[0].equals("decode")) {
             decode(args[1], args[2], args.length > 3 ? Integer.parseInt(args[3]) : 0);
         } else if (args[0].equals("encodejpeg")) {
@@ -58,7 +60,8 @@ public final class TiffTool {
         return v;
     }
 
-    static void encode(String pnmPath, String tiffPath, String compression) throws Exception {
+    static void encode(String pnmPath, String tiffPath, String compression,
+                       int tileW, int tileH) throws Exception {
         DataInputStream in = new DataInputStream(new BufferedInputStream(new FileInputStream(pnmPath)));
         int magic0 = in.read(), magic1 = in.read();
         boolean rgb = magic1 == '6';
@@ -92,6 +95,10 @@ public final class TiffTool {
         if (!compression.equals("None")) {
             p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
             p.setCompressionType(compression);
+        }
+        if (tileW > 0) {  // tiled layout (tile dims must be multiples of 16)
+            p.setTilingMode(ImageWriteParam.MODE_EXPLICIT);
+            p.setTiling(tileW, tileH, 0, 0);
         }
         ImageOutputStream ios = ImageIO.createImageOutputStream(new File(tiffPath));
         writer.setOutput(ios);
