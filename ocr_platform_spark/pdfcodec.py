@@ -18,6 +18,12 @@ wrong raster; the quarantine path keys on ``ValueError``):
   predictors), object streams (``/Type /ObjStm``), incremental updates
   via ``/Prev`` chains (mixed classic/stream), hybrid-reference files
   (``/XRefStm``), free-entry lists.
+* encrypted documents with an EMPTY user password (the wild
+  "permissions-only" class readers open silently) via the standard
+  security handler (:mod:`ocr_platform_spark.pdfcrypt`): RC4 (R2/R3,
+  ``/V 4`` ``/CFM /V2``), AES-128 (``/AESV2``) and AES-256 (R6,
+  ``/AESV3``). Password-protected documents (non-empty user password)
+  raise — they are unreadable, not blank.
 * byte-stream filters for both content and image streams:
   ``/FlateDecode`` (zlib) and ``/LZWDecode`` (:mod:`compression`, both
   ``/EarlyChange`` variants), each optionally with PNG predictors
@@ -246,7 +252,22 @@ class _Document:
         self.compressed: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, tuple] = {}
+        #: standard-security-handler decryptor, set up after the xref so
+        #: the /Encrypt dict can be an indirect reference. Order is safe:
+        #: xref streams are parsed directly in _load_xref_stream and are
+        #: never encrypted (spec 7.5.8.2).
+        self.encryption = None
         self._load_xref()
+        enc = self.trailer.get("Encrypt")
+        if enc is not None:
+            from . import pdfcrypt
+
+            ids = self.get(self.trailer.get("ID"))
+            id0 = ids[0] if isinstance(ids, list) and ids and \
+                isinstance(ids[0], bytes) else b""
+            self.encryption = pdfcrypt.StandardSecurityHandler(
+                self.get(enc), id0, self.get
+            )
 
     def _claim(self, num: int, offset_or_stm: int, idx: int = -1) -> None:
         """Record an in-use xref entry; first-seen (newest section in the
@@ -431,6 +452,14 @@ class _Document:
             rawstream = raw[pos:pos + length]
             if len(rawstream) < length:
                 raise ValueError("truncated PDF stream")
+            if self.encryption is not None and \
+                    str(val.get("Type", "")) != "XRef":
+                # encryption sits OUTSIDE /Filter: decrypt before caching
+                # so every consumer (incl. the verbatim-bytes slicer, whose
+                # output carries no /Encrypt) sees plaintext-filtered bytes
+                rawstream = self.encryption.decrypt_stream(
+                    num, int(m.group(2)), rawstream
+                )
         self._cache[num] = (val, rawstream)
         return val, rawstream
 

@@ -40,6 +40,30 @@ def tifftool(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def cryptotool(tmp_path_factory):
+    """Compile tools/CryptoTool.java once per session; yields a runner
+    that returns the JCE cipher output as a lowercase hex string — the
+    external ground truth for ocr_platform_spark.crypto."""
+    import shutil
+    import subprocess
+
+    if shutil.which("javac") is None or shutil.which("java") is None:
+        pytest.skip("JDK not available")
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "CryptoTool.java")
+    cp = tmp_path_factory.mktemp("cryptotool")
+    subprocess.run(["javac", "-d", str(cp), src], check=True)
+
+    def run(*args) -> str:
+        out = subprocess.run(["java", "-cp", str(cp), "CryptoTool",
+                              *map(str, args)], check=True,
+                             capture_output=True, text=True)
+        return out.stdout.strip()
+
+    return run
+
+
+@pytest.fixture(scope="session")
 def corpus_dir(tmp_path_factory):
     """Small deterministic corpus shared by Spark-level tests."""
     from ocr_platform_spark import corpus

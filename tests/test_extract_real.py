@@ -41,9 +41,10 @@ def _render_pages(payload: bytes) -> tuple[str, list[np.ndarray]]:
     return kind, [raster.render_page(p, scale) for p in pages]
 
 
-def gray_scanned_pdf(pages_gray: list[np.ndarray]) -> bytes:
-    """Real classic-xref PDF whose page images are the given gray rasters
-    at identity scale for a 150-DPI render."""
+def gray_scanned_objs(pages_gray: list[np.ndarray]) -> dict[int, bytes]:
+    """Object set for a scanned PDF whose page images are the given gray
+    rasters at identity scale for a 150-DPI render (object dict form, so
+    test_pdfcrypt can wrap the same pages in an encrypted container)."""
     objs = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
     kids, nxt = [], 3
     for img in pages_gray:
@@ -67,7 +68,13 @@ def gray_scanned_pdf(pages_gray: list[np.ndarray]) -> bytes:
         )
     objs[2] = (f"<< /Type /Pages /Kids [{' '.join(kids)}] "
                f"/Count {len(kids)} >>").encode()
-    return build_pdf(objs)
+    return objs
+
+
+def gray_scanned_pdf(pages_gray: list[np.ndarray]) -> bytes:
+    """Real classic-xref PDF whose page images are the given gray rasters
+    at identity scale for a 150-DPI render."""
+    return build_pdf(gray_scanned_objs(pages_gray))
 
 
 def reencode_real(payload: bytes) -> bytes:

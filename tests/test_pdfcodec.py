@@ -108,12 +108,19 @@ def _png_up_predict(rows: list[bytes]) -> bytes:
 def build_pdf_xrefstream(objects: dict[int, bytes], root: int = 1,
                          compressed=frozenset(), predictor: bool = False,
                          split_index: bool = False,
-                         tamper_rows: dict[int, tuple] | None = None) -> bytes:
+                         tamper_rows: dict[int, tuple] | None = None,
+                         objstm_cipher=None,
+                         trailer_extra: str = "") -> bytes:
     """Assemble a PDF 1.5 file: ``compressed`` object numbers (plain
     dictionaries only) packed into one /ObjStm, everything referenced by
     an xref STREAM (/W [1 4 2], optional PNG Up predictor, optional
     one-subsection-per-object /Index). ``tamper_rows`` overrides packed
-    (type, f2, f3) rows by object number — for error-contract tests."""
+    (type, f2, f3) rows by object number — for error-contract tests.
+    ``objstm_cipher(num, payload)`` post-processes the /ObjStm payload
+    (encryption fixtures: the container stream is encrypted, the xref
+    stream NEVER is); ``trailer_extra`` injects entries (e.g.
+    ``/Encrypt``/``/ID``) into the xref stream dict, which doubles as
+    the trailer."""
     comp = sorted(set(compressed))
     objstm_num = max(objects) + 1
     xref_num = objstm_num + 1 if comp else objstm_num
@@ -131,6 +138,8 @@ def build_pdf_xrefstream(objects: dict[int, bytes], root: int = 1,
             data += objects[num] + b" "
         hdr = (" ".join(hdr_parts) + " ").encode()
         payload = zlib.compress(hdr + bytes(data))
+        if objstm_cipher is not None:
+            payload = objstm_cipher(objstm_num, payload)
         offsets[objstm_num] = len(out)
         out += (f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(comp)} "
                 f"/First {len(hdr)} /Filter /FlateDecode "
@@ -163,7 +172,7 @@ def build_pdf_xrefstream(objects: dict[int, bytes], root: int = 1,
         body = zlib.compress(b"".join(packed))
         parms = ""
     out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
-            f"{index}/Root {root} 0 R /Filter /FlateDecode {parms}"
+            f"{index}/Root {root} 0 R {trailer_extra}/Filter /FlateDecode {parms}"
             f"/Length {len(body)} >>\nstream\n").encode()
     out += body + b"\nendstream\nendobj\n"
     out += f"startxref\n{xref_pos}\n%%EOF".encode()
