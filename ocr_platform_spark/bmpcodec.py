@@ -231,12 +231,14 @@ def _decode_bmp(raw: bytes) -> np.ndarray:
     if bpp == 32:
         px = np.ascontiguousarray(rows[:, :w * 4]).reshape(h, w, 4)
         if p["masks"] is not None:
+            # explicit little-endian: a native view would byte-swap
+            # every pixel on big-endian hosts
             return _apply_masks(
-                px.view(np.uint32).reshape(h, w), p["masks"])
+                px.view(np.dtype("<u4")).reshape(h, w), p["masks"])
         return px[:, :, 2::-1].copy()  # BGRX -> RGB
     if bpp == 16:
         px = np.ascontiguousarray(
-            rows[:, :w * 2]).view(np.uint16).reshape(h, w)
+            rows[:, :w * 2]).view(np.dtype("<u2")).reshape(h, w)
         masks = p["masks"] or (0x7C00, 0x03E0, 0x001F)  # BI_RGB: X555
         return _apply_masks(px, masks)
     if bpp == 8:

@@ -45,6 +45,18 @@ def decode_lzw(data: bytes, early_change: int = 1,
     """
     if early_change not in (0, 1):
         raise ValueError(f"LZW EarlyChange must be 0 or 1, got {early_change}")
+
+    def _prebump_eod_tail(acc: int, rem: int, width: int) -> bool:
+        # ``rem`` unconsumed bits remain at end-of-data; True iff they read
+        # as EOD at the PRE-bump width (width - 1) followed only by the
+        # 0-7 zero bits of byte padding — the ImageIO writer quirk.
+        pw = width - 1
+        pad = rem - pw
+        if pw < 9 or pad < 0 or pad > 7:
+            return False
+        bits = acc & ((1 << rem) - 1)
+        return (bits >> pad) == _EOD and (bits & ((1 << pad) - 1)) == 0
+
     out = bytearray()
     table: list[bytes] = []
     width = 9
@@ -98,6 +110,13 @@ def decode_lzw(data: bytes, early_change: int = 1,
                 entry = table[code]
             elif code == len(table):
                 entry = prev + prev[:1]  # KwKwK case
+            elif pos >= n and _prebump_eod_tail(acc, nbits + width, width):
+                # the ImageIO pre-bump EOD (see the refill-loop comment)
+                # with 1-7 zero pad bits: the full-width read yields
+                # EOD << pad, an over-table code.  Accept it only here,
+                # where the full-width interpretation would raise anyway,
+                # so a legitimate data code can never be shadowed.
+                return bytes(out)
             else:
                 raise ValueError(
                     f"LZW code {code} past table size {len(table)}"

@@ -49,7 +49,8 @@ MAGIC_REAL_JPEG = b"\xff\xd8\xff"
 MAGIC_REAL_TIFF = (b"II\x2a\x00", b"MM\x00\x2a")
 MAGIC_REAL_GIF = (b"GIF87a", b"GIF89a")
 MAGIC_REAL_BMP = b"BM"
-_BMP_DIB_SIZES = (12, 40, 52, 56, 64, 108, 124)
+# the codec's own supported-DIB list, so sniff and decode can't diverge
+from .bmpcodec import _HDR_SIZES as _BMP_DIB_SIZES  # noqa: E402
 
 
 def sniff_kind(raw: bytes) -> str:

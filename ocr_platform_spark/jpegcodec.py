@@ -570,21 +570,23 @@ def _assemble(comps, planes, hmax, vmax, h, w, adobe=None) -> np.ndarray:
         # transform byte: 2 = YCCK (YCbCr-coded inverted CMY + inverted
         # K — what Photoshop/Distiller emit), 0 = CMYK stored directly.
         # Adobe writers store INVERTED ink values; PIL undoes that via
-        # the "CMYK;I" rawmode whenever the Adobe marker is present, so
-        # marker-present files invert and the rare marker-free
-        # 4-component file is taken as plain ink samples. libjpeg's
-        # YCCK->CMYK (jdcolor.c) clamps the YCC conversion BEFORE the
-        # inversion, which _ycbcr_to_rgb's round+clip mirrors.
+        # the "CMYK;I" rawmode, which JpegImagePlugin sets
+        # UNCONDITIONALLY for 4-layer frames ("assume adobe
+        # conventions") — so a marker-free 4-component file inverts
+        # exactly like an APP14 transform-0 file, and this fallback must
+        # match or decode_real_media's two paths render color negatives
+        # of each other. libjpeg's YCCK->CMYK (jdcolor.c) clamps the YCC
+        # conversion BEFORE the inversion, which _ycbcr_to_rgb's
+        # round+clip mirrors.
         if adobe == 2:
             rgbish = _ycbcr_to_rgb(full[0], full[1], full[2])
             c, m, y = rgbish[..., 0], rgbish[..., 1], rgbish[..., 2]
             k = 255 - np.clip(np.rint(full[3]), 0, 255).astype(np.uint8)
         elif adobe in (None, 0):
-            stored = [np.clip(np.rint(p), 0, 255).astype(np.uint8)
-                      for p in full]
-            if adobe == 0:
-                stored = [255 - s for s in stored]
-            c, m, y, k = stored
+            c, m, y, k = [
+                255 - np.clip(np.rint(p), 0, 255).astype(np.uint8)
+                for p in full
+            ]
         else:
             raise ValueError(
                 f"Adobe APP14 transform {adobe} unsupported for "

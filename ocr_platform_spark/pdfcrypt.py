@@ -90,6 +90,23 @@ class StandardSecurityHandler:
             cf = g("CF")
             stmf = str(g("StmF", "Identity"))
             if stmf == "Identity":
+                # Streams pass through untouched, but the document may
+                # still be password-protected (strings/other filters
+                # encrypted) — run the Algorithm 4/5 authentication
+                # before accepting it, or the promised
+                # "password-protected" ValueError would never fire for
+                # this configuration.  Key length: the StdCF entry when
+                # one exists, else the file-level /Length.
+                std = get(cf.get("StdCF")) if isinstance(cf, dict) else None
+                nbits = (get(std.get("Length", g("Length", 128)))
+                         if isinstance(std, dict) else g("Length", 128))
+                if not isinstance(nbits, int):
+                    raise ValueError("/Encrypt /Length must be an integer")
+                if nbits <= 16:      # bytes-vs-bits leniency, as below
+                    nbits *= 8
+                if nbits % 8 or not 40 <= nbits <= 128:
+                    raise ValueError(f"/Encrypt /Length {nbits} out of range")
+                self._init_rc4_aes128(enc, g, r, o, u, p, id0, nbits // 8)
                 self._cfm = None  # streams not encrypted
                 self._key = b""
                 return
@@ -128,8 +145,12 @@ class StandardSecurityHandler:
         if len(o) < 32 or len(u) < 16:
             raise ValueError("/O and /U are too short")
         em = g("EncryptMetadata", True)
+        # /P is the low 32 bits of a signed permissions word; wild files
+        # carry values outside [-2^31, 2^32) which struct's "<i"/"<I"
+        # would reject with struct.error (not the codec's ValueError
+        # contract) — mask to the two's-complement bit pattern instead.
         h = hashlib.md5(PAD + o[:32]
-                        + struct.pack("<i", p if p < 2**31 else p - 2**32)
+                        + struct.pack("<I", p & 0xFFFFFFFF)
                         + id0)
         if r >= 4 and em is False:
             h.update(b"\xff\xff\xff\xff")

@@ -239,6 +239,18 @@ def _page_plan(tags: dict) -> tuple[int, int, int, int, int, int]:
                 f"TIFF tile size {tw}x{tl} must be a positive multiple "
                 "of 16"
             )
+        # The w*h cap alone does not bound tile rasters: a 16x16 image may
+        # declare one 2^20 x 2^20 tile (count check passes at 1 tile) and an
+        # all-white G4 row costs ~1 bit, so decode would attempt a
+        # terabyte-scale allocation.  Cap the tile-covered canvas — the
+        # padded area every tile decode materialises — by the same pixel
+        # budget as the image itself.
+        canvas = (((w + tw - 1) // tw) * tw) * (((h + tl - 1) // tl) * tl)
+        if canvas > MAX_PIXELS:
+            raise ValueError(
+                f"TIFF tile canvas {tw}x{tl} tiles over {w}x{h} exceeds "
+                "MAX_PIXELS"
+            )
         if len(tags[324]) != len(tags[325]):
             raise ValueError("TIFF tile offset/count arrays disagree")
         if len(tags[324]) != ((w + tw - 1) // tw) * ((h + tl - 1) // tl):

@@ -467,6 +467,42 @@ def test_lzw_final_code_on_width_boundary():
             assert C.decode_lzw(C.encode_lzw(d, ec), ec) == d, (n, ec)
 
 
+def _pack_codes(codes: list[tuple[int, int]]) -> bytes:
+    """MSB-first bit packing of (code, width) pairs, zero-padded."""
+    acc, nbits, out = 0, 0, bytearray()
+    for c, w in codes:
+        acc = (acc << w) | c
+        nbits += w
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_prebump_eod_every_byte_alignment():
+    """The ImageIO writer quirk — EOD flushed at the PRE-bump width when
+    the final table entry lands exactly on the 511 boundary — must decode
+    at EVERY byte alignment of that tail (review finding): with 1-7 pad
+    bits the full-width read yields an over-table code (EOD << pad) and
+    previously raised. A leading Clear + m literals shifts the tail
+    through all 8 alignments without disturbing the 511-boundary hit."""
+    lits2 = [(i * 7 + 13) % 256 for i in range(254)]
+    for m in range(8):
+        lits1 = [(i * 5 + 3) % 256 for i in range(m)]
+        codes = ([(256, 9)] + [(c, 9) for c in lits1]
+                 + [(256, 9)] + [(c, 9) for c in lits2]
+                 + [(257, 9)])  # the quirk: EOD at 9, decoder is at 10
+        got = C.decode_lzw(_pack_codes(codes), 1)
+        assert got == bytes(lits1 + lits2), m
+    # an over-table code that is NOT the EOD pattern still raises
+    bad = ([(256, 9), (3, 9)] + [(256, 9)] + [(c, 9) for c in lits2]
+           + [(258, 9)])
+    with pytest.raises(ValueError, match="past table"):
+        C.decode_lzw(_pack_codes(bad), 1)
+
+
 def test_unpack_subbyte_rows_contract():
     assert C.unpack_subbyte_rows(b"\xb4", 4, 1, 2).tolist() == [[2, 3, 1, 0]]
     assert C.unpack_subbyte_rows(b"\x80\x00", 3, 2, 1).tolist() == \

@@ -132,17 +132,19 @@ def _strip_app14(raw: bytes) -> bytes:
     return raw[:2] + raw[4 + seglen:]
 
 
-def test_four_component_without_adobe_marker_is_plain_ink():
-    # stripping the APP14 marker flips the inversion convention: the
-    # stored samples (255 - ink) are then read AS ink — PIL's rawmode
-    # split on `"adobe" in info`
+def test_four_component_without_adobe_marker_still_inverts():
+    # stripping the APP14 marker must NOT flip the inversion convention:
+    # PIL's JpegImagePlugin sets rawmode "CMYK;I" unconditionally for
+    # 4-layer frames ("assume adobe conventions"), so the marker-free
+    # file decodes identically to its transform-0 twin — anything else
+    # would make the stdlib fallback a color negative of the PIL path
     cmyk = np.full((16, 16, 4), 0, np.uint8)
     cmyk[:, :, 0] = 60  # cyan ink only
     raw = jpegcodec.encode_jpeg(cmyk, cmyk_transform=0)
     marked = jpegcodec.decode_jpeg(raw)
     np.testing.assert_array_equal(marked, _ref_rgb(cmyk))
     bare = jpegcodec.decode_jpeg(_strip_app14(raw))
-    np.testing.assert_array_equal(bare, _ref_rgb(255 - cmyk))
+    np.testing.assert_array_equal(bare, marked)
 
 
 def test_adobe_transform1_on_four_components_raises():

@@ -30,6 +30,7 @@ Pins:
 import hashlib
 import re
 import struct
+import sys
 import zlib
 
 import numpy as np
@@ -80,7 +81,10 @@ def _alg3_o(owner: bytes, user: bytes, r: int, n: int) -> bytes:
 
 def _alg2_key(user: bytes, o: bytes, p: int, id0: bytes, r: int, n: int,
               em: bool = True) -> bytes:
-    h = hashlib.md5(_padpwd(user) + o + struct.pack("<i", p) + id0)
+    # /P enters the hash as its 32-bit two's-complement bit pattern —
+    # wild files carry values outside [-2^31, 2^31), hence the mask
+    h = hashlib.md5(_padpwd(user) + o + struct.pack("<I", p & 0xFFFFFFFF)
+                    + id0)
     if r >= 4 and not em:
         h.update(b"\xff\xff\xff\xff")
     key = h.digest()
@@ -346,11 +350,26 @@ def test_objstm_is_encrypted_but_xref_stream_is_not():
 # --------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("variant", ["rc4-40", "rc4-128", "v4-aes", "r6"])
+@pytest.mark.parametrize("variant", ["rc4-40", "rc4-128", "v4-aes",
+                                     "v4-identity", "r6"])
 def test_nonempty_user_password_raises(variant):
     enc = encrypt_pdf(_two_page_objs(), variant, user_pwd=b"secret")
     with pytest.raises(ValueError, match="password-protected"):
         pdfcodec.page_count(enc)
+
+
+@pytest.mark.parametrize("p_wild", [-3_000_000_000, 6_442_450_944])
+def test_out_of_range_p_wraps_as_32_bits(p_wild, monkeypatch):
+    # /P outside [-2^31, 2^31) appears in the wild; the handler must key
+    # off its 32-bit two's-complement bit pattern — struct.error leaking
+    # through the ValueError codec contract was the failure (review
+    # finding)
+    monkeypatch.setattr(sys.modules[__name__], "_P", p_wild)
+    objs = _two_page_objs()
+    enc = encrypt_pdf(objs, "rc4-128")
+    want = pdfcodec.decode_pdf(build_pdf(objs))
+    for w, g in zip(want, pdfcodec.decode_pdf(enc)):
+        np.testing.assert_array_equal(g, w)
 
 
 @pytest.mark.parametrize("variant", ["rc4-128", "r6"])

@@ -826,6 +826,23 @@ def test_planar_rgb_uncompressed_lzw_and_predictor():
             err_msg=f"comp={comp} pred={pred}")
 
 
+def test_tiled_dimension_bomb_quarantines():
+    # a 16x16 image declaring one 2^20 x 2^20 tile passes the tile-count
+    # check (1 tile covers it) and the w*h cap, but must hit the pixel
+    # budget BEFORE decode: an all-white G4 row costs ~1 bit, so a tiny
+    # payload would otherwise drive _paint into a terabyte-scale
+    # allocation (review finding)
+    page = _tiled_page(np.zeros((16, 16), np.uint8), 16, 16, comp=1)
+    tags = dict(page["tags"])
+    tags[322] = (4, [1 << 20])
+    tags[323] = (4, [1 << 20])
+    raw = build_tiff([{"tags": tags, "strips": page["strips"][:1]}])
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        tiffcodec.probe_tiff(raw)
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        tiffcodec.decode_tiff(raw)
+
+
 def test_tiled_and_planar_malformed_raise():
     g = np.zeros((20, 20), np.uint8)
     ok = _tiled_page(g, 16, 16)
