@@ -129,7 +129,12 @@ def decode_png(raw: bytes) -> np.ndarray:
     if ctype == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE")
     ch = _CHANNELS[ctype]
-    dec = zlib.decompress(bytes(idat))
+    try:
+        dec = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # zlib.error is not ValueError: a corrupt IDAT stream must
+        # quarantine at the dispatch seam, not fail the executor
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if interlace == 0:
         px, end = _decode_subimage(dec, 0, w, h, depth, ch)
     else:

@@ -1,0 +1,117 @@
+"""Cross-format mutation fuzz at THE dispatch seam.
+
+Every wild payload enters the real-codec path through
+``formats.sniff_kind`` -> ``multimodal.probe_real_media`` ->
+``multimodal.decode_real_media``.  The distributed pipeline
+(``operators/extract_real.py``) quarantines on ``ValueError`` — any
+other exception escaping the seam fails executors instead of
+quarantining the document, and at corpus scale a single such payload
+kills the job.  The per-codec suites fuzz their own containers
+(test_pdfcodec / test_tiffcodec / test_gifcodec / test_pdftext /
+test_real_codecs); this file fuzzes the seam itself, one valid fixture
+per media kind, mutated by byte writes, bit flips, truncations,
+zero-fill spans and garbage extension, asserting the contract at the
+exact call sites the pipeline uses:
+
+* ``sniff_kind`` never raises (it returns ``"unknown"`` at worst);
+* ``probe_real_media(deep=True)`` and ``decode_real_media`` either
+  succeed or raise ``ValueError`` — never any other exception type.
+
+Mutants are deterministic (seeded rng), so a contract break replays.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from ocr_platform_spark import bmpcodec, formats, gifcodec, jpegcodec, \
+    multimodal, pngcodec, tiffcodec
+from tests.test_pdfcodec import build_pdf, scanned_objs
+from tests.test_pdfcrypt import encrypt_pdf
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def _img(seed, h=24, w=32):
+    return _rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _fixtures() -> dict[str, bytes]:
+    objs = scanned_objs([_img(3, 30, 40)], ["0 0 19.2 14.4"])
+    bl = (_rng(9).integers(0, 2, (32, 48)) > 0)
+    return {
+        "png": pngcodec.encode_png(_img(1)),
+        "jpeg": jpegcodec.encode_jpeg(_img(2)),
+        "pdf": build_pdf(objs),
+        "pdf-encrypted": encrypt_pdf(objs, "v4-aes"),
+        "tiff": tiffcodec.encode_bilevel_tiff([bl, ~bl], compression=4),
+        "gif": gifcodec.encode_gif(
+            [_rng(5).integers(0, 256, (24, 32), dtype=np.uint8)]),
+        "bmp": bmpcodec.encode_bmp(_img(6)),
+        "html": (b"<!doctype html><html><head><title>t</title></head>"
+                 b"<body><p>alpha beta</p><p>gamma</p></body></html>"),
+    }
+
+
+def _mutants(raw: bytes, seed: int):
+    """Deterministic mutation stream: (label, mutated bytes)."""
+    rng = _rng(seed)
+    n = len(raw)
+    for i in rng.integers(0, n, 16):
+        m = bytearray(raw)
+        m[i] ^= 1 << int(rng.integers(0, 8))
+        yield f"bitflip@{i}", bytes(m)
+    for i in rng.integers(0, n, 12):
+        m = bytearray(raw)
+        m[i] = int(rng.integers(0, 256))
+        yield f"byte@{i}", bytes(m)
+    for i in sorted(rng.integers(1, n, 8)):
+        yield f"trunc@{i}", raw[:i]
+    yield "trunc@1", raw[:1]
+    yield "trunc@half", raw[: n // 2]
+    for i in rng.integers(0, max(1, n - 4), 6):
+        m = bytearray(raw)
+        m[i:i + 4] = b"\x00\x00\x00\x00"
+        yield f"zero4@{i}", bytes(m)
+    yield "extend", raw + bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+
+
+@pytest.mark.parametrize("kind", sorted(_fixtures()))
+def test_dispatch_seam_mutation_fuzz(kind):
+    raw = _fixtures()[kind]
+    sniff = kind.split("-")[0]
+    # the probe ladder reports single-raster formats as "image"
+    probe_kind = {"png": "image", "jpeg": "image", "bmp": "image"}.get(
+        sniff, sniff)
+    # the pristine fixture must pass the whole seam
+    assert formats.sniff_kind(raw) == sniff
+    probed = multimodal.probe_real_media(raw, deep=True)
+    assert probed[0] == probe_kind and probed[1] >= 1
+    if sniff != "html":  # reflowable text has no raster decode by design
+        got_kind, pages = multimodal.decode_real_media(raw)
+        assert len(pages) >= 1, got_kind
+
+    # zlib.crc32 is a stable seed; hash() is salted per-process and
+    # would make mutants unreproducible
+    for label, mut in _mutants(raw, seed=zlib.crc32(kind.encode())):
+        sniffed = formats.sniff_kind(mut)  # must never raise
+        assert isinstance(sniffed, str), (kind, label)
+        try:
+            multimodal.probe_real_media(mut, deep=True)
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001 - the contract under test
+            pytest.fail(f"{kind} {label}: probe raised {type(e).__name__}: "
+                        f"{e}")
+        try:
+            multimodal.decode_real_media(mut)
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001 - the contract under test
+            pytest.fail(f"{kind} {label}: decode raised {type(e).__name__}: "
+                        f"{e}")
