@@ -113,10 +113,16 @@ def decode_png(raw: bytes) -> np.ndarray:
         (ln,), typ = struct.unpack(">I", raw[pos:pos + 4]), raw[pos + 4:pos + 8]
         pos += 8
         data = raw[pos:pos + ln]
+        if len(data) != ln:
+            raise ValueError(f"PNG {typ!r} chunk truncated")
         pos += ln + 4  # payload + CRC (CRC not verified: decode seam, not a validator)
         if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError(f"PNG IHDR length {ln} != 13")
             hdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"PLTE":
+            if ln == 0 or ln % 3:
+                raise ValueError(f"PNG PLTE length {ln} not a multiple of 3")
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data

@@ -62,19 +62,19 @@ def _mutants(raw: bytes, seed: int):
     """Deterministic mutation stream: (label, mutated bytes)."""
     rng = _rng(seed)
     n = len(raw)
-    for i in rng.integers(0, n, 16):
+    for i in rng.integers(0, n, 48):
         m = bytearray(raw)
         m[i] ^= 1 << int(rng.integers(0, 8))
         yield f"bitflip@{i}", bytes(m)
-    for i in rng.integers(0, n, 12):
+    for i in rng.integers(0, n, 32):
         m = bytearray(raw)
         m[i] = int(rng.integers(0, 256))
         yield f"byte@{i}", bytes(m)
-    for i in sorted(rng.integers(1, n, 8)):
+    for i in sorted(rng.integers(1, n, 16)):
         yield f"trunc@{i}", raw[:i]
     yield "trunc@1", raw[:1]
     yield "trunc@half", raw[: n // 2]
-    for i in rng.integers(0, max(1, n - 4), 6):
+    for i in rng.integers(0, max(1, n - 4), 12):
         m = bytearray(raw)
         m[i:i + 4] = b"\x00\x00\x00\x00"
         yield f"zero4@{i}", bytes(m)
