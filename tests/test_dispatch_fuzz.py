@@ -28,7 +28,7 @@ import numpy as np
 import pytest
 
 from ocr_platform_spark import bmpcodec, formats, gifcodec, jpegcodec, \
-    multimodal, pngcodec, tiffcodec
+    multimodal, pdfcodec, pngcodec, tiffcodec
 from tests.test_pdfcodec import build_pdf, scanned_objs
 from tests.test_pdfcrypt import encrypt_pdf
 
@@ -101,8 +101,9 @@ def test_dispatch_seam_mutation_fuzz(kind):
     for label, mut in _mutants(raw, seed=zlib.crc32(kind.encode())):
         sniffed = formats.sniff_kind(mut)  # must never raise
         assert isinstance(sniffed, str), (kind, label)
+        probe_ok = False
         try:
-            multimodal.probe_real_media(mut, deep=True)
+            probe_ok = multimodal.probe_real_media(mut, deep=True)[1] >= 1
         except ValueError:
             pass
         except Exception as e:  # noqa: BLE001 - the contract under test
@@ -115,3 +116,18 @@ def test_dispatch_seam_mutation_fuzz(kind):
         except Exception as e:  # noqa: BLE001 - the contract under test
             pytest.fail(f"{kind} {label}: decode raised {type(e).__name__}: "
                         f"{e}")
+        if probe_ok and sniffed in ("pdf", "tiff", "gif"):
+            # the bucket-explode slicer is the third distributed call
+            # site; a mutant that survives the deep probe reaches it
+            try:
+                if sniffed == "pdf":
+                    pdfcodec._Slicer(mut).slice([0])
+                elif sniffed == "tiff":
+                    tiffcodec.slice_pages(mut, [0])
+                else:
+                    gifcodec.slice_pages(mut, [0])
+            except ValueError:
+                pass
+            except Exception as e:  # noqa: BLE001 - contract under test
+                pytest.fail(f"{kind} {label}: slice raised "
+                            f"{type(e).__name__}: {e}")
