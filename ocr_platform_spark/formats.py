@@ -49,6 +49,7 @@ MAGIC_REAL_JPEG = b"\xff\xd8\xff"
 MAGIC_REAL_TIFF = (b"II\x2a\x00", b"MM\x00\x2a")
 MAGIC_REAL_GIF = (b"GIF87a", b"GIF89a")
 MAGIC_REAL_BMP = b"BM"
+MAGIC_REAL_ZIP = b"PK\x03\x04"  # DOCX et al.; probe refines zip -> docx
 # the codec's own supported-DIB list, so sniff and decode can't diverge
 from .bmpcodec import _HDR_SIZES as _BMP_DIB_SIZES  # noqa: E402
 
@@ -57,13 +58,18 @@ def sniff_kind(raw: bytes) -> str:
     """Byte-level content sniffing (the reference dispatches on
     content-type/extension, ``ocr_tasks.py:36-39``; serving sniffs magic
     bytes). Returns one of ``spdf | simg | pdf | png | jpeg | tiff |
-    gif | bmp | html | unknown`` —
+    gif | bmp | zip | html | unknown`` —
     ``pdf``/``png``/``jpeg``/``tiff``/``gif``/``bmp``
     are REAL codecs
     handled by the optional
     :func:`ocr_platform_spark.multimodal.decode_real_media` seam;
     ``html`` extracts via the DOM tier
-    (:mod:`ocr_platform_spark.htmltext`)."""
+    (:mod:`ocr_platform_spark.htmltext`); ``zip`` is refined by
+    :func:`ocr_platform_spark.multimodal.probe_real_media` into
+    ``docx`` (:mod:`ocr_platform_spark.docxtext`) or quarantined.
+    Plain text has no magic, so it is NOT named here — it is the
+    probe's final fallback tier
+    (:mod:`ocr_platform_spark.plaintext`)."""
     if raw.startswith(MAGIC_PDF):
         return "spdf"
     if raw.startswith(MAGIC_IMG):
@@ -83,6 +89,8 @@ def sniff_kind(raw: bytes) -> str:
     if raw.startswith(MAGIC_REAL_BMP) and len(raw) >= 18 and \
             int.from_bytes(raw[14:18], "little") in _BMP_DIB_SIZES:
         return "bmp"
+    if raw.startswith(MAGIC_REAL_ZIP):
+        return "zip"
     # HTML has no magic number: sniff a leading doctype/<html> tag after
     # an optional UTF-8 BOM + whitespace (the pragmatic browser rule)
     head = raw[3:64] if raw.startswith(b"\xef\xbb\xbf") else raw[:64]

@@ -159,6 +159,12 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
             "pipeline extracts it via ocr_platform_spark.htmltext "
             "(operators/extract_real dispatches on kind='html')"
         )
+    if kind == "zip":
+        raise ValueError(
+            "zip/DOCX payload: reflowable text has no raster form — the "
+            "pipeline extracts it via ocr_platform_spark.docxtext "
+            "(operators/extract_real dispatches on kind='docx')"
+        )
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 
 
@@ -342,6 +348,33 @@ def probe_real_media(
         if name is not None and name not in htmltext._CHARSET_CODECS:
             raise ValueError(f"unsupported declared charset {name!r}")
         return "html", 1, 0, 0
+    if kind == "zip":
+        from . import docxtext
+
+        # refine: a zip carrying word/document.xml is a DOCX (one
+        # reflowable page, no raster geometry — like HTML); any other
+        # archive quarantines rather than dumping member text. deep=True
+        # inflates + XML-parses the document part (CRC verified), the
+        # shallow probe is a central-directory walk only.
+        n, w, h = docxtext.probe_docx(raw, deep=deep)
+        return "docx", n, w, h
+    # FINAL tier — no magic matched: strict plain-text contract
+    # (UTF-8, no binary controls, no leading markup). deep validates
+    # the whole payload; shallow is the O(window) sniff, mirroring the
+    # probe_dims-vs-validate_scanned split.
+    from . import plaintext
+
+    if deep:
+        try:
+            n, w, h = plaintext.validate_text(raw)
+        except ValueError as e:
+            raise ValueError(
+                f"unknown media magic {raw[:5]!r} and not plain text "
+                f"({e})"
+            ) from e
+        return "txt", n, w, h
+    if plaintext.sniff_text(raw):
+        return "txt", 1, 0, 0
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 
 

@@ -63,6 +63,14 @@ span-assembly stages. Like the text layer, an HTML page costs string
 parsing only; unlike PDFs it is independent of the ``text_layer`` flag
 (there is no raster alternative to fall back to).
 
+**The office and plain-text tiers**: ``PK``-magic payloads refine at
+probe time into DOCX (``word/document.xml`` paragraphs,
+:mod:`..docxtext`; other archives quarantine) and payloads matching NO
+magic take the strict plain-text contract (:mod:`..plaintext` — UTF-8,
+no binary controls, no leading markup; anything else quarantines as
+before). Both are reflowable single "pages" through the same
+probe/bucket/assembly stages, like HTML.
+
 Equality contract (pinned in tests/test_extract_real.py): a corpus whose
 synthetic media are re-encoded as real PNG files / scanned PDFs at
 identity scale extracts EXACTLY the same spans through this pipeline as
@@ -77,8 +85,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import (formats, gifcodec, htmltext, jpegcodec, multimodal,
-                pdfcodec, pdftext, pngcodec, tiffcodec)
+from .. import (docxtext, formats, gifcodec, htmltext, jpegcodec,
+                multimodal, pdfcodec, pdftext, plaintext, pngcodec,
+                tiffcodec)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -278,6 +287,17 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 # block y1 = document character position, so the global
                 # (page, y1, x1) span sort is document order.
                 blocks = htmltext.main_blocks(htmltext.decode_html(raw))
+            elif kind == "docx":
+                # office tier: word/document.xml paragraphs in document
+                # order (headers/footers live in other zip members and
+                # never emit — the office boilerplate drop)
+                blocks = docxtext.paragraph_blocks(raw)
+            elif kind == "txt":
+                # plain-text tier: blank-line paragraph split, the
+                # probe's final no-magic fallback
+                blocks = plaintext.paragraph_blocks(
+                    plaintext.decode_text(raw)
+                )
             elif kind == "pdf" and text_layer:
                 # HYBRID dispatch: text-layer pages parse (no pixels
                 # ever produced), scanned pages raster here + OCR below

@@ -27,8 +27,8 @@ import zlib
 import numpy as np
 import pytest
 
-from ocr_platform_spark import bmpcodec, formats, gifcodec, jpegcodec, \
-    multimodal, pdfcodec, pngcodec, tiffcodec
+from ocr_platform_spark import bmpcodec, docxtext, formats, gifcodec, \
+    jpegcodec, multimodal, pdfcodec, pngcodec, tiffcodec
 from tests.test_pdfcodec import build_pdf, scanned_objs
 from tests.test_pdfcrypt import encrypt_pdf
 
@@ -55,6 +55,10 @@ def _fixtures() -> dict[str, bytes]:
         "bmp": bmpcodec.encode_bmp(_img(6)),
         "html": (b"<!doctype html><html><head><title>t</title></head>"
                  b"<body><p>alpha beta</p><p>gamma</p></body></html>"),
+        "docx": docxtext.encode_docx(
+            ["alpha beta\ngamma", "delta & <epsilon>"]),
+        "txt": (b"alpha beta\ngamma delta\n\nsecond paragraph\n\f"
+                b"third one"),
     }
 
 
@@ -84,15 +88,19 @@ def _mutants(raw: bytes, seed: int):
 @pytest.mark.parametrize("kind", sorted(_fixtures()))
 def test_dispatch_seam_mutation_fuzz(kind):
     raw = _fixtures()[kind]
-    sniff = kind.split("-")[0]
+    base = kind.split("-")[0]
+    # sniff is magic-bytes only: DOCX sniffs as its zip container and
+    # plain text (no magic) as unknown — the probe refines both
+    sniff = {"docx": "zip", "txt": "unknown"}.get(base, base)
     # the probe ladder reports single-raster formats as "image"
     probe_kind = {"png": "image", "jpeg": "image", "bmp": "image"}.get(
-        sniff, sniff)
+        base, base)
     # the pristine fixture must pass the whole seam
     assert formats.sniff_kind(raw) == sniff
     probed = multimodal.probe_real_media(raw, deep=True)
     assert probed[0] == probe_kind and probed[1] >= 1
-    if sniff != "html":  # reflowable text has no raster decode by design
+    if base not in ("html", "docx", "txt"):
+        # reflowable text has no raster decode by design
         got_kind, pages = multimodal.decode_real_media(raw)
         assert len(pages) >= 1, got_kind
 

@@ -1,24 +1,28 @@
 """The grand mixed-kind corpus: every extraction tier in ONE job.
 
 A realistic 100 TB crawl interleaves scanned PDFs, fax TIFFs,
-wild-compression long-tail formats, born-digital PDFs and web HTML in
-the same table. This pin rotates the seeded corpus's media across ALL
-five re-encoders and asserts span equality with the synthetic flagship
-through one `extract_real_documents` call — per-media dispatch (probe
-kinds, bucket slicing, raster OCR vs text-layer parse vs DOM walk) all
-coexisting in the same bucket shuffle and span assembly. Expectation is
-exact everywhere except text-layer PDFs (their deterministic
-one-span-per-line delta, shared with test_extract_text_layer).
+wild-compression long-tail formats, born-digital PDFs, web HTML,
+office DOCX and bare plain text in the same table. This pin rotates
+the seeded corpus's media across ALL seven re-encoders and asserts
+span equality with the synthetic flagship through one
+`extract_real_documents` call — per-media dispatch (probe kinds,
+bucket slicing, raster OCR vs text-layer parse vs DOM walk vs
+WordprocessingML walk vs paragraph split) all coexisting in the same
+bucket shuffle and span assembly. Expectation is exact everywhere
+except text-layer PDFs (their deterministic one-span-per-line delta,
+shared with test_extract_text_layer).
 """
 
 from __future__ import annotations
 
 from ocr_platform_spark import corpus, schemas
 from ocr_platform_spark.operators import extract, extract_real
+from tests.test_extract_docx import content_docx
 from tests.test_extract_html import content_html
 from tests.test_extract_real import (_spans_by_doc, reencode_real,
                                      reencode_tiff, reencode_wild)
 from tests.test_extract_text_layer import reencode_text_layer, split_pdf_spans
+from tests.test_extract_text_plain import content_txt
 
 
 def test_all_tiers_in_one_job(spark):
@@ -30,7 +34,7 @@ def test_all_tiers_in_one_job(spark):
     )
     rows, text_pdf_refs = [], set()
     for i, (ref, m) in enumerate(sorted(media.items())):
-        tier = i % 5
+        tier = i % 7
         if tier == 0:
             data = reencode_real(m["data"])
         elif tier == 1:
@@ -41,8 +45,12 @@ def test_all_tiers_in_one_job(spark):
             data, is_pdf = reencode_text_layer(m["data"])
             if is_pdf:
                 text_pdf_refs.add(ref)
-        else:
+        elif tier == 4:
             data = content_html(m["data"])
+        elif tier == 5:
+            data = content_docx(m["data"])
+        else:
+            data = content_txt(m["data"])
         rows.append((ref, bytearray(data)))
     assert text_pdf_refs, "rotation must hit at least one text-layer PDF"
     mixed = spark.createDataFrame(rows, "media_ref string, data binary")

@@ -30,6 +30,9 @@ def test_sniff_kind_magic_dispatch():
     assert formats.sniff_kind(formats.encode_pdf([])) == "spdf"
     assert formats.sniff_kind(b"<html><body>x</body></html>") == "html"
     assert formats.sniff_kind(b"\xef\xbb\xbf \n<!DOCTYPE html><html>") == "html"
+    assert formats.sniff_kind(b"PK\x03\x04zipdata") == "zip"
+    # no magic: sniff stays "unknown" — the PROBE refines clean text
+    # payloads into the plain-text tier and quarantines markup/binary
     assert formats.sniff_kind(b"garbage") == "unknown"
     assert formats.sniff_kind(b"<xml>not html</xml>") == "unknown"
 
