@@ -161,9 +161,10 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
         )
     if kind == "zip":
         raise ValueError(
-            "zip/DOCX payload: reflowable text has no raster form — the "
-            "pipeline extracts it via ocr_platform_spark.docxtext "
-            "(operators/extract_real dispatches on kind='docx')"
+            "zip/office payload: reflowable text has no raster form — "
+            "the pipeline extracts it via ocr_platform_spark."
+            "docxtext/pptxtext/xlsxtext (operators/extract_real "
+            "dispatches on the probe-refined kind)"
         )
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 
@@ -349,15 +350,29 @@ def probe_real_media(
             raise ValueError(f"unsupported declared charset {name!r}")
         return "html", 1, 0, 0
     if kind == "zip":
-        from . import docxtext
+        from . import docxtext, pptxtext, xlsxtext
 
-        # refine: a zip carrying word/document.xml is a DOCX (one
-        # reflowable page, no raster geometry — like HTML); any other
+        # refine by marker part: word/document.xml -> DOCX (one
+        # reflowable page), ppt/presentation.xml -> PPTX (slides are
+        # pages), xl/workbook.xml -> XLSX (sheets are pages); any other
         # archive quarantines rather than dumping member text. deep=True
-        # inflates + XML-parses the document part (CRC verified), the
-        # shallow probe is a central-directory walk only.
-        n, w, h = docxtext.probe_docx(raw, deep=deep)
-        return "docx", n, w, h
+        # inflates + XML-parses the text-bearing parts (CRC verified),
+        # the shallow probe is a central-directory walk only.
+        with docxtext._open_docx(raw) as zf:
+            names = set(zf.namelist())
+        if "word/document.xml" in names:
+            n, w, h = docxtext.probe_docx(raw, deep=deep)
+            return "docx", n, w, h
+        if pptxtext._MARKER in names:
+            n, w, h = pptxtext.probe_pptx(raw, deep=deep)
+            return "pptx", n, w, h
+        if xlsxtext._MARKER in names:
+            n, w, h = xlsxtext.probe_xlsx(raw, deep=deep)
+            return "xlsx", n, w, h
+        raise ValueError(
+            "zip container is not a DOCX/PPTX/XLSX (no word/document.xml,"
+            " ppt/presentation.xml or xl/workbook.xml)"
+        )
     # FINAL tier — no magic matched: strict plain-text contract
     # (UTF-8, no binary controls, no leading markup). deep validates
     # the whole payload; shallow is the O(window) sniff, mirroring the

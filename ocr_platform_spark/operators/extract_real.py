@@ -87,7 +87,7 @@ from pyspark.sql import functions as F
 
 from .. import (docxtext, formats, gifcodec, htmltext, jpegcodec,
                 multimodal, pdfcodec, pdftext, plaintext, pngcodec,
-                tiffcodec)
+                pptxtext, tiffcodec, xlsxtext)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -110,6 +110,14 @@ DEFAULT_BUCKET_PAGES = 8
 _PAGED_CODECS = {
     "tiff": (tiffcodec.slice_pages, tiffcodec.decode_tiff),
     "gif": (gifcodec.slice_pages, gifcodec.decode_gif),
+}
+
+#: multi-page TEXT containers (pages extract as blocks, never rasters)
+#: sharing the same (slice_pages, page_blocks) bucket shape — slides /
+#: sheets are pages, so the skew bucketing and probe-time slicing apply
+_PAGED_TEXT_CODECS = {
+    "pptx": (pptxtext.slice_slides, pptxtext.slide_blocks),
+    "xlsx": (xlsxtext.slice_sheets, xlsxtext.sheet_blocks),
 }
 
 REAL_BUCKET = (
@@ -186,6 +194,11 @@ def _bucket_batches_fn(bucket_pages: int | None,
                             slice_fn = (
                                 lambda idx, _r=raw, _k=kind:
                                 _PAGED_CODECS[_k][0](_r, idx)
+                            )
+                        elif kind in _PAGED_TEXT_CODECS:
+                            slice_fn = (
+                                lambda idx, _r=raw, _k=kind:
+                                _PAGED_TEXT_CODECS[_k][0](_r, idx)
                             )
                     except ValueError:
                         slice_fn = None
@@ -275,7 +288,7 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
         # OCR/kernel failure propagates LOUDLY; swallowing it after
         # some pages' rows were appended would leave a silently
         # part-extracted document).
-        blocks = hybrid = pages = None
+        blocks = hybrid = pages = paged_text = None
         try:
             # mode="L": the OCR kernels are grayscale — native-gray
             # PDF pages stay 2-D end-to-end (no RGB round trip),
@@ -297,6 +310,15 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 # probe's final no-magic fallback
                 blocks = plaintext.paragraph_blocks(
                     plaintext.decode_text(raw)
+                )
+            elif kind in _PAGED_TEXT_CODECS:
+                # paged office containers: slides/sheets are pages, so
+                # buckets and slicing apply exactly like raster PDFs —
+                # but pages extract as text blocks, never rasters
+                idx = (None if sliced
+                       else list(range(int(lo), int(hi))))
+                paged_text = _PAGED_TEXT_CODECS[kind][1](
+                    raw, page_indices=idx,
                 )
             elif kind == "pdf" and text_layer:
                 # HYBRID dispatch: text-layer pages parse (no pixels
@@ -341,6 +363,10 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
         if blocks is not None:
             emit_text_blocks(doc_id, int(offset), ref, int(lo),
                              blocks, 0, 0, out)
+        elif paged_text is not None:
+            for i, page_blocks in enumerate(paged_text):
+                emit_text_blocks(doc_id, int(offset), ref, int(lo) + i,
+                                 page_blocks, 0, 0, out)
         elif hybrid is not None:
             for i, (pkind, payload, pw, ph) in enumerate(hybrid):
                 if pkind == "text":

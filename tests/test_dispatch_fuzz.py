@@ -28,7 +28,8 @@ import numpy as np
 import pytest
 
 from ocr_platform_spark import bmpcodec, docxtext, formats, gifcodec, \
-    jpegcodec, multimodal, pdfcodec, pngcodec, tiffcodec
+    jpegcodec, multimodal, pdfcodec, pngcodec, pptxtext, tiffcodec, \
+    xlsxtext
 from tests.test_pdfcodec import build_pdf, scanned_objs
 from tests.test_pdfcrypt import encrypt_pdf
 
@@ -57,6 +58,10 @@ def _fixtures() -> dict[str, bytes]:
                  b"<body><p>alpha beta</p><p>gamma</p></body></html>"),
         "docx": docxtext.encode_docx(
             ["alpha beta\ngamma", "delta & <epsilon>"]),
+        "pptx": pptxtext.encode_pptx(
+            [["slide one\ntitle"], ["slide two body", "more"]]),
+        "xlsx": xlsxtext.encode_xlsx(
+            [[["alpha", "1.25"], ["beta"]], [["sheet two"]]]),
         "txt": (b"alpha beta\ngamma delta\n\nsecond paragraph\n\f"
                 b"third one"),
     }
@@ -91,7 +96,8 @@ def test_dispatch_seam_mutation_fuzz(kind):
     base = kind.split("-")[0]
     # sniff is magic-bytes only: DOCX sniffs as its zip container and
     # plain text (no magic) as unknown — the probe refines both
-    sniff = {"docx": "zip", "txt": "unknown"}.get(base, base)
+    sniff = {"docx": "zip", "pptx": "zip", "xlsx": "zip",
+             "txt": "unknown"}.get(base, base)
     # the probe ladder reports single-raster formats as "image"
     probe_kind = {"png": "image", "jpeg": "image", "bmp": "image"}.get(
         base, base)
@@ -99,7 +105,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
     assert formats.sniff_kind(raw) == sniff
     probed = multimodal.probe_real_media(raw, deep=True)
     assert probed[0] == probe_kind and probed[1] >= 1
-    if base not in ("html", "docx", "txt"):
+    if base not in ("html", "docx", "pptx", "xlsx", "txt"):
         # reflowable text has no raster decode by design
         got_kind, pages = multimodal.decode_real_media(raw)
         assert len(pages) >= 1, got_kind
@@ -109,9 +115,10 @@ def test_dispatch_seam_mutation_fuzz(kind):
     for label, mut in _mutants(raw, seed=zlib.crc32(kind.encode())):
         sniffed = formats.sniff_kind(mut)  # must never raise
         assert isinstance(sniffed, str), (kind, label)
-        probe_ok = False
+        probe_ok, probed_kind = False, None
         try:
-            probe_ok = multimodal.probe_real_media(mut, deep=True)[1] >= 1
+            pr = multimodal.probe_real_media(mut, deep=True)
+            probe_ok, probed_kind = pr[1] >= 1, pr[0]
         except ValueError:
             pass
         except Exception as e:  # noqa: BLE001 - the contract under test
@@ -124,16 +131,21 @@ def test_dispatch_seam_mutation_fuzz(kind):
         except Exception as e:  # noqa: BLE001 - the contract under test
             pytest.fail(f"{kind} {label}: decode raised {type(e).__name__}: "
                         f"{e}")
-        if probe_ok and sniffed in ("pdf", "tiff", "gif"):
+        if probe_ok and probed_kind in ("pdf", "tiff", "gif",
+                                        "pptx", "xlsx"):
             # the bucket-explode slicer is the third distributed call
             # site; a mutant that survives the deep probe reaches it
             try:
-                if sniffed == "pdf":
+                if probed_kind == "pdf":
                     pdfcodec._Slicer(mut).slice([0])
-                elif sniffed == "tiff":
+                elif probed_kind == "tiff":
                     tiffcodec.slice_pages(mut, [0])
-                else:
+                elif probed_kind == "gif":
                     gifcodec.slice_pages(mut, [0])
+                elif probed_kind == "pptx":
+                    pptxtext.slice_slides(mut, [0])
+                else:
+                    xlsxtext.slice_sheets(mut, [0])
             except ValueError:
                 pass
             except Exception as e:  # noqa: BLE001 - contract under test

@@ -2,8 +2,8 @@
 
 A realistic 100 TB crawl interleaves scanned PDFs, fax TIFFs,
 wild-compression long-tail formats, born-digital PDFs, web HTML,
-office DOCX and bare plain text in the same table. This pin rotates
-the seeded corpus's media across ALL seven re-encoders and asserts
+office DOCX/PPTX/XLSX and bare plain text in the same table. This pin
+rotates the seeded corpus's media across ALL nine re-encoders and asserts
 span equality with the synthetic flagship through one
 `extract_real_documents` call — per-media dispatch (probe kinds,
 bucket slicing, raster OCR vs text-layer parse vs DOM walk vs
@@ -19,6 +19,7 @@ from ocr_platform_spark import corpus, schemas
 from ocr_platform_spark.operators import extract, extract_real
 from tests.test_extract_docx import content_docx
 from tests.test_extract_html import content_html
+from tests.test_extract_office_paged import content_pptx, content_xlsx
 from tests.test_extract_real import (_spans_by_doc, reencode_real,
                                      reencode_tiff, reencode_wild)
 from tests.test_extract_text_layer import reencode_text_layer, split_pdf_spans
@@ -34,7 +35,7 @@ def test_all_tiers_in_one_job(spark):
     )
     rows, text_pdf_refs = [], set()
     for i, (ref, m) in enumerate(sorted(media.items())):
-        tier = i % 7
+        tier = i % 9
         if tier == 0:
             data = reencode_real(m["data"])
         elif tier == 1:
@@ -49,8 +50,12 @@ def test_all_tiers_in_one_job(spark):
             data = content_html(m["data"])
         elif tier == 5:
             data = content_docx(m["data"])
-        else:
+        elif tier == 6:
             data = content_txt(m["data"])
+        elif tier == 7:
+            data = content_pptx(m["data"])
+        else:
+            data = content_xlsx(m["data"])
         rows.append((ref, bytearray(data)))
     assert text_pdf_refs, "rotation must hit at least one text-layer PDF"
     mixed = spark.createDataFrame(rows, "media_ref string, data binary")
