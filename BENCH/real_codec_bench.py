@@ -45,12 +45,20 @@ def _ensure_corpus() -> str:
 
     from test_extract_real import (reencode_gif_mixed, reencode_real,
                                    reencode_tiff, reencode_wild)
+    from test_extract_docx import content_docx
     from test_extract_html import content_html
+    from test_extract_office_paged import content_pptx, content_xlsx
     from test_extract_text_layer import reencode_text_layer
+    from test_extract_text_plain import content_txt
 
     import itertools
 
     wild_idx = itertools.count()
+    office_idx = itertools.count()
+    _OFFICE = (content_docx, content_pptx, content_xlsx, content_txt)
+
+    def reencode_office(data: bytes) -> bytes:
+        return _OFFICE[next(office_idx) % 4](data)
     targets = {"media_real.parquet": reencode_real,
                "media_tiff.parquet": reencode_tiff,
                # rotating wild-compression mix (G3-2D / LZW / PackBits /
@@ -67,7 +75,10 @@ def _ensure_corpus() -> str:
                "media_html.parquet": content_html,
                # GIF where page sizes allow multi-frame streams, real
                # PDFs elsewhere — the legacy-web image arm
-               "media_gif.parquet": reencode_gif_mixed}
+               "media_gif.parquet": reencode_gif_mixed,
+               # office/plain-text rotation (DOCX / PPTX / XLSX / txt)
+               # — the zip-container + no-magic OCR-bypass arm
+               "media_office.parquet": reencode_office}
     missing = {f: fn for f, fn in targets.items()
                if not os.path.exists(os.path.join(CACHE, f))}
     if not missing:
@@ -111,6 +122,7 @@ def main() -> None:
     media_text = spark.read.parquet(f"{d}/media_text.parquet")
     media_html = spark.read.parquet(f"{d}/media_html.parquet")
     media_gif = spark.read.parquet(f"{d}/media_gif.parquet")
+    media_office = spark.read.parquet(f"{d}/media_office.parquet")
     n_pages = media_synth.groupBy().sum("page_count").collect()[0][0] or 0
 
     # warm-up (JVM + codegen), excluded
@@ -151,6 +163,12 @@ def main() -> None:
         "gif_mixed_bucket8": best2(
             lambda: extract_real.extract_real_documents(
                 docs, media_gif, bucket_pages=8)),
+        # office + plain-text rotation: zipfile/XML/string parsing
+        # only, zero raster work — PPTX/XLSX decks exercise sub-zip
+        # bucket slicing
+        "office_mix_bucket8": best2(
+            lambda: extract_real.extract_real_documents(
+                docs, media_office, bucket_pages=8)),
     }
     out = {
         "n_docs": N_DOCS,
@@ -164,6 +182,8 @@ def main() -> None:
             results["real_bucket8"] / results["text_layer_bucket8"], 3),
         "html_dom_speedup_vs_scanned": round(
             results["real_bucket8"] / results["html_dom_bucket8"], 3),
+        "office_mix_speedup_vs_scanned": round(
+            results["real_bucket8"] / results["office_mix_bucket8"], 3),
     }
     print(json.dumps(out))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

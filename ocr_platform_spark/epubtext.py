@@ -1,0 +1,227 @@
+"""EPUB chapter-text extraction — the book tier.
+
+An ``.epub`` is a ZIP whose marker is ``META-INF/container.xml``; that
+part names the OPF package document, whose ``<manifest>`` maps ids to
+member hrefs and whose ``<spine>`` lists the reading order of XHTML
+content documents. Books are the classic long-form corpus family
+(Gutenberg-style public-domain scans re-published digitally, technical
+manuals), and everything needed is stdlib: ``zipfile`` + ``xml.etree``
++ the existing HTML DOM tier.
+
+Model: one PAGE per spine document (chapters are the natural page unit
+— the same genuinely-paged shape as PPTX slides), each extracted by the
+DOM tier's block walk (:func:`..htmltext.main_blocks` — innermost
+blocks, entity decode, link-density boilerplate drop, which also
+handles an EPUB's tables-of-contents and footer chrome). Probe-time
+sub-zip slicing ships only the bucket's own chapter members (plus
+container + OPF), so a 400-chapter book crosses the bucket shuffle
+~once.
+
+Quarantine: corrupt/truncated zip, missing/malformed container or OPF,
+spine idrefs without manifest entries, manifest hrefs missing from the
+archive, CRC mismatch on a chapter member, chapter content failing the
+DOM tier's structural pre-flight (truncation, bad charset, unclosed
+script/style subtrees).
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import zipfile
+from xml.etree import ElementTree
+
+from . import htmltext
+from .docxtext import _open_docx as _open_zip
+from .docxtext import _xml_escape
+from .pptxtext import _parse_member
+
+_MARKER = "META-INF/container.xml"
+_CNT_NS = "urn:oasis:names:tc:opendocument:xmlns:container"
+_OPF_NS = "http://www.idpf.org/2007/opf"
+
+_ROOTFILE = f"{{{_CNT_NS}}}rootfile"
+_MANIFEST_ITEM = f"{{{_OPF_NS}}}manifest/{{{_OPF_NS}}}item"
+_SPINE_ITEMREF = f"{{{_OPF_NS}}}spine/{{{_OPF_NS}}}itemref"
+
+
+def is_epub(zf: zipfile.ZipFile) -> bool:
+    return _MARKER in zf.namelist()
+
+
+def _opf_path(zf: zipfile.ZipFile) -> str:
+    root = _parse_member(zf, _MARKER)
+    for rf in root.iter(_ROOTFILE):
+        path = rf.get("full-path")
+        if path:
+            return path
+    raise ValueError("EPUB container.xml names no rootfile full-path")
+
+
+def _spine_members(zf: zipfile.ZipFile) -> list[str]:
+    """Spine content-document member names in reading order."""
+    opf_path = _opf_path(zf)
+    opf = _parse_member(zf, opf_path)
+    base = posixpath.dirname(opf_path)
+    hrefs: dict[str, str] = {}
+    for item in opf.iterfind(_MANIFEST_ITEM):
+        iid, href = item.get("id"), item.get("href")
+        if iid and href:
+            hrefs[iid] = posixpath.normpath(posixpath.join(base, href))
+    names = set(zf.namelist())
+    members: list[str] = []
+    for ref in opf.iterfind(_SPINE_ITEMREF):
+        idref = ref.get("idref")
+        if idref not in hrefs:
+            raise ValueError(
+                f"spine idref {idref!r} has no manifest entry"
+            )
+        member = hrefs[idref]
+        if member not in names:
+            raise ValueError(
+                f"manifest href {member!r} missing from the archive"
+            )
+        members.append(member)
+    if not members:
+        raise ValueError("EPUB with an empty spine")
+    return members
+
+
+def probe_epub(raw: bytes, deep: bool = False) -> tuple[int, int, int]:
+    """Pre-flight: ``(n_chapters, width=0, height=0)``. Shallow resolves
+    the container → OPF → spine chain (three small XML parses, no
+    chapter inflated); deep additionally runs the DOM tier's structural
+    pre-flight over every chapter (CRC-verified read + truncation /
+    charset / unclosed-subtree checks), so content corruption
+    quarantines before the payload is duplicated."""
+    with _open_zip(raw) as zf:
+        members = _spine_members(zf)
+        if deep:
+            for name in members:
+                _validate_chapter(zf, name)
+    return len(members), 0, 0
+
+
+def _read_member(zf: zipfile.ZipFile, name: str) -> bytes:
+    try:
+        return zf.read(name)  # CRC-32 verified here
+    except Exception as e:
+        raise ValueError(f"unreadable {name}: {e}") from e
+
+
+def _validate_chapter(zf: zipfile.ZipFile, name: str) -> None:
+    try:
+        htmltext.validate_html(_read_member(zf, name))
+    except ValueError as e:
+        raise ValueError(f"chapter {name}: {e}") from e
+
+
+def chapter_blocks(
+    raw: bytes, page_indices: "list[int] | range | None" = None
+) -> list[list[htmltext.ContentBlock]]:
+    """EPUB bytes -> per-chapter DOM block lists in spine order.
+    ``page_indices`` selects chapters by GLOBAL spine position (the
+    bucket contract — a sliced payload passes ``None`` and gets its own
+    chapters back in order)."""
+    with _open_zip(raw) as zf:
+        members = _spine_members(zf)
+        if page_indices is not None:
+            members = [members[i] for i in page_indices]
+        return [
+            htmltext.main_blocks(
+                htmltext.decode_html(_read_member(zf, name)))
+            for name in members
+        ]
+
+
+def slice_chapters(raw: bytes, page_indices) -> bytes:
+    """Probe-time bucket slicing: a sub-EPUB holding ONLY the selected
+    chapters plus the container/OPF chain, with the OPF spine REWRITTEN
+    to the selected chapters (in their original relative order), so the
+    slice's spine positions 0..k-1 are exactly the bucket's pages."""
+    with _open_zip(raw) as zf:
+        members = _spine_members(zf)
+        try:
+            selected = [members[i] for i in page_indices]
+        except IndexError as e:
+            raise ValueError(f"chapter index out of range: {e}") from e
+        opf_path = _opf_path(zf)
+        keep = set(selected) | {_MARKER, opf_path, "mimetype"}
+        # rewrite the OPF spine to the selected subset: drop itemrefs
+        # whose manifest href is not kept (namespace-preserving
+        # re-serialization via ElementTree)
+        ElementTree.register_namespace("", _OPF_NS)
+        opf = _parse_member(zf, opf_path)
+        base = posixpath.dirname(opf_path)
+        hrefs = {
+            item.get("id"):
+                posixpath.normpath(posixpath.join(base, item.get("href")))
+            for item in opf.iterfind(_MANIFEST_ITEM)
+        }
+        spine = opf.find(f"{{{_OPF_NS}}}spine")
+        kept_set = set(selected)
+        for ref in list(spine):
+            if hrefs.get(ref.get("idref")) not in kept_set:
+                spine.remove(ref)
+        new_opf = ElementTree.tostring(opf, encoding="unicode")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as out:
+            for name in zf.namelist():
+                if name == opf_path:
+                    out.writestr(name, new_opf)
+                elif name in keep:
+                    out.writestr(name, _read_member(zf, name))
+    return buf.getvalue()
+
+
+# --- minimal writer (tests / fixtures) ---------------------------------------
+
+
+def encode_epub(chapters: list[str], subdir: str = "OEBPS") -> bytes:
+    """Minimal structurally-valid EPUB: ``chapters`` are ready-made
+    XHTML document strings, one spine entry each, manifest/spine in the
+    standard container → OPF layout."""
+    opf_items = "".join(
+        f'<item id="c{i}" href="chap{i}.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        for i in range(len(chapters))
+    )
+    opf_spine = "".join(
+        f'<itemref idref="c{i}"/>' for i in range(len(chapters))
+    )
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<package xmlns="{_OPF_NS}" version="3.0">'
+        f"<manifest>{opf_items}</manifest>"
+        f"<spine>{opf_spine}</spine></package>"
+    )
+    container = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<container xmlns="{_CNT_NS}" version="1.0"><rootfiles>'
+        f'<rootfile full-path="{subdir}/content.opf" '
+        'media-type="application/oebps-package+xml"/>'
+        "</rootfiles></container>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr(_MARKER, container)
+        zf.writestr(f"{subdir}/content.opf", opf)
+        for i, xhtml in enumerate(chapters):
+            zf.writestr(f"{subdir}/chap{i}.xhtml", xhtml)
+    return buf.getvalue()
+
+
+def chapter_xhtml(blocks: list[str], title: str = "ch") -> str:
+    """Fixture helper: blocks -> a chapter XHTML document (one ``<p>``
+    per block, lines as ``<br/>``, shared escaping)."""
+    body = "".join(
+        "<p>" + "<br/>".join(
+            _xml_escape(line) for line in text.split("\n")) + "</p>"
+        for text in blocks
+    )
+    return (
+        "<!DOCTYPE html>"
+        f"<html><head><title>{_xml_escape(title)}</title></head>"
+        f"<body>{body}</body></html>"
+    )

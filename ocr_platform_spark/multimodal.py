@@ -350,14 +350,16 @@ def probe_real_media(
             raise ValueError(f"unsupported declared charset {name!r}")
         return "html", 1, 0, 0
     if kind == "zip":
-        from . import docxtext, pptxtext, xlsxtext
+        from . import docxtext, epubtext, pptxtext, xlsxtext
 
         # refine by marker part: word/document.xml -> DOCX (one
         # reflowable page), ppt/presentation.xml -> PPTX (slides are
-        # pages), xl/workbook.xml -> XLSX (sheets are pages); any other
-        # archive quarantines rather than dumping member text. deep=True
-        # inflates + XML-parses the text-bearing parts (CRC verified),
-        # the shallow probe is a central-directory walk only.
+        # pages), xl/workbook.xml -> XLSX (sheets are pages),
+        # META-INF/container.xml -> EPUB (spine chapters are pages);
+        # any other archive quarantines rather than dumping member
+        # text. deep=True inflates + XML-parses the text-bearing parts
+        # (CRC verified), the shallow probe walks the central directory
+        # and the container/OPF chain only.
         with docxtext._open_docx(raw) as zf:
             names = set(zf.namelist())
         if "word/document.xml" in names:
@@ -369,9 +371,13 @@ def probe_real_media(
         if xlsxtext._MARKER in names:
             n, w, h = xlsxtext.probe_xlsx(raw, deep=deep)
             return "xlsx", n, w, h
+        if epubtext._MARKER in names:
+            n, w, h = epubtext.probe_epub(raw, deep=deep)
+            return "epub", n, w, h
         raise ValueError(
-            "zip container is not a DOCX/PPTX/XLSX (no word/document.xml,"
-            " ppt/presentation.xml or xl/workbook.xml)"
+            "zip container is not a DOCX/PPTX/XLSX/EPUB (no "
+            "word/document.xml, ppt/presentation.xml, xl/workbook.xml "
+            "or META-INF/container.xml)"
         )
     # FINAL tier — no magic matched: strict plain-text contract
     # (UTF-8, no binary controls, no leading markup). deep validates

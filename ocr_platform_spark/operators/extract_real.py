@@ -85,9 +85,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import (docxtext, formats, gifcodec, htmltext, jpegcodec,
-                multimodal, pdfcodec, pdftext, plaintext, pngcodec,
-                pptxtext, tiffcodec, xlsxtext)
+from .. import (docxtext, epubtext, formats, gifcodec, htmltext,
+                jpegcodec, multimodal, pdfcodec, pdftext, plaintext,
+                pngcodec, pptxtext, tiffcodec, xlsxtext)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -118,6 +118,7 @@ _PAGED_CODECS = {
 _PAGED_TEXT_CODECS = {
     "pptx": (pptxtext.slice_slides, pptxtext.slide_blocks),
     "xlsx": (xlsxtext.slice_sheets, xlsxtext.sheet_blocks),
+    "epub": (epubtext.slice_chapters, epubtext.chapter_blocks),
 }
 
 REAL_BUCKET = (

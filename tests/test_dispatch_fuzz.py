@@ -27,9 +27,9 @@ import zlib
 import numpy as np
 import pytest
 
-from ocr_platform_spark import bmpcodec, docxtext, formats, gifcodec, \
-    jpegcodec, multimodal, pdfcodec, pngcodec, pptxtext, tiffcodec, \
-    xlsxtext
+from ocr_platform_spark import bmpcodec, docxtext, epubtext, formats, \
+    gifcodec, jpegcodec, multimodal, pdfcodec, pngcodec, pptxtext, \
+    tiffcodec, xlsxtext
 from tests.test_pdfcodec import build_pdf, scanned_objs
 from tests.test_pdfcrypt import encrypt_pdf
 
@@ -62,6 +62,9 @@ def _fixtures() -> dict[str, bytes]:
             [["slide one\ntitle"], ["slide two body", "more"]]),
         "xlsx": xlsxtext.encode_xlsx(
             [[["alpha", "1.25"], ["beta"]], [["sheet two"]]]),
+        "epub": epubtext.encode_epub(
+            [epubtext.chapter_xhtml(["alpha beta", "gamma\ndelta"]),
+             epubtext.chapter_xhtml(["chapter two"])]),
         "txt": (b"alpha beta\ngamma delta\n\nsecond paragraph\n\f"
                 b"third one"),
     }
@@ -97,7 +100,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
     # sniff is magic-bytes only: DOCX sniffs as its zip container and
     # plain text (no magic) as unknown — the probe refines both
     sniff = {"docx": "zip", "pptx": "zip", "xlsx": "zip",
-             "txt": "unknown"}.get(base, base)
+             "epub": "zip", "txt": "unknown"}.get(base, base)
     # the probe ladder reports single-raster formats as "image"
     probe_kind = {"png": "image", "jpeg": "image", "bmp": "image"}.get(
         base, base)
@@ -105,7 +108,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
     assert formats.sniff_kind(raw) == sniff
     probed = multimodal.probe_real_media(raw, deep=True)
     assert probed[0] == probe_kind and probed[1] >= 1
-    if base not in ("html", "docx", "pptx", "xlsx", "txt"):
+    if base not in ("html", "docx", "pptx", "xlsx", "epub", "txt"):
         # reflowable text has no raster decode by design
         got_kind, pages = multimodal.decode_real_media(raw)
         assert len(pages) >= 1, got_kind
@@ -132,7 +135,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
             pytest.fail(f"{kind} {label}: decode raised {type(e).__name__}: "
                         f"{e}")
         if probe_ok and probed_kind in ("pdf", "tiff", "gif",
-                                        "pptx", "xlsx"):
+                                        "pptx", "xlsx", "epub"):
             # the bucket-explode slicer is the third distributed call
             # site; a mutant that survives the deep probe reaches it
             try:
@@ -144,8 +147,10 @@ def test_dispatch_seam_mutation_fuzz(kind):
                     gifcodec.slice_pages(mut, [0])
                 elif probed_kind == "pptx":
                     pptxtext.slice_slides(mut, [0])
-                else:
+                elif probed_kind == "xlsx":
                     xlsxtext.slice_sheets(mut, [0])
+                else:
+                    epubtext.slice_chapters(mut, [0])
             except ValueError:
                 pass
             except Exception as e:  # noqa: BLE001 - contract under test
