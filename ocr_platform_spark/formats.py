@@ -49,7 +49,8 @@ MAGIC_REAL_JPEG = b"\xff\xd8\xff"
 MAGIC_REAL_TIFF = (b"II\x2a\x00", b"MM\x00\x2a")
 MAGIC_REAL_GIF = (b"GIF87a", b"GIF89a")
 MAGIC_REAL_BMP = b"BM"
-MAGIC_REAL_ZIP = b"PK\x03\x04"  # DOCX et al.; probe refines zip -> docx
+MAGIC_REAL_ZIP = b"PK\x03\x04"  # office/EPUB family; the probe refines
+MAGIC_REAL_RTF = b"{\\rtf"
 # the codec's own supported-DIB list, so sniff and decode can't diverge
 from .bmpcodec import _HDR_SIZES as _BMP_DIB_SIZES  # noqa: E402
 
@@ -58,7 +59,7 @@ def sniff_kind(raw: bytes) -> str:
     """Byte-level content sniffing (the reference dispatches on
     content-type/extension, ``ocr_tasks.py:36-39``; serving sniffs magic
     bytes). Returns one of ``spdf | simg | pdf | png | jpeg | tiff |
-    gif | bmp | zip | html | unknown`` —
+    gif | bmp | zip | rtf | html | unknown`` —
     ``pdf``/``png``/``jpeg``/``tiff``/``gif``/``bmp``
     are REAL codecs
     handled by the optional
@@ -91,6 +92,8 @@ def sniff_kind(raw: bytes) -> str:
         return "bmp"
     if raw.startswith(MAGIC_REAL_ZIP):
         return "zip"
+    if raw.startswith(MAGIC_REAL_RTF):
+        return "rtf"
     # HTML has no magic number: sniff a leading doctype/<html> tag after
     # an optional UTF-8 BOM + whitespace (the pragmatic browser rule)
     head = raw[3:64] if raw.startswith(b"\xef\xbb\xbf") else raw[:64]

@@ -159,12 +159,13 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
             "pipeline extracts it via ocr_platform_spark.htmltext "
             "(operators/extract_real dispatches on kind='html')"
         )
-    if kind == "zip":
+    if kind in ("zip", "rtf"):
         raise ValueError(
-            "zip/office payload: reflowable text has no raster form — "
-            "the pipeline extracts it via ocr_platform_spark."
-            "docxtext/pptxtext/xlsxtext (operators/extract_real "
-            "dispatches on the probe-refined kind)"
+            "zip-office/RTF payload: reflowable text has no raster "
+            "form — the pipeline extracts it via ocr_platform_spark."
+            "docxtext/pptxtext/xlsxtext/epubtext/odttext/rtftext "
+            "(operators/extract_real dispatches on the probe-refined "
+            "kind)"
         )
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 
@@ -374,11 +375,28 @@ def probe_real_media(
         if epubtext._MARKER in names:
             n, w, h = epubtext.probe_epub(raw, deep=deep)
             return "epub", n, w, h
+        from . import odttext
+
+        with docxtext._open_docx(raw) as zf:
+            odt = odttext.is_odt(zf)
+        if odt:
+            n, w, h = odttext.probe_odt(raw, deep=deep)
+            return "odt", n, w, h
         raise ValueError(
-            "zip container is not a DOCX/PPTX/XLSX/EPUB (no "
-            "word/document.xml, ppt/presentation.xml, xl/workbook.xml "
-            "or META-INF/container.xml)"
+            "zip container is not a DOCX/PPTX/XLSX/EPUB/ODT (no "
+            "word/document.xml, ppt/presentation.xml, xl/workbook.xml, "
+            "META-INF/container.xml or ODF mimetype/content.xml)"
         )
+    if kind == "rtf":
+        from . import rtftext
+
+        # RTF has no checksums/length fields, so structural validation
+        # IS the strict parse; the shallow/metadata probe stays
+        # O(magic) like every other header walk
+        if deep:
+            n, w, h = rtftext.validate_rtf(raw)
+            return "rtf", n, w, h
+        return "rtf", 1, 0, 0
     # FINAL tier — no magic matched: strict plain-text contract
     # (UTF-8, no binary controls, no leading markup). deep validates
     # the whole payload; shallow is the O(window) sniff, mirroring the

@@ -86,8 +86,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import (docxtext, epubtext, formats, gifcodec, htmltext,
-                jpegcodec, multimodal, pdfcodec, pdftext, plaintext,
-                pngcodec, pptxtext, tiffcodec, xlsxtext)
+                jpegcodec, multimodal, odttext, pdfcodec, pdftext,
+                plaintext, pngcodec, pptxtext, rtftext, tiffcodec,
+                xlsxtext)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -306,6 +307,12 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 # order (headers/footers live in other zip members and
                 # never emit — the office boilerplate drop)
                 blocks = docxtext.paragraph_blocks(raw)
+            elif kind == "odt":
+                # OpenDocument sibling: content.xml text:p/text:h walk
+                blocks = odttext.paragraph_blocks(raw)
+            elif kind == "rtf":
+                # legacy desktop/email: strict RTF token stream
+                blocks = rtftext.extract_paragraphs(raw)
             elif kind == "txt":
                 # plain-text tier: blank-line paragraph split, the
                 # probe's final no-magic fallback

@@ -28,8 +28,8 @@ import numpy as np
 import pytest
 
 from ocr_platform_spark import bmpcodec, docxtext, epubtext, formats, \
-    gifcodec, jpegcodec, multimodal, pdfcodec, pngcodec, pptxtext, \
-    tiffcodec, xlsxtext
+    gifcodec, jpegcodec, multimodal, odttext, pdfcodec, pngcodec, \
+    pptxtext, rtftext, tiffcodec, xlsxtext
 from tests.test_pdfcodec import build_pdf, scanned_objs
 from tests.test_pdfcrypt import encrypt_pdf
 
@@ -65,6 +65,8 @@ def _fixtures() -> dict[str, bytes]:
         "epub": epubtext.encode_epub(
             [epubtext.chapter_xhtml(["alpha beta", "gamma\ndelta"]),
              epubtext.chapter_xhtml(["chapter two"])]),
+        "odt": odttext.encode_odt(["alpha beta\ngamma", "delta"]),
+        "rtf": rtftext.encode_rtf(["alpha beta\ngamma", "café — delta"]),
         "txt": (b"alpha beta\ngamma delta\n\nsecond paragraph\n\f"
                 b"third one"),
     }
@@ -100,7 +102,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
     # sniff is magic-bytes only: DOCX sniffs as its zip container and
     # plain text (no magic) as unknown — the probe refines both
     sniff = {"docx": "zip", "pptx": "zip", "xlsx": "zip",
-             "epub": "zip", "txt": "unknown"}.get(base, base)
+             "epub": "zip", "odt": "zip", "txt": "unknown"}.get(base, base)
     # the probe ladder reports single-raster formats as "image"
     probe_kind = {"png": "image", "jpeg": "image", "bmp": "image"}.get(
         base, base)
@@ -108,7 +110,8 @@ def test_dispatch_seam_mutation_fuzz(kind):
     assert formats.sniff_kind(raw) == sniff
     probed = multimodal.probe_real_media(raw, deep=True)
     assert probed[0] == probe_kind and probed[1] >= 1
-    if base not in ("html", "docx", "pptx", "xlsx", "epub", "txt"):
+    if base not in ("html", "docx", "pptx", "xlsx", "epub", "odt",
+                    "rtf", "txt"):
         # reflowable text has no raster decode by design
         got_kind, pages = multimodal.decode_real_media(raw)
         assert len(pages) >= 1, got_kind

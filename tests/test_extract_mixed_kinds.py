@@ -2,9 +2,9 @@
 
 A realistic 100 TB crawl interleaves scanned PDFs, fax TIFFs,
 wild-compression long-tail formats, born-digital PDFs, web HTML,
-office DOCX/PPTX/XLSX, EPUB books and bare plain text in the same
-table. This pin
-rotates the seeded corpus's media across ALL ten re-encoders and asserts
+office DOCX/PPTX/XLSX/ODT, RTF, EPUB books and bare plain text in the
+same table. This pin
+rotates the seeded corpus's media across ALL twelve re-encoders and asserts
 span equality with the synthetic flagship through one
 `extract_real_documents` call — per-media dispatch (probe kinds,
 bucket slicing, raster OCR vs text-layer parse vs DOM walk vs
@@ -21,6 +21,7 @@ from ocr_platform_spark.operators import extract, extract_real
 from tests.test_extract_docx import content_docx
 from tests.test_extract_epub import content_epub
 from tests.test_extract_html import content_html
+from tests.test_extract_odt_rtf import content_odt, content_rtf
 from tests.test_extract_office_paged import content_pptx, content_xlsx
 from tests.test_extract_real import (_spans_by_doc, reencode_real,
                                      reencode_tiff, reencode_wild)
@@ -37,7 +38,7 @@ def test_all_tiers_in_one_job(spark):
     )
     rows, text_pdf_refs = [], set()
     for i, (ref, m) in enumerate(sorted(media.items())):
-        tier = i % 10
+        tier = i % 12
         if tier == 0:
             data = reencode_real(m["data"])
         elif tier == 1:
@@ -58,8 +59,12 @@ def test_all_tiers_in_one_job(spark):
             data = content_pptx(m["data"])
         elif tier == 8:
             data = content_xlsx(m["data"])
-        else:
+        elif tier == 9:
             data = content_epub(m["data"])
+        elif tier == 10:
+            data = content_odt(m["data"])
+        else:
+            data = content_rtf(m["data"])
         rows.append((ref, bytearray(data)))
     assert text_pdf_refs, "rotation must hit at least one text-layer PDF"
     mixed = spark.createDataFrame(rows, "media_ref string, data binary")
