@@ -147,9 +147,11 @@ def slice_chapters(raw: bytes, page_indices) -> bytes:
             raise ValueError(f"chapter index out of range: {e}") from e
         opf_path = _opf_path(zf)
         keep = set(selected) | {_MARKER, opf_path, "mimetype"}
-        # rewrite the OPF spine to the selected subset: drop itemrefs
-        # whose manifest href is not kept (namespace-preserving
-        # re-serialization via ElementTree)
+        # rewrite the OPF to the selected subset: drop spine itemrefs
+        # AND manifest items whose href is not kept (measured: with the
+        # full 300-item manifest riding every slice, a 300-chapter
+        # book's bucket shuffle amplifies 2.3x; pruned it is ~1.2x —
+        # BENCH/office_slice_exhibit.py)
         ElementTree.register_namespace("", _OPF_NS)
         opf = _parse_member(zf, opf_path)
         base = posixpath.dirname(opf_path)
@@ -159,10 +161,14 @@ def slice_chapters(raw: bytes, page_indices) -> bytes:
             for item in opf.iterfind(_MANIFEST_ITEM)
         }
         spine = opf.find(f"{{{_OPF_NS}}}spine")
+        manifest = opf.find(f"{{{_OPF_NS}}}manifest")
         kept_set = set(selected)
         for ref in list(spine):
             if hrefs.get(ref.get("idref")) not in kept_set:
                 spine.remove(ref)
+        for item in list(manifest):
+            if hrefs.get(item.get("id")) not in kept_set:
+                manifest.remove(item)
         new_opf = ElementTree.tostring(opf, encoding="unicode")
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as out:
