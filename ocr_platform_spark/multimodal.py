@@ -411,8 +411,23 @@ def probe_real_media(
                 f"unknown media magic {raw[:5]!r} and not plain text "
                 f"({e})"
             ) from e
+        from . import mdtext
+
+        # markdown refines the text tier on a conservative structural
+        # sniff (mdtext.sniff_markdown): rendered-text extraction for
+        # README/docs corpora, literal text for everything else
+        if mdtext.sniff_markdown(plaintext.decode_text(raw)):
+            return "md", n, w, h
         return "txt", n, w, h
     if plaintext.sniff_text(raw):
+        from . import mdtext
+
+        # shallow refinement over the sniff window only (a markdown
+        # signal past the window keeps the metadata kind "txt"; the
+        # deep probe that drives extraction sees the whole payload)
+        head = raw[:4096].decode("utf-8-sig", errors="ignore")
+        if mdtext.sniff_markdown(head):
+            return "md", 1, 0, 0
         return "txt", 1, 0, 0
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 

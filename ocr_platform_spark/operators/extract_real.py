@@ -86,9 +86,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import (docxtext, epubtext, formats, gifcodec, htmltext,
-                jpegcodec, multimodal, odttext, pdfcodec, pdftext,
-                plaintext, pngcodec, pptxtext, rtftext, tiffcodec,
-                xlsxtext)
+                jpegcodec, mdtext, multimodal, odttext, pdfcodec,
+                pdftext, plaintext, pngcodec, pptxtext, rtftext,
+                tiffcodec, xlsxtext)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -317,6 +317,13 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 # plain-text tier: blank-line paragraph split, the
                 # probe's final no-magic fallback
                 blocks = plaintext.paragraph_blocks(
+                    plaintext.decode_text(raw)
+                )
+            elif kind == "md":
+                # markdown tier (probe-refined from txt): rendered-text
+                # blocks — markup stripped, soft wraps join, code
+                # fences verbatim (..mdtext module docstring)
+                blocks = mdtext.markdown_blocks(
                     plaintext.decode_text(raw)
                 )
             elif kind in _PAGED_TEXT_CODECS:

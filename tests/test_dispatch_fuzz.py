@@ -69,6 +69,9 @@ def _fixtures() -> dict[str, bytes]:
         "rtf": rtftext.encode_rtf(["alpha beta\ngamma", "café — delta"]),
         "txt": (b"alpha beta\ngamma delta\n\nsecond paragraph\n\f"
                 b"third one"),
+        "md": (b"# Title\n\npara with [a link](https://x.invalid)\n\n"
+               b"- item one\n- item two\n\n```\ncode block\n```\n\n"
+               b"> quoted\n\nSetext\n------\n"),
     }
 
 
@@ -102,7 +105,8 @@ def test_dispatch_seam_mutation_fuzz(kind):
     # sniff is magic-bytes only: DOCX sniffs as its zip container and
     # plain text (no magic) as unknown — the probe refines both
     sniff = {"docx": "zip", "pptx": "zip", "xlsx": "zip",
-             "epub": "zip", "odt": "zip", "txt": "unknown"}.get(base, base)
+             "epub": "zip", "odt": "zip", "txt": "unknown",
+             "md": "unknown"}.get(base, base)
     # the probe ladder reports single-raster formats as "image"
     probe_kind = {"png": "image", "jpeg": "image", "bmp": "image"}.get(
         base, base)
@@ -111,7 +115,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
     probed = multimodal.probe_real_media(raw, deep=True)
     assert probed[0] == probe_kind and probed[1] >= 1
     if base not in ("html", "docx", "pptx", "xlsx", "epub", "odt",
-                    "rtf", "txt"):
+                    "rtf", "txt", "md"):
         # reflowable text has no raster decode by design
         got_kind, pages = multimodal.decode_real_media(raw)
         assert len(pages) >= 1, got_kind

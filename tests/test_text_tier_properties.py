@@ -118,6 +118,22 @@ def test_plaintext_round_trip(paras):
     assert [b.text for b in got] == paras
 
 
+@given(st.lists(_pt_block, min_size=1, max_size=6))
+@settings(max_examples=150, deadline=None)
+def test_markdown_round_trip(paras):
+    """encode_markdown rotates blocks through the whole construct set
+    (falling back to verbatim fences); rendering must be the identity,
+    and every encoded document must carry a structural sniff signal so
+    the probe promotes it off the txt tier."""
+    from ocr_platform_spark import mdtext
+
+    src = mdtext.encode_markdown(paras).decode()
+    got = mdtext.markdown_blocks(src)
+    assert [b.text for b in got] == paras
+    assert [b.pos for b in got] == sorted(b.pos for b in got)
+    assert mdtext.sniff_markdown(src)
+
+
 @given(_blocks)
 @settings(max_examples=100, deadline=None)
 def test_html_escape_round_trip(paras):
