@@ -85,6 +85,11 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
     """
     import io
 
+    from . import transport
+
+    # compressed transport wrappers inflate transparently (bomb-capped,
+    # strict — corruption quarantines), then dispatch on the inner magic
+    raw = transport.maybe_unwrap(raw)
     kind = formats.sniff_kind(raw)
     if kind in ("spdf", "simg"):
         raise ValueError(
@@ -287,7 +292,21 @@ def probe_real_media(
     every string decoded), pages without keep the scanned-subset
     validation — the pre-flight for the OCR-bypass dispatch in
     ``operators/extract_real.py``."""
-    from . import jpegcodec, pdfcodec, pngcodec
+    from . import jpegcodec, pdfcodec, pngcodec, transport
+
+    twrap = transport.sniff_transport(raw)
+    if twrap is not None:
+        # compressed transport wrapper (.html.gz / .txt.bz2 / .xml.xz):
+        # the DEEP probe inflates (bomb-capped, strict) and probes the
+        # inner payload as if it had arrived bare; the SHALLOW metadata
+        # probe reports the transport kind itself — inner geometry is
+        # unknowable from a header walk, and paying full-inflate CPU in
+        # a metadata pass is exactly what the probe_dims-vs-validate
+        # split exists to avoid (..transport module docstring).
+        if not deep:
+            return twrap, 1, 0, 0
+        return probe_real_media(transport.maybe_unwrap(raw), deep=deep,
+                                text_layer=text_layer)
 
     kind = formats.sniff_kind(raw)
     if kind in ("spdf", "simg"):

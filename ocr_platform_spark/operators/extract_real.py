@@ -88,7 +88,7 @@ from pyspark.sql import functions as F
 from .. import (docxtext, epubtext, formats, gifcodec, htmltext,
                 jpegcodec, mdtext, multimodal, odttext, pdfcodec,
                 pdftext, plaintext, pngcodec, pptxtext, rtftext,
-                tiffcodec, xlsxtext)
+                tiffcodec, transport, xlsxtext)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -165,6 +165,14 @@ def _bucket_batches_fn(bucket_pages: int | None,
             ):
                 raw = bytes(data)
                 try:
+                    # compressed transport wrappers (.html.gz /
+                    # .txt.bz2 / .xml.xz) inflate ONCE here, before
+                    # probe and slicing, so every downstream feature
+                    # (per-page slices, hybrid dispatch, tier
+                    # extraction) sees the inner document; corruption /
+                    # bombs / over-nesting quarantine like any other
+                    # probe failure (..transport module docstring)
+                    raw = transport.maybe_unwrap(raw)
                     kind, n_pages = _probe(raw, text_layer)
                 except Exception as exc:
                     # quarantine BEFORE the payload is duplicated: one

@@ -22,6 +22,9 @@ Mutants are deterministic (seeded rng), so a contract break replays.
 
 from __future__ import annotations
 
+import bz2
+import gzip
+import lzma
 import zlib
 
 import numpy as np
@@ -72,6 +75,16 @@ def _fixtures() -> dict[str, bytes]:
         "md": (b"# Title\n\npara with [a link](https://x.invalid)\n\n"
                b"- item one\n- item two\n\n```\ncode block\n```\n\n"
                b"> quoted\n\nSetext\n------\n"),
+        # compressed transport wrappers: the seam must unwrap these
+        # transparently, and mutants (corrupt members, truncations,
+        # nested bombs) must hold the ValueError contract
+        "txt-gz": gzip.compress(b"alpha beta\ngamma delta\n\n"
+                                b"second paragraph\n"),
+        "html-xz": lzma.compress(
+            b"<!doctype html><html><head><title>t</title></head>"
+            b"<body><p>alpha beta</p><p>gamma</p></body></html>"),
+        "txt-bz2": bz2.compress(b"alpha beta\ngamma delta\n\n"
+                                b"second paragraph\n"),
     }
 
 
@@ -107,6 +120,10 @@ def test_dispatch_seam_mutation_fuzz(kind):
     sniff = {"docx": "zip", "pptx": "zip", "xlsx": "zip",
              "epub": "zip", "odt": "zip", "txt": "unknown",
              "md": "unknown"}.get(base, base)
+    if kind.split("-")[-1] in ("gz", "bz2", "xz"):
+        # transport-wrapped fixtures: the magic ladder sees only the
+        # wrapper bytes (no media magic), the deep probe unwraps
+        sniff = "unknown"
     # the probe ladder reports single-raster formats as "image"
     probe_kind = {"png": "image", "jpeg": "image", "bmp": "image"}.get(
         base, base)
