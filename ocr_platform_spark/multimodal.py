@@ -430,21 +430,31 @@ def probe_real_media(
                 f"unknown media magic {raw[:5]!r} and not plain text "
                 f"({e})"
             ) from e
-        from . import mdtext
+        from . import csvtext, mdtext
 
-        # markdown refines the text tier on a conservative structural
-        # sniff (mdtext.sniff_markdown): rendered-text extraction for
-        # README/docs corpora, literal text for everything else
-        if mdtext.sniff_markdown(plaintext.decode_text(raw)):
+        # structural refinements of the text tier, strictest first:
+        # a confident DSV rectangle (csvtext.sniff_tabular) extracts
+        # row-wise like an XLSX sheet; else a markdown signal
+        # (mdtext.sniff_markdown) extracts rendered text; else literal
+        text = plaintext.decode_text(raw)
+        if csvtext.sniff_tabular(text) is not None:
+            return "csv", n, w, h
+        if mdtext.sniff_markdown(text):
             return "md", n, w, h
         return "txt", n, w, h
     if plaintext.sniff_text(raw):
-        from . import mdtext
+        from . import csvtext, mdtext
 
-        # shallow refinement over the sniff window only (a markdown
+        # shallow refinement over the sniff window only (a structural
         # signal past the window keeps the metadata kind "txt"; the
-        # deep probe that drives extraction sees the whole payload)
+        # deep probe that drives extraction sees the whole payload).
+        # The window may cut the final row, so the tabular check here
+        # drops the last (possibly partial) line first.
         head = raw[:4096].decode("utf-8-sig", errors="ignore")
+        if len(raw) > 4096:
+            head = head[:head.rfind("\n") + 1] or head
+        if csvtext.sniff_tabular(head) is not None:
+            return "csv", 1, 0, 0
         if mdtext.sniff_markdown(head):
             return "md", 1, 0, 0
         return "txt", 1, 0, 0

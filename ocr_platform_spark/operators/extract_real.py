@@ -85,10 +85,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import (docxtext, epubtext, formats, gifcodec, htmltext,
-                jpegcodec, mdtext, multimodal, odttext, pdfcodec,
-                pdftext, plaintext, pngcodec, pptxtext, rtftext,
-                tiffcodec, transport, xlsxtext)
+from .. import (csvtext, docxtext, epubtext, formats, gifcodec,
+                htmltext, jpegcodec, mdtext, multimodal, odttext,
+                pdfcodec, pdftext, plaintext, pngcodec, pptxtext,
+                rtftext, tiffcodec, transport, xlsxtext)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -332,6 +332,13 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 # blocks — markup stripped, soft wraps join, code
                 # fences verbatim (..mdtext module docstring)
                 blocks = mdtext.markdown_blocks(
+                    plaintext.decode_text(raw)
+                )
+            elif kind == "csv":
+                # tabular tier (probe-refined from txt): one block per
+                # row, cells joined with a single space — the XLSX
+                # sheet rule over bare DSV (..csvtext module docstring)
+                blocks = csvtext.tabular_blocks(
                     plaintext.decode_text(raw)
                 )
             elif kind in _PAGED_TEXT_CODECS:

@@ -134,6 +134,23 @@ def test_markdown_round_trip(paras):
     assert mdtext.sniff_markdown(src)
 
 
+@given(st.lists(_pt_block, min_size=2, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_dsv_round_trip(paras):
+    """encode_dsv -> tabular_blocks identity over arbitrary normal-form
+    blocks, plus the promotion guarantee (the rectangle always sniffs,
+    and sniffs as TABULAR, not markdown -- the probe checks csv first
+    but the encoder must not depend on md losing a race)."""
+    from ocr_platform_spark import csvtext
+
+    raw = csvtext.encode_dsv(paras)
+    text = raw.decode()
+    assert csvtext.sniff_tabular(text) == "\t"
+    got = csvtext.tabular_blocks(text)
+    assert [b.text for b in got] == paras
+    assert [b.pos for b in got] == sorted(b.pos for b in got)
+
+
 @given(_blocks)
 @settings(max_examples=100, deadline=None)
 def test_html_escape_round_trip(paras):
