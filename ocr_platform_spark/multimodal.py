@@ -416,6 +416,18 @@ def probe_real_media(
             n, w, h = rtftext.validate_rtf(raw)
             return "rtf", n, w, h
         return "rtf", 1, 0, 0
+    # XML tier — leading markup that is not HTML (feeds, sitemaps,
+    # SVG, data exports): the strict whole-document parse is the gate,
+    # so truncated markup still quarantines exactly as it did when the
+    # plain-text tier refused all leading '<'. The shallow probe is
+    # the O(window) prolog/root-tag sniff.
+    from . import xmltext
+
+    if xmltext.sniff_xml(raw):
+        if deep:
+            n, w, h = xmltext.validate_xml(raw)
+            return "xml", n, w, h
+        return "xml", 1, 0, 0
     # FINAL tier — no magic matched: strict plain-text contract
     # (UTF-8, no binary controls, no leading markup). deep validates
     # the whole payload; shallow is the O(window) sniff, mirroring the

@@ -88,7 +88,7 @@ from pyspark.sql import functions as F
 from .. import (csvtext, docxtext, epubtext, formats, gifcodec,
                 htmltext, jpegcodec, mdtext, multimodal, odttext,
                 pdfcodec, pdftext, plaintext, pngcodec, pptxtext,
-                rtftext, tiffcodec, transport, xlsxtext)
+                rtftext, tiffcodec, transport, xlsxtext, xmltext)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -341,6 +341,11 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 blocks = csvtext.tabular_blocks(
                     plaintext.decode_text(raw)
                 )
+            elif kind == "xml":
+                # XML tier: feeds/sitemaps/data exports — leaf text
+                # under strip-lines-join; feed rich-content elements
+                # through the DOM walk (..xmltext module docstring)
+                blocks = xmltext.xml_blocks(raw)
             elif kind in _PAGED_TEXT_CODECS:
                 # paged office containers: slides/sheets are pages, so
                 # buckets and slicing apply exactly like raster PDFs —

@@ -77,6 +77,10 @@ def _fixtures() -> dict[str, bytes]:
                b"> quoted\n\nSetext\n------\n"),
         "csv": (b"name\tvalue\tnote\nalpha\t1.5\tfirst row\n"
                 b"beta\t2.5\t\"quoted\nnewline\"\n"),
+        "xml": (b'<?xml version="1.0"?><rss version="2.0"><channel>'
+                b"<title>Feed</title><item><title>One</title>"
+                b"<description>&lt;p&gt;body&lt;/p&gt;</description>"
+                b"</item></channel></rss>"),
         # compressed transport wrappers: the seam must unwrap these
         # transparently, and mutants (corrupt members, truncations,
         # nested bombs) must hold the ValueError contract
@@ -121,7 +125,8 @@ def test_dispatch_seam_mutation_fuzz(kind):
     # plain text (no magic) as unknown — the probe refines both
     sniff = {"docx": "zip", "pptx": "zip", "xlsx": "zip",
              "epub": "zip", "odt": "zip", "txt": "unknown",
-             "md": "unknown", "csv": "unknown"}.get(base, base)
+             "md": "unknown", "csv": "unknown",
+             "xml": "unknown"}.get(base, base)
     if kind.split("-")[-1] in ("gz", "bz2", "xz"):
         # transport-wrapped fixtures: the magic ladder sees only the
         # wrapper bytes (no media magic), the deep probe unwraps
@@ -134,7 +139,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
     probed = multimodal.probe_real_media(raw, deep=True)
     assert probed[0] == probe_kind and probed[1] >= 1
     if base not in ("html", "docx", "pptx", "xlsx", "epub", "odt",
-                    "rtf", "txt", "md", "csv"):
+                    "rtf", "txt", "md", "csv", "xml"):
         # reflowable text has no raster decode by design
         got_kind, pages = multimodal.decode_real_media(raw)
         assert len(pages) >= 1, got_kind

@@ -81,7 +81,8 @@ def test_txt_extracts_under_strict_scanned_contract(txt_corpus):
 
 
 def test_non_text_payloads_quarantine_at_probe(spark):
-    """Invalid UTF-8, binary control bytes, leading markup and
+    """Invalid UTF-8, binary control bytes, TRUNCATED leading markup
+    (well-formed XML now extracts via the xmltext tier instead) and
     empty/whitespace payloads are probe-time quarantine rows (triage,
     not job failure), and the document still assembles its text spans."""
     docs = spark.createDataFrame(
@@ -102,7 +103,7 @@ def test_non_text_payloads_quarantine_at_probe(spark):
     media = spark.createDataFrame(
         [("m-bad-1", bytearray(b"caf\xff latin-1 bytes")),
          ("m-bad-2", bytearray(b"text with \x00 a NUL")),
-         ("m-bad-3", bytearray(b"  <svg><rect/></svg>")),
+         ("m-bad-3", bytearray(b"  <svg><rect")),
          ("m-bad-4", bytearray(b"  \n\t \n "))],
         "media_ref string, data binary",
     )
@@ -112,7 +113,7 @@ def test_non_text_payloads_quarantine_at_probe(spark):
     assert set(errs) == {"m-bad-1", "m-bad-2", "m-bad-3", "m-bad-4"}
     assert "not valid utf-8" in errs["m-bad-1"]
     assert "binary control byte" in errs["m-bad-2"]
-    assert "markup" in errs["m-bad-3"]
+    assert "not well-formed XML" in errs["m-bad-3"]
     assert "empty plain-text" in errs["m-bad-4"]
     spans = _spans_by_doc(extract_real.extract_real_documents(docs, media))
     assert spans == {"d1": [("text", "keep me", None, 0)]}

@@ -151,6 +151,18 @@ def test_dsv_round_trip(paras):
     assert [b.pos for b in got] == sorted(b.pos for b in got)
 
 
+@given(st.lists(_pt_block, min_size=1, max_size=6))
+@settings(max_examples=150, deadline=None)
+def test_xml_round_trip(paras):
+    """encode_xml -> xml_blocks identity over arbitrary normal-form
+    blocks (XML escaping + the leaf strip-lines-join rule)."""
+    from ocr_platform_spark import xmltext
+
+    got = xmltext.xml_blocks(xmltext.encode_xml(paras))
+    assert [b.text for b in got] == paras
+    assert [b.pos for b in got] == sorted(b.pos for b in got)
+
+
 @given(_blocks)
 @settings(max_examples=100, deadline=None)
 def test_html_escape_round_trip(paras):
