@@ -150,11 +150,13 @@ def encode_dsv(blocks: list[str], delimiter: str = "\t") -> bytes:
     rows: list[list[str]] = []
     for block in blocks:
         words = block.split(" ")
-        # word cells must survive the join's empty-cell drop: a word
-        # that is unicode-whitespace-only (e.g. NBSP) rides quoted
+        # word cells must survive the cell fold unchanged: each word
+        # has to be strip-STABLE (a word with leading/trailing unicode
+        # whitespace, e.g. NBSP, would lose it) — such blocks ride as
+        # one quoted cell instead
         if "\n" not in block and "  " not in block \
                 and delimiter not in block \
-                and all(w.strip() for w in words):
+                and all(w and w == w.strip() for w in words):
             rows.append(words)
         else:
             rows.append([block])

@@ -442,29 +442,36 @@ def probe_real_media(
                 f"unknown media magic {raw[:5]!r} and not plain text "
                 f"({e})"
             ) from e
-        from . import csvtext, mdtext
+        from . import csvtext, jsontext, mdtext
 
         # structural refinements of the text tier, strictest first:
-        # a confident DSV rectangle (csvtext.sniff_tabular) extracts
-        # row-wise like an XLSX sheet; else a markdown signal
-        # (mdtext.sniff_markdown) extracts rendered text; else literal
+        # a whole-payload strict JSON/JSONL parse (jsontext) beats a
+        # confident DSV rectangle (csvtext.sniff_tabular, row-wise like
+        # an XLSX sheet) beats a markdown signal (mdtext.sniff_markdown,
+        # rendered text); else literal
         text = plaintext.decode_text(raw)
+        if jsontext.sniff_json(text) is not None:
+            return "json", n, w, h
         if csvtext.sniff_tabular(text) is not None:
             return "csv", n, w, h
         if mdtext.sniff_markdown(text):
             return "md", n, w, h
         return "txt", n, w, h
     if plaintext.sniff_text(raw):
-        from . import csvtext, mdtext
+        from . import csvtext, jsontext, mdtext
 
         # shallow refinement over the sniff window only (a structural
         # signal past the window keeps the metadata kind "txt"; the
         # deep probe that drives extraction sees the whole payload).
-        # The window may cut the final row, so the tabular check here
-        # drops the last (possibly partial) line first.
+        # The window may cut the final row/line, so line-shaped checks
+        # drop the last (possibly partial) line first; a single JSON
+        # document larger than the window cannot validate from a
+        # prefix and stays "txt" here (JSONL still resolves).
         head = raw[:4096].decode("utf-8-sig", errors="ignore")
         if len(raw) > 4096:
             head = head[:head.rfind("\n") + 1] or head
+        if jsontext.sniff_json(head) is not None:
+            return "json", 1, 0, 0
         if csvtext.sniff_tabular(head) is not None:
             return "csv", 1, 0, 0
         if mdtext.sniff_markdown(head):

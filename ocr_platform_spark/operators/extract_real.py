@@ -86,9 +86,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import (csvtext, docxtext, epubtext, formats, gifcodec,
-                htmltext, jpegcodec, mdtext, multimodal, odttext,
-                pdfcodec, pdftext, plaintext, pngcodec, pptxtext,
-                rtftext, tiffcodec, transport, xlsxtext, xmltext)
+                htmltext, jpegcodec, jsontext, mdtext, multimodal,
+                odttext, pdfcodec, pdftext, plaintext, pngcodec,
+                pptxtext, rtftext, tiffcodec, transport, xlsxtext,
+                xmltext)
 from ..schemas import BLOCK
 from .extract import (
     _INT_BLOCK_COLS,
@@ -346,6 +347,12 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 # under strip-lines-join; feed rich-content elements
                 # through the DOM walk (..xmltext module docstring)
                 blocks = xmltext.xml_blocks(raw)
+            elif kind == "json":
+                # JSON/JSONL tier (probe-refined from txt): string
+                # VALUES only, document order (..jsontext docstring)
+                blocks = jsontext.json_blocks(
+                    plaintext.decode_text(raw)
+                )
             elif kind in _PAGED_TEXT_CODECS:
                 # paged office containers: slides/sheets are pages, so
                 # buckets and slicing apply exactly like raster PDFs —

@@ -81,6 +81,8 @@ def _fixtures() -> dict[str, bytes]:
                 b"<title>Feed</title><item><title>One</title>"
                 b"<description>&lt;p&gt;body&lt;/p&gt;</description>"
                 b"</item></channel></rss>"),
+        "json": (b'{"id": 1, "text": "alpha beta", "tags": ["x"]}\n'
+                 b'{"id": 2, "text": "gamma\\ndelta"}\n'),
         # compressed transport wrappers: the seam must unwrap these
         # transparently, and mutants (corrupt members, truncations,
         # nested bombs) must hold the ValueError contract
@@ -126,7 +128,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
     sniff = {"docx": "zip", "pptx": "zip", "xlsx": "zip",
              "epub": "zip", "odt": "zip", "txt": "unknown",
              "md": "unknown", "csv": "unknown",
-             "xml": "unknown"}.get(base, base)
+             "xml": "unknown", "json": "unknown"}.get(base, base)
     if kind.split("-")[-1] in ("gz", "bz2", "xz"):
         # transport-wrapped fixtures: the magic ladder sees only the
         # wrapper bytes (no media magic), the deep probe unwraps
@@ -139,7 +141,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
     probed = multimodal.probe_real_media(raw, deep=True)
     assert probed[0] == probe_kind and probed[1] >= 1
     if base not in ("html", "docx", "pptx", "xlsx", "epub", "odt",
-                    "rtf", "txt", "md", "csv", "xml"):
+                    "rtf", "txt", "md", "csv", "xml", "json"):
         # reflowable text has no raster decode by design
         got_kind, pages = multimodal.decode_real_media(raw)
         assert len(pages) >= 1, got_kind

@@ -163,6 +163,21 @@ def test_xml_round_trip(paras):
     assert [b.pos for b in got] == sorted(b.pos for b in got)
 
 
+@given(st.lists(_pt_block, min_size=1, max_size=6))
+@settings(max_examples=150, deadline=None)
+def test_jsonl_round_trip(paras):
+    """encode_jsonl -> json_blocks identity over arbitrary normal-form
+    blocks (JSON string escaping + values-only walk + the numeric-id
+    field that must never emit)."""
+    from ocr_platform_spark import jsontext
+
+    text = jsontext.encode_jsonl(paras).decode()
+    assert jsontext.sniff_json(text) is not None
+    got = jsontext.json_blocks(text)
+    assert [b.text for b in got] == paras
+    assert [b.pos for b in got] == sorted(b.pos for b in got)
+
+
 @given(_blocks)
 @settings(max_examples=100, deadline=None)
 def test_html_escape_round_trip(paras):
