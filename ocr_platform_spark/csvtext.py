@@ -69,10 +69,10 @@ def _parse(text: str, delim: str) -> list[list[str]] | None:
         return None
 
 
-def sniff_tabular(text: str) -> str | None:
-    """The promoting delimiter if the payload is confidently one
-    rectangle, else ``None`` (stay in the txt tier)."""
-    norm = text.replace("\r\n", "\n").replace("\r", "\n")
+def _sniff_rows(norm: str):
+    """``(delimiter, parsed rows)`` for a confident rectangle, else
+    ``None`` — shared by the sniff and the extractor so the payload
+    parses ONCE on each path instead of sniff-then-reparse."""
     for delim in _DELIMS:
         rows = _parse(norm, delim)
         if rows is None:
@@ -88,8 +88,16 @@ def sniff_tabular(text: str) -> str | None:
             continue
         widths = {len(rows[i]) for i in idx}
         if len(widths) == 1 and widths.pop() >= _MIN_FIELDS[delim]:
-            return delim
+            return delim, rows
     return None
+
+
+def sniff_tabular(text: str) -> str | None:
+    """The promoting delimiter if the payload is confidently one
+    rectangle, else ``None`` (stay in the txt tier)."""
+    norm = text.replace("\r\n", "\n").replace("\r", "\n")
+    got = _sniff_rows(norm)
+    return got[0] if got else None
 
 
 def _cell_text(cell: str) -> str:
@@ -106,26 +114,17 @@ def tabular_blocks(text: str) -> list[TextParagraph]:
     ``(page, y1, x1)`` span sort needs. Raises ``ValueError`` if the
     payload does not sniff (the probe guarantees it does)."""
     norm = text.replace("\r\n", "\n").replace("\r", "\n")
-    delim = sniff_tabular(norm)
-    if delim is None:
+    got = _sniff_rows(norm)
+    if got is None:
         raise ValueError("payload is not confidently tabular")
+    _delim, rows = got
     out: list[TextParagraph] = []
-    for i, row in enumerate(_parse(norm, delim)):
+    for i, row in enumerate(rows):
         cells = [_cell_text(c) for c in row]
         body = " ".join(c for c in cells if c)
         if body:
             out.append(TextParagraph(i, body))
     return out
-
-
-def validate_tabular(raw: bytes) -> tuple[int, int, int]:
-    """Deep-probe contract: strict plain-text validation is the only
-    failure surface (a sniffed rectangle always renders). One
-    reflowable page, no raster geometry."""
-    from . import plaintext
-
-    plaintext.validate_text(raw)
-    return 1, 0, 0
 
 
 # ---------------------------------------------------------------------------
@@ -162,8 +161,13 @@ def encode_dsv(blocks: list[str], delimiter: str = "\t") -> bytes:
             rows.append([block])
     width = max(_MIN_FIELDS[delimiter], max(len(r) for r in rows))
     buf = io.StringIO(newline="")
+    # QUOTE_ALL: a cell carrying a DIFFERENT candidate delimiter (a tab
+    # inside a comma-encoded cell) must not let the output sniff as the
+    # wrong rectangle — quoting makes every other-delimiter parse fail
+    # strict (quote processing is delimiter-independent)
     w = csv.writer(buf, delimiter=delimiter, quotechar='"',
-                   doublequote=True, lineterminator="\n")
+                   doublequote=True, lineterminator="\n",
+                   quoting=csv.QUOTE_ALL)
     for r in rows:
         w.writerow(r + [""] * (width - len(r)))
     return buf.getvalue().encode()

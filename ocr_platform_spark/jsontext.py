@@ -46,11 +46,17 @@ from .plaintext import TextParagraph
 
 
 def _strict_loads(s: str):
-    """Interchange JSON only: NaN/Infinity literals are refused."""
+    """Interchange JSON only: NaN/Infinity literals are refused, and a
+    pathologically deep nesting ('['*100000) maps to ``ValueError``
+    like any other rejection instead of letting ``RecursionError``
+    escape the sniff's return-None contract."""
     def _no_const(name: str):
         raise ValueError(f"non-interchange JSON constant {name!r}")
 
-    return json.loads(s, parse_constant=_no_const)
+    try:
+        return json.loads(s, parse_constant=_no_const)
+    except RecursionError as exc:
+        raise ValueError("JSON nested too deeply") from exc
 
 
 def sniff_json(text: str) -> str | None:
@@ -85,16 +91,19 @@ def _strip_join(s: str) -> str:
 
 
 def _walk(value, emit) -> None:
-    """Document-order DFS emitting string VALUES only."""
-    if isinstance(value, str):
-        emit(_strip_join(value))
-    elif isinstance(value, dict):
-        for v in value.values():
-            _walk(v, emit)
-    elif isinstance(value, list):
-        for v in value:
-            _walk(v, emit)
-    # numbers / booleans / null: structure, never content
+    """Document-order DFS emitting string VALUES only (explicit stack:
+    a structure deep enough to parse must also walk without
+    ``RecursionError``). Numbers / booleans / null are structure,
+    never content."""
+    stack = [value]
+    while stack:
+        v = stack.pop()
+        if isinstance(v, str):
+            emit(_strip_join(v))
+        elif isinstance(v, dict):
+            stack.extend(reversed(list(v.values())))
+        elif isinstance(v, list):
+            stack.extend(reversed(v))
 
 
 def json_blocks(text: str) -> list[TextParagraph]:
@@ -103,8 +112,8 @@ def json_blocks(text: str) -> list[TextParagraph]:
     downstream ``(page, y1, x1)`` span sort needs. Raises
     ``ValueError`` if the payload does not sniff (the probe
     guarantees it does)."""
-    shape = sniff_json(text)
-    if shape is None:
+    head = text.lstrip()
+    if not head or head[0] not in "{[":
         raise ValueError("payload is not strict JSON / JSON-Lines")
     out: list[TextParagraph] = []
     n = 0
@@ -115,23 +124,23 @@ def json_blocks(text: str) -> list[TextParagraph]:
             out.append(TextParagraph(n, body))
         n += 1
 
-    if shape == "json":
+    # parse ONCE (the probe already validated; re-running the sniff
+    # here would re-parse the whole payload a second time)
+    try:
         _walk(_strict_loads(text), emit)
-    else:
-        for ln in text.split("\n"):
-            if ln.strip():
-                _walk(_strict_loads(ln), emit)
+        return out
+    except ValueError:
+        out.clear()
+        n = 0
+    for ln in text.split("\n"):
+        if not ln.strip():
+            continue
+        v = _strict_loads(ln)
+        if not isinstance(v, (dict, list)):
+            raise ValueError(
+                "payload is not strict JSON / JSON-Lines")
+        _walk(v, emit)
     return out
-
-
-def validate_json(raw: bytes) -> tuple[int, int, int]:
-    """Deep-probe contract: strict text + the sniff-parse. One
-    reflowable page, no raster geometry."""
-    from . import plaintext
-
-    if sniff_json(plaintext.decode_text(raw)) is None:
-        raise ValueError("payload is not strict JSON / JSON-Lines")
-    return 1, 0, 0
 
 
 # ---------------------------------------------------------------------------

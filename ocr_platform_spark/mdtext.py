@@ -62,6 +62,7 @@ _THEMATIC_RE = re.compile(r"^ {0,3}([-*_])[ \t]*(?:\1[ \t]*){2,}$")
 _LIST_RE = re.compile(r"^ {0,3}(?:[-*+]|\d{1,9}[.)])[ \t]+\S")
 _LIST_MARK_RE = re.compile(r"^ {0,3}(?:[-*+]|\d{1,9}[.)])[ \t]+")
 _QUOTE_RE = re.compile(r"^ {0,3}> ?")
+_QUOTE_ALL_RE = re.compile(r"^( {0,3}> ?)+")
 _SETEXT_RE = re.compile(r"^ {0,3}(=+|-+)[ \t]*$")
 _INDENT_CODE_RE = re.compile(r"^(?: {4}|\t)(.*)$")
 
@@ -207,26 +208,39 @@ def markdown_blocks(text: str, base: int = 0) -> list[MarkdownBlock]:
             while j < n and (_QUOTE_RE.match(lines[j])
                              or (lines[j].strip()
                                  and inner and inner[-1].strip())):
-                inner.append(_QUOTE_RE.sub("", lines[j], count=1))
+                inner.append(_QUOTE_ALL_RE.sub("", lines[j], count=1))
             # ^ lazy continuation: a non-blank line directly after a
-            #   quoted non-blank line stays inside the quote
+            #   quoted non-blank line stays inside the quote. ALL
+            #   leading '>' markers strip in one pass (nested quotes
+            #   flatten anyway), so the inner re-parse recursion is
+            #   depth-1 regardless of '>' count — a '>'*10000 line
+            #   must not RecursionError into a silent zero-block doc
                 j += 1
             out.extend(markdown_blocks("\n".join(inner), base=offs[i]))
             i = j
             continue
         if _LIST_RE.match(line):
-            while i < n and _LIST_RE.match(lines[i]):
+            while i < n and _LIST_RE.match(lines[i]) \
+                    and not _THEMATIC_RE.match(lines[i]):
                 item = [_LIST_MARK_RE.sub("", lines[i], count=1)]
                 pos = offs[i]
                 j = i + 1
+                # continuation stops at ANY block start, not only a
+                # new list item — a heading/fence/quote/thematic
+                # directly under an item is its own block (CommonMark)
                 while j < n and lines[j].strip() \
-                        and not _LIST_RE.match(lines[j]):
+                        and not _LIST_RE.match(lines[j]) \
+                        and not _ATX_RE.match(lines[j]) \
+                        and not _FENCE_RE.match(lines[j]) \
+                        and not _QUOTE_RE.match(lines[j]) \
+                        and not _THEMATIC_RE.match(lines[j]):
                     item.append(lines[j])
                     j += 1
                 emit(pos, _paragraph_text(item))
                 i = j
-                if i < n and not lines[i].strip():
-                    break  # blank line ends the list run
+                if i < n and (not lines[i].strip()
+                              or not _LIST_RE.match(lines[i])):
+                    break  # blank line or another block ends the run
             continue
         m = _INDENT_CODE_RE.match(line)
         if m and line.strip():
@@ -373,14 +387,3 @@ def sniff_markdown(text: str) -> bool:
         if len(medium) >= 2:
             return True
     return False
-
-
-def validate_markdown(raw: bytes) -> tuple[int, int, int]:
-    """Deep-probe contract: strict plain-text validation is the only
-    failure surface (every sniffed-markdown byte stream renders — the
-    grammar has no invalid documents). Returns ``(1, 0, 0)``: one
-    reflowable page, no raster geometry."""
-    from . import plaintext
-
-    plaintext.validate_text(raw)
-    return 1, 0, 0

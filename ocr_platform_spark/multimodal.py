@@ -436,7 +436,10 @@ def probe_real_media(
 
     if deep:
         try:
-            n, w, h = plaintext.validate_text(raw)
+            # decode_text IS the validation (one decode, not
+            # validate-then-decode twice over the same bytes); text
+            # tiers are one reflowable page with no raster geometry
+            text = plaintext.decode_text(raw)
         except ValueError as e:
             raise ValueError(
                 f"unknown media magic {raw[:5]!r} and not plain text "
@@ -449,14 +452,13 @@ def probe_real_media(
         # confident DSV rectangle (csvtext.sniff_tabular, row-wise like
         # an XLSX sheet) beats a markdown signal (mdtext.sniff_markdown,
         # rendered text); else literal
-        text = plaintext.decode_text(raw)
         if jsontext.sniff_json(text) is not None:
-            return "json", n, w, h
+            return "json", 1, 0, 0
         if csvtext.sniff_tabular(text) is not None:
-            return "csv", n, w, h
+            return "csv", 1, 0, 0
         if mdtext.sniff_markdown(text):
-            return "md", n, w, h
-        return "txt", n, w, h
+            return "md", 1, 0, 0
+        return "txt", 1, 0, 0
     if plaintext.sniff_text(raw):
         from . import csvtext, jsontext, mdtext
 

@@ -126,6 +126,11 @@ def _inflate_members(raw: bytes, fresh, max_out: int, kind: str) -> bytes:
     while data:
         data = _inflate_one(fresh(), data, out, max_out, kind)
         if data and sniff_transport(data) != kind:
+            if not data.strip(b"\x00"):
+                # NUL-only tail: xz Stream Padding (spec-legal,
+                # 4-byte multiples) and the zero padding block-mode
+                # writers append to gzip members — valid, not garbage
+                break
             raise ValueError(
                 f"{kind} payload: {len(data)} bytes of trailing "
                 f"garbage after the final member"

@@ -27,7 +27,9 @@ Block model (documented, deterministic):
   feed items (a link-heavy description is content, not chrome).
 * **XHTML served as XML** (``<?xml`` prolog, no doctype — with a
   doctype/`<html` head the byte sniff routes it to the DOM tier long
-  before this module): extracts under the generic rule; mixed-content
+  before this module): extracts under the generic rule with
+  ``script``/``style`` subtrees dropped (the DOM tier's DROP rule —
+  CSS and JS source must never extract as content); mixed-content
   prose splits at inline-tag boundaries, the documented granularity
   floor for a shape that virtually always ships with a doctype.
 
@@ -62,6 +64,9 @@ _XML_HEAD_RE = re.compile(
 
 _FEED_ROOTS = {"rss", "feed", "rdf"}
 _RICH_ELEMENTS = {"description", "summary", "content", "encoded"}
+#: subtrees whose text is never content (XHTML-as-XML payloads carry
+#: them; the DOM tier's DROP_RE analog for the tree walk)
+_DROP_ELEMENTS = {"script", "style"}
 
 
 def _local(tag) -> str:
@@ -90,7 +95,12 @@ def _strip_join(text: str | None) -> str:
 def parse_xml(raw: bytes) -> ElementTree.Element:
     """Strict parse with the DTD refusal. Raises ``ValueError`` on
     anything short of a complete well-formed document."""
-    if _DOCTYPE_RE.search(raw[:4096]):
+    # whole-payload scan: a DOCTYPE pushed past any fixed window by a
+    # long comment must still refuse. Deliberately conservative — the
+    # byte pattern inside a comment or CDATA section also quarantines,
+    # which the targeted corpus classes (feeds/sitemaps/data exports)
+    # never legitimately contain.
+    if _DOCTYPE_RE.search(raw):
         raise ValueError(
             "XML payload declares a DTD: entity expansion is refused "
             "(decompression-bomb class guard); feeds/sitemaps/data "
@@ -117,25 +127,53 @@ def xml_blocks(raw: bytes) -> list[TextParagraph]:
             out.append(TextParagraph(n, text))
         n += 1
 
-    def walk(el) -> None:
-        nonlocal n
-        if feed and _local(el.tag).lower() in _RICH_ELEMENTS \
-                and el.text and "<" in el.text:
-            # escaped/CDATA HTML content: DOM-tier walk, no
-            # link-density drop (a feed item IS content)
-            frag = el.text
-            if BLOCK_RE.search(frag):
-                for b in content_blocks(frag):
-                    emit(b.text)
-            else:
-                emit(_visible_text(frag))
+    def rich(frag: str) -> None:
+        # escaped/CDATA HTML content: DOM-tier walk, no link-density
+        # drop (a feed item IS content). Loose text BETWEEN block
+        # elements (intro/outro around a <p>) is routine in feeds and
+        # must not drop: walk the fragment segment-wise in order.
+        pos = 0
+        for m in BLOCK_RE.finditer(frag):
+            loose = _visible_text(frag[pos:m.start()])
+            if loose:
+                emit(loose)
+            for b in content_blocks(m.group(0)):
+                emit(b.text)
+            pos = m.end()
+        tail = _visible_text(frag[pos:])
+        if tail:
+            emit(tail)
+
+    def enter(el):
+        # on-enter emission; returns the child iterator, or None for
+        # dropped subtrees (script/style — the DOM tier's DROP rule)
+        name = _local(el.tag).lower()
+        if name in _DROP_ELEMENTS:
+            return None
+        if feed and name in _RICH_ELEMENTS and el.text \
+                and "<" in el.text:
+            rich(el.text)
         else:
             emit(_strip_join(el.text))
-        for child in el:
-            walk(child)
-            emit(_strip_join(child.tail))
+        return iter(el)
 
-    walk(root)
+    # explicit-stack DFS: a pathologically deep document (thousands of
+    # nesting levels parses fine — expat is iterative) must not
+    # RecursionError the Python walk into a silent zero-block result
+    it = enter(root)
+    stack = [(it, None)] if it is not None else []
+    while stack:
+        it, tail = stack[-1]
+        child = next(it, None)
+        if child is None:
+            stack.pop()
+            emit(_strip_join(tail))
+            continue
+        cit = enter(child)
+        if cit is None:
+            emit(_strip_join(child.tail))
+        else:
+            stack.append((cit, child.tail))
     return out
 
 

@@ -109,6 +109,15 @@ def test_empty_cells_drop_in_the_join():
     assert [b.text for b in tabular_blocks(src)] == ["a b", "c", "d e f"]
 
 
+def test_encoder_cross_delimiter_cells_cannot_flip_the_sniff():
+    # tab-bearing cells in a comma rectangle: QUOTE_ALL makes the tab
+    # parse fail strict, so the sniff resolves the intended delimiter
+    raw = encode_dsv(["x\ty", "p\tq", "m\tn"], delimiter=",").decode()
+    assert sniff_tabular(raw) == ","
+    assert [b.text for b in tabular_blocks(raw)] \
+        == ["x\ty", "p\tq", "m\tn"]
+
+
 def test_markdown_docs_are_not_stolen_by_the_tabular_sniff():
     # blank-line-separated constructs, even with uniform comma counts,
     # never form a rectangle (interior blank rows)

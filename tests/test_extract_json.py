@@ -103,6 +103,15 @@ def test_rejections_fall_to_other_tiers():
     assert sniff_json("just some text\n") is None
 
 
+def test_pathological_nesting_takes_txt_floor_not_a_crash():
+    deep = ("[" * 50000).encode()
+    # RecursionError must not escape: the payload stays literal text
+    assert multimodal.probe_real_media(deep, deep=True)[0] == "txt"
+    # a nesting depth that parses also walks (explicit-stack DFS)
+    ok = "[" * 400 + '"x"' + "]" * 400
+    assert texts(ok) == ["x"]
+
+
 def test_duplicate_keys_last_wins():
     assert texts('{"t": "first", "t": "second"}') == ["second"]
 

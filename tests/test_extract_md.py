@@ -139,6 +139,21 @@ def test_lists_one_block_per_item():
     assert got == ["first", "second line continues", "ordered", "paren"]
 
 
+def test_block_starts_end_a_list_item():
+    got = texts("- item one\n# Section Title\n\n- item two\n"
+                "```\ncode\n```")
+    assert got == ["item one", "Section Title", "item two", "code"]
+
+
+def test_deep_quote_nesting_never_recursion_errors():
+    src = "# t\n" + "> " * 5000 + "boom"
+    assert texts(src) == ["t", "boom"]
+
+
+def test_thematic_break_is_not_a_list_item():
+    assert texts("- - -\n\n- real item") == ["real item"]
+
+
 def test_blockquotes_flatten_with_lazy_continuation():
     assert texts("> quoted\n> more") == ["quoted more"]
     # lazy continuation stays in the quote

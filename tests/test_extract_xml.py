@@ -121,6 +121,33 @@ def test_wellformed_but_textless_xml_extracts_zero_blocks():
     assert texts(b"<svg><rect/></svg>") == []
 
 
+def test_dtd_past_any_window_still_refused():
+    far = (b'<?xml version="1.0"?><!--' + b"x" * 5000
+           + b'--><!DOCTYPE r [<!ENTITY a "b">]><r>&a;</r>')
+    with pytest.raises(ValueError, match="DTD"):
+        xmltext.xml_blocks(far)
+
+
+def test_script_style_subtrees_drop_tails_survive():
+    xh = (b'<?xml version="1.0"?><html><head>'
+          b"<style>.a{color:red}</style>"
+          b'<script>var t="x";</script>after scripts</head>'
+          b"<body><p>real</p></body></html>")
+    assert texts(xh) == ["after scripts", "real"]
+
+
+def test_feed_loose_text_around_blocks_survives():
+    rss = (b"<rss><channel><item><description>Breaking intro "
+           b"&lt;p&gt;details&lt;/p&gt; trailing outro"
+           b"</description></item></channel></rss>")
+    assert texts(rss) == ["Breaking intro", "details", "trailing outro"]
+
+
+def test_deep_nesting_extracts_without_recursion_failure():
+    deep = b"<a>" * 3000 + b"needle" + b"</a>" * 3000
+    assert texts(deep) == ["needle"]
+
+
 def test_comments_pis_attributes_never_emit():
     raw = (b'<?xml version="1.0"?><!-- top comment -->'
            b'<doc a="attr text"><?pi data?>'

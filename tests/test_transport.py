@@ -73,6 +73,19 @@ def test_bomb_guard_nesting_and_passthrough():
     assert transport.sniff_transport(b"BZh9 is a compressor level") is None
 
 
+def test_nul_padding_after_final_member_is_not_garbage():
+    # xz Stream Padding (spec-legal 4-byte multiples) and gzip zero
+    # padding from block-mode writers must extract, not quarantine
+    assert transport.decompress_transport(
+        lzma.compress(b"hello") + b"\x00" * 4) == b"hello"
+    assert transport.decompress_transport(
+        gzip.compress(b"hello") + b"\x00" * 16) == b"hello"
+    # non-NUL trailing bytes are still garbage
+    with pytest.raises(ValueError, match="trailing garbage"):
+        transport.decompress_transport(
+            gzip.compress(b"x") + b"\x00\x01")
+
+
 def test_probe_split_shallow_names_transport_deep_resolves_inner():
     wrapped = gzip.compress(b"alpha beta\n\ngamma\n")
     assert multimodal.probe_real_media(wrapped, deep=False) \
