@@ -50,15 +50,41 @@ def _ensure_corpus() -> str:
     from test_extract_office_paged import content_pptx, content_xlsx
     from test_extract_text_layer import reencode_text_layer
     from test_extract_text_plain import content_txt
+    from test_extract_epub import content_epub
+    from test_extract_odt_rtf import content_odt, content_rtf
+    from test_extract_md import content_md
+    from test_extract_csv import content_dsv
+    from test_extract_xml import content_xml
+    from test_extract_json import content_jsonl
 
+    import bz2
+    import gzip
     import itertools
+    import lzma
 
     wild_idx = itertools.count()
     office_idx = itertools.count()
+    crawl_idx = itertools.count()
     _OFFICE = (content_docx, content_pptx, content_xlsx, content_txt)
+    _CRAWL = (reencode_real, reencode_tiff,
+              lambda d: reencode_wild(d, next(wild_idx)),
+              lambda d: reencode_text_layer(d)[0],
+              content_html, content_docx, content_pptx, content_xlsx,
+              content_epub, content_odt, content_rtf, content_txt,
+              content_md, content_dsv, content_xml, content_jsonl)
+    _WRAP = (gzip.compress, bz2.compress, lzma.compress)
 
     def reencode_office(data: bytes) -> bytes:
         return _OFFICE[next(office_idx) % 4](data)
+
+    def reencode_crawl(data: bytes) -> bytes:
+        # the realistic interleaved crawl: all 16 tiers rotating, every
+        # 5th payload arriving transport-compressed
+        i = next(crawl_idx)
+        out = _CRAWL[i % 16](data)
+        if i % 5 == 4:
+            out = _WRAP[i % 3](out)
+        return out
     targets = {"media_real.parquet": reencode_real,
                "media_tiff.parquet": reencode_tiff,
                # rotating wild-compression mix (G3-2D / LZW / PackBits /
@@ -78,7 +104,10 @@ def _ensure_corpus() -> str:
                "media_gif.parquet": reencode_gif_mixed,
                # office/plain-text rotation (DOCX / PPTX / XLSX / txt)
                # — the zip-container + no-magic OCR-bypass arm
-               "media_office.parquet": reencode_office}
+               "media_office.parquet": reencode_office,
+               # the 16-tier interleaved crawl mix with transport
+               # wrappers — the realistic corpus shape end-to-end
+               "media_crawl.parquet": reencode_crawl}
     missing = {f: fn for f, fn in targets.items()
                if not os.path.exists(os.path.join(CACHE, f))}
     if not missing:
@@ -123,6 +152,7 @@ def main() -> None:
     media_html = spark.read.parquet(f"{d}/media_html.parquet")
     media_gif = spark.read.parquet(f"{d}/media_gif.parquet")
     media_office = spark.read.parquet(f"{d}/media_office.parquet")
+    media_crawl = spark.read.parquet(f"{d}/media_crawl.parquet")
     n_pages = media_synth.groupBy().sum("page_count").collect()[0][0] or 0
 
     # warm-up (JVM + codegen), excluded
@@ -169,6 +199,11 @@ def main() -> None:
         "office_mix_bucket8": best2(
             lambda: extract_real.extract_real_documents(
                 docs, media_office, bucket_pages=8)),
+        # the realistic interleaved crawl: all 16 media tiers rotating
+        # in ONE job, 20% of payloads transport-compressed
+        "crawl_mix_bucket8": best2(
+            lambda: extract_real.extract_real_documents(
+                docs, media_crawl, bucket_pages=8)),
     }
     out = {
         "n_docs": N_DOCS,
@@ -184,6 +219,8 @@ def main() -> None:
             results["real_bucket8"] / results["html_dom_bucket8"], 3),
         "office_mix_speedup_vs_scanned": round(
             results["real_bucket8"] / results["office_mix_bucket8"], 3),
+        "crawl_mix_vs_scanned": round(
+            results["real_bucket8"] / results["crawl_mix_bucket8"], 3),
     }
     print(json.dumps(out))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
