@@ -28,11 +28,12 @@ CommonMark SUBSET, deterministic, documented here: ATX (``#``–``######``)
 and setext (``===``/``---`` underline) headings; fenced (``` ``` ```/
 ``~~~``, info string dropped, content VERBATIM incl. blank lines,
 unclosed fence closes at EOF per spec) and 4-space-indented code
-blocks; blockquotes (marker stripped, inner text re-parsed, one level
-of ``>`` per pass — nested quotes flatten); unordered (``-*+``) and
+blocks; blockquotes (ALL leading ``>`` markers strip in one pass — nested
+quotes flatten — then the inner text re-parses); unordered (``-*+``) and
 ordered (``1.``/``1)``) list items, one block per ITEM, continuation
-lines joined as soft wraps, nested markers inside an item stay part of
-that item's text; thematic breaks emit nothing. Inline: code spans
+lines joined as soft wraps until the next blank line or block start
+(a heading/fence/quote/thematic directly under an item is its own
+block); thematic breaks emit nothing. Inline: code spans
 (content literal), images → alt text, links → anchor text, autolinks →
 the URI, emphasis/strong markers stripped (``*``/``_`` families), raw
 inline HTML tags dropped, backslash escapes honored, HTML entities
