@@ -1,0 +1,170 @@
+"""End-to-end pipeline compositions: crawl archives in, curated
+training corpus out.
+
+Every stage already exists as a first-class operator — ingestion
+sources (:mod:`.sources.warc`, :mod:`.sources.tarshard`), the tier
+extraction pipeline (:mod:`.operators.extract_real`), and the
+column-expression stats/curation family (:mod:`.functions`). This
+module is the thin composition layer that chains them over EXTRACTED
+output instead of the benchmark's ``documents`` parquet table, reusing
+the same column expressions (``functions.common.tokens``, the quality
+formula, the language-marker heuristic, the exact-dedup fingerprint
+keep rule) so the two paths cannot drift semantically.
+
+The whole chain is ONE declarative plan per call: ingestion and
+extraction are the only ``mapInPandas`` stages; everything after
+``spans_to_documents`` is column expressions + two narrow-key shuffles
+(the dedup groupBy and nothing else — quality/lang/token stats are
+per-row). Catalyst fuses the stat maps; at 100 TB the plan's cost is
+the extraction UDF plus one (fingerprint) shuffle of ~100-byte rows.
+
+Typical use::
+
+    curated = crawl_to_training_corpus(spark, "/crawl/*.warc.gz")
+    curated.write.parquet(...)
+
+or from WebDataset shards::
+
+    curated = crawl_to_training_corpus(spark, "/shards", source="tar")
+
+The reference serves per-upload OCR over HTTP; this composition is the
+batch shape its corpus-scale users actually need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.common import fxp, tokens
+from .functions.curation import (CURATE_LANGS, CURATE_MAX_TOKENS,
+                                 CURATE_MIN_QUALITY_FXP4,
+                                 CURATE_MIN_TOKENS)
+from .functions.textstats import _LANG_ORDER, LANG_MARKERS, STOPWORDS
+
+__all__ = ["spans_to_documents", "annotate_documents",
+           "dedup_exact_text", "curate_documents",
+           "crawl_to_training_corpus"]
+
+
+def spans_to_documents(extracted: DataFrame) -> DataFrame:
+    """Extraction output ``(doc_id, spans[])`` -> ``(doc_id, text,
+    n_spans)``: the document's full reading-order text, spans joined
+    with blank lines (the inverse of the plain-text tier's paragraph
+    split, so a round trip through that tier is the identity)."""
+    txt = F.filter("spans", lambda s: s["text"].isNotNull())
+    return extracted.select(
+        "doc_id",
+        F.array_join(
+            F.transform(txt, lambda s: s["text"]), "\n\n"
+        ).alias("text"),
+        F.size("spans").cast("int").alias("n_spans"),
+    )
+
+
+def annotate_documents(docs_text: DataFrame) -> DataFrame:
+    """Add the curation stats to any ``(doc_id, text, ...)`` frame —
+    the SAME expressions as the table-bound operators
+    (``functions.textstats.quality_scores`` / ``token_stats`` /
+    ``lang_id``), over an arbitrary frame: ``n_tokens``,
+    ``quality_fxp4``, ``pred_lang``. Pure column work, no shuffle."""
+    t = tokens(F.col("text"))
+    df = docs_text.withColumn("t", t)
+    n_chars = F.length("text").cast("double")
+    n_alpha = F.length(
+        F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+    n_tok = F.size("t")
+    n_stop = F.size(F.filter("t", lambda x: x.isin(*STOPWORDS)))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars) \
+        .otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok) \
+        .otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.4) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(F.lit(1.0),
+                               n_tok.cast("double") / F.lit(100.0))
+    )
+    def _marker_hits(words):
+        # a closure, NOT a default-arg lambda: pyspark's higher-order
+        # helper reads the lambda's arity, and a second (defaulted)
+        # parameter selects the (element, index) form — binding the
+        # index Column over the default
+        return F.size(F.filter("t", lambda x: x.isin(*words)))
+
+    scores = {lang: _marker_hits(words)
+              for lang, words in LANG_MARKERS.items()}
+    mx = F.greatest(*scores.values())
+    pred = F.when(mx == 0, F.lit("und"))
+    for lang in _LANG_ORDER:
+        pred = pred.when(scores[lang] == mx, F.lit(lang))
+    return df.select(
+        *docs_text.columns,
+        n_tok.cast("long").alias("n_tokens"),
+        fxp(score).alias("quality_fxp4"),
+        pred.alias("pred_lang"),
+    )
+
+
+def dedup_exact_text(df: DataFrame) -> DataFrame:
+    """Exact dedup over the text column — the same
+    fingerprint-groupBy keep rule as ``functions.dedup.dedup_exact``
+    (sha-256 of the text, smallest ``doc_id`` survives): one narrow
+    shuffle of (fingerprint, doc_id) rows, then a semi join."""
+    fp = df.select("doc_id", F.sha2(F.col("text"), 256).alias("fp"))
+    winners = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")) \
+        .select("doc_id")
+    return df.join(winners, "doc_id", "semi")
+
+
+def curate_documents(docs_text: DataFrame,
+                     min_quality_fxp4: int = CURATE_MIN_QUALITY_FXP4,
+                     langs: tuple = CURATE_LANGS,
+                     min_tokens: int = CURATE_MIN_TOKENS,
+                     max_tokens: int = CURATE_MAX_TOKENS) -> DataFrame:
+    """The curation keep-rule over an arbitrary ``(doc_id, text)``
+    frame: exact-dedup survivors ∧ quality threshold ∧ predicted
+    language set ∧ token band — the same rule (same default constants)
+    as ``functions.curation.curated_corpus``, with ``pred_lang``
+    standing in for the benchmark table's stored ``lang`` column."""
+    ann = annotate_documents(docs_text)
+    kept = ann.filter(
+        (F.col("quality_fxp4") >= min_quality_fxp4)
+        & F.col("pred_lang").isin(*langs)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+    return dedup_exact_text(kept)
+
+
+def crawl_to_training_corpus(spark: SparkSession, paths: str,
+                             source: str = "warc",
+                             curate: bool = True,
+                             **kwargs) -> DataFrame:
+    """Archives in, curated training documents out.
+
+    ``source``: ``"warc"`` (crawl archives) or ``"tar"`` (WebDataset
+    shards). Curation kwargs (``min_quality_fxp4`` / ``langs`` /
+    ``min_tokens`` / ``max_tokens``) pass through
+    :func:`curate_documents`; every other kwarg passes through to the
+    extraction pipeline (``bucket_pages``, ``text_layer``, ...).
+    ``curate=False`` stops after :func:`spans_to_documents` — the raw
+    extracted-text frame for callers running their own filters.
+    """
+    curate_kw = {k: kwargs.pop(k) for k in
+                 ("min_quality_fxp4", "langs", "min_tokens",
+                  "max_tokens") if k in kwargs}
+    if source == "warc":
+        from .sources.warc import extract_warc
+
+        extracted = extract_warc(spark, paths, **kwargs)
+    elif source == "tar":
+        from .sources.tarshard import extract_tar_shards
+
+        extracted = extract_tar_shards(spark, paths, **kwargs)
+    else:
+        raise ValueError(f"unknown source {source!r} "
+                         f"(expected 'warc' or 'tar')")
+    docs_text = spans_to_documents(extracted)
+    if not curate:
+        return docs_text
+    return curate_documents(docs_text, **curate_kw)

@@ -1,0 +1,138 @@
+"""Crawl-to-training-corpus composition: archives in, curated docs out.
+
+Fixture corpora carry English prose (kept), a junk low-quality doc
+(dropped by the quality threshold), a too-short doc (token band), a
+non-marker-language doc (lang set), and an exact duplicate pair (one
+survivor, smallest doc_id) — so every leg of the keep rule is pinned
+through the FULL chain: WARC/tar ingestion, tier extraction,
+spans_to_documents, the stat expressions, and the dedup keep rule.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_platform_spark import pipelines, schemas
+from ocr_platform_spark.sources import tarshard, warc
+
+# English prose with enough tokens/markers to pass every threshold
+GOOD = ("the quick brown fox is one of the best known animals and it "
+        "jumps over the lazy dog while the sun is high and the day is "
+        "long and the story of the fox is told again and again")
+GOOD2 = ("a house is a building and the people of a town live in it "
+         "and the rooms of the house are warm and the garden is full "
+         "of flowers and the trees of the garden are old and tall")
+JUNK = "@@@@ ???? !!!! %%%% ^^^^ &&&& **** (((( )))) ####"  # no alpha
+SHORT = "the end"  # under the token band
+NONLANG = ("zzz qqq xxx yyy www vvv uuu ttt sss rrr kkk jjj hhh ggg "
+           "fff ddd ccc bbb aaa nnn mmm lll ppp ooo iii eee")  # 'und'
+
+
+def _samples() -> dict[str, dict[str, bytes]]:
+    return {
+        "doc-good": {"txt": GOOD.encode()},
+        "doc-good2": {"txt": GOOD2.encode()},
+        "doc-dup-a": {"txt": GOOD.encode()},   # exact duplicate of good
+        "doc-junk": {"txt": JUNK.encode()},
+        "doc-short": {"txt": SHORT.encode()},
+        "doc-nonlang": {"txt": NONLANG.encode()},
+    }
+
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe_shards")
+    (d / "s0.tar").write_bytes(tarshard.tar_shard_bytes(_samples()))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe_warc")
+    recs = b"".join(
+        warc.warc_record_bytes(f"http://x/{k}", v["txt"],
+                               content_type="text/plain")
+        for k, v in sorted(_samples().items())
+    )
+    (d / "c0.warc").write_bytes(recs)
+    return str(d)
+
+
+def test_tar_crawl_to_training_corpus(spark, shard_dir):
+    cur = pipelines.crawl_to_training_corpus(
+        spark, shard_dir, source="tar").collect()
+    texts = sorted(r["text"] for r in cur)
+    # junk fails quality, short fails the token band, nonlang is 'und',
+    # and the duplicate pair collapses to ONE survivor
+    assert texts == sorted([GOOD, GOOD2])
+    for r in cur:
+        assert r["pred_lang"] == "en" and r["n_tokens"] > 5
+
+
+def test_warc_crawl_to_training_corpus(spark, warc_dir):
+    cur = pipelines.crawl_to_training_corpus(
+        spark, warc_dir, source="warc").collect()
+    assert sorted(r["text"] for r in cur) == sorted([GOOD, GOOD2])
+
+
+def test_curate_false_returns_raw_extracted_text(spark, shard_dir):
+    raw = pipelines.crawl_to_training_corpus(
+        spark, shard_dir, source="tar", curate=False).collect()
+    # every sample extracts (no curation): 6 documents, text intact
+    assert len(raw) == len(_samples())
+    assert GOOD in {r["text"] for r in raw}
+    assert JUNK in {r["text"] for r in raw}
+
+
+def test_dedup_keeps_smallest_doc_id(spark):
+    df = spark.createDataFrame(
+        [("b", "same text"), ("a", "same text"), ("c", "other")],
+        "doc_id string, text string",
+    )
+    got = sorted(r["doc_id"]
+                 for r in pipelines.dedup_exact_text(df).collect())
+    assert got == ["a", "c"]
+
+
+def test_spans_to_documents_blank_line_join(spark):
+    docs = spark.createDataFrame(
+        [{"doc_id": "d", "spans": [
+            {"kind": "text", "text": "first", "media_ref": None,
+             "offset": 0},
+            {"kind": "text", "text": "second", "media_ref": "m",
+             "offset": 1},
+        ]}],
+        schema=schemas.DOCUMENTS,
+    )
+    row = pipelines.spans_to_documents(docs).collect()[0]
+    assert row["text"] == "first\n\nsecond" and row["n_spans"] == 2
+
+
+def test_annotate_matches_table_operator_semantics(spark, shard_dir):
+    """The frame-based stats must equal the table-bound operators'
+    values for the same text (same expressions, no drift)."""
+    import duckdb
+
+    from ocr_platform_spark.functions.textstats import (LANG_ID_SQL,
+                                                        QUALITY_SCORES_SQL,
+                                                        TOKEN_STATS_SQL)
+    raw = pipelines.crawl_to_training_corpus(
+        spark, shard_dir, source="tar", curate=False)
+    ann = {r["doc_id"]: r
+           for r in pipelines.annotate_documents(raw).collect()}
+    con = duckdb.connect()
+    con.register("documents", raw.toPandas())
+    q = {r[0]: r for r in con.execute(
+        f"SELECT doc_id, quality_fxp4 FROM ({QUALITY_SCORES_SQL}) x"
+    ).fetchall()}
+    t = {r[0]: r for r in con.execute(
+        f"SELECT doc_id, n_tokens FROM ({TOKEN_STATS_SQL}) x"
+    ).fetchall()}
+    lg = {r[0]: r for r in con.execute(
+        f"SELECT doc_id, pred_lang FROM ({LANG_ID_SQL}) x"
+    ).fetchall()}
+    assert ann
+    for doc_id, r in ann.items():
+        assert r["quality_fxp4"] == q[doc_id][1], doc_id
+        assert r["n_tokens"] == t[doc_id][1], doc_id
+        assert r["pred_lang"] == lg[doc_id][1], doc_id

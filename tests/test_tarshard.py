@@ -60,6 +60,37 @@ def test_member_size_cap(monkeypatch):
     assert by_key["ok"]["error"] is None and by_key["ok"]["data"] == b"fits"
 
 
+def test_mutation_fuzz_reader_never_raises():
+    """The source UDF contract (the dispatch-fuzz posture for
+    ingestion): corrupt shard bytes — bit flips, truncations, garbage
+    extension, across all four compressions — yield error rows, never
+    an exception that would kill an executor."""
+    import numpy as np
+
+    content = {"a": {"txt": b"alpha " * 200}, "b": {"md": b"# t\nbody"}}
+    rng = np.random.default_rng(7)
+    for comp in ("", "gz", "bz2", "xz"):
+        raw = tarshard.tar_shard_bytes(content, compress=comp)
+        n = len(raw)
+        muts = []
+        for i in rng.integers(0, n, 60):
+            m = bytearray(raw)
+            m[i] ^= 0xFF
+            muts.append(bytes(m))
+        for i in sorted(rng.integers(1, n, 30)):
+            muts.append(raw[:i])
+        muts.append(raw + bytes(rng.integers(0, 256, 32,
+                                             dtype=np.uint8)))
+        cols = {f.name for f in tarshard.MEMBER_SCHEMA.fields}
+        for mut in muts:
+            # must never raise; every yielded row is schema-shaped and
+            # an error row carries no payload bytes
+            for row in tarshard.iter_tar_members(io.BytesIO(mut)):
+                assert set(row) == cols
+                if row["error"] is not None:
+                    assert row["data"] is None
+
+
 @pytest.fixture(scope="module")
 def shard_corpus(spark, tmp_path_factory):
     """Corpus docs -> shards: each synthetic doc is one sample whose
