@@ -74,6 +74,13 @@ def _sniff_rows(norm: str):
     ``None`` — shared by the sniff and the extractor so the payload
     parses ONCE on each path instead of sniff-then-reparse."""
     for delim in _DELIMS:
+        # O(n) pre-guard before the quote-aware parse: a rectangle of
+        # R rows x W fields carries >= R*(W-1) structural delimiters,
+        # and the raw character count only over-counts (quoted
+        # occurrences add to it) — so a payload below the floor can
+        # never promote and most prose skips the csv parse entirely
+        if norm.count(delim) < _MIN_ROWS[delim] * (_MIN_FIELDS[delim] - 1):
+            continue
         rows = _parse(norm, delim)
         if rows is None:
             continue
