@@ -62,12 +62,17 @@ def _ensure_corpus() -> str:
     import itertools
     import lzma
 
+    # each target owns its counters: fixture bytes must be a function
+    # of (N_DOCS, target) alone, never of WHICH cached parquets were
+    # missing at generation time — a shared counter would give a cold
+    # cache different crawl payloads than an incremental one
     wild_idx = itertools.count()
+    crawl_wild_idx = itertools.count()
     office_idx = itertools.count()
     crawl_idx = itertools.count()
     _OFFICE = (content_docx, content_pptx, content_xlsx, content_txt)
     _CRAWL = (reencode_real, reencode_tiff,
-              lambda d: reencode_wild(d, next(wild_idx)),
+              lambda d: reencode_wild(d, next(crawl_wild_idx)),
               lambda d: reencode_text_layer(d)[0],
               content_html, content_docx, content_pptx, content_xlsx,
               content_epub, content_odt, content_rtf, content_txt,

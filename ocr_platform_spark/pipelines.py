@@ -68,13 +68,18 @@ def annotate_documents(docs_text: DataFrame) -> DataFrame:
     (``functions.textstats.quality_scores`` / ``token_stats`` /
     ``lang_id``), over an arbitrary frame: ``n_tokens``,
     ``quality_fxp4``, ``pred_lang``. Pure column work, no shuffle."""
-    t = tokens(F.col("text"))
-    df = docs_text.withColumn("t", t)
+    # collision-proof internal name: the caller's frame may carry any
+    # columns (the advertised contract), including one literally named
+    # like our scratch token column — suffix until free
+    tcol = "__ann_tokens"
+    while tcol in docs_text.columns:
+        tcol += "_"
+    df = docs_text.withColumn(tcol, tokens(F.col("text")))
     n_chars = F.length("text").cast("double")
     n_alpha = F.length(
         F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
-    n_tok = F.size("t")
-    n_stop = F.size(F.filter("t", lambda x: x.isin(*STOPWORDS)))
+    n_tok = F.size(tcol)
+    n_stop = F.size(F.filter(tcol, lambda x: x.isin(*STOPWORDS)))
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars) \
         .otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok) \
@@ -90,7 +95,7 @@ def annotate_documents(docs_text: DataFrame) -> DataFrame:
         # helper reads the lambda's arity, and a second (defaulted)
         # parameter selects the (element, index) form — binding the
         # index Column over the default
-        return F.size(F.filter("t", lambda x: x.isin(*words)))
+        return F.size(F.filter(tcol, lambda x: x.isin(*words)))
 
     scores = {lang: _marker_hits(words)
               for lang, words in LANG_MARKERS.items()}
@@ -107,11 +112,14 @@ def annotate_documents(docs_text: DataFrame) -> DataFrame:
 
 
 def dedup_exact_text(df: DataFrame) -> DataFrame:
-    """Exact dedup over the text column — the same
-    fingerprint-groupBy keep rule as ``functions.dedup.dedup_exact``
-    (sha-256 of the text, smallest ``doc_id`` survives): one narrow
-    shuffle of (fingerprint, doc_id) rows, then a semi join."""
-    fp = df.select("doc_id", F.sha2(F.col("text"), 256).alias("fp"))
+    """Exact dedup over the text column — the same fingerprint rule as
+    ``functions.dedup.dedup_exact`` (md5 over the token-normalized
+    text, smallest ``doc_id`` survives), so case/punctuation/whitespace
+    variants of one document collapse on both paths: one narrow shuffle
+    of (fingerprint, doc_id) rows, then a semi join."""
+    fp = df.select(
+        "doc_id",
+        F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp"))
     winners = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")) \
         .select("doc_id")
     return df.join(winners, "doc_id", "semi")

@@ -54,6 +54,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
+# the ONE storage seam, shared with the WARC source: an object-store
+# deployment swaps warc._open_path and both ingestion paths follow
+from .warc import _open_path
+
 __all__ = ["MEMBER_SCHEMA", "read_tar_shards", "tar_to_corpus",
            "extract_tar_shards", "tar_shard_bytes"]
 
@@ -95,6 +99,13 @@ def iter_tar_members(fobj) -> Iterator[dict]:
             for info in tf:
                 if not info.isfile():
                     continue
+                if info.name.rpartition("/")[2].startswith("."):
+                    # WebDataset's own key split rejects leading-dot
+                    # basenames (hidden files, macOS ._AppleDouble
+                    # sidecars): they are filesystem metadata, never
+                    # samples — and their empty stem would otherwise
+                    # collapse every such member into one bogus key
+                    continue
                 key, ext = _split_key(info.name)
                 if info.size > MAX_MEMBER:
                     yield dict(shard_file=None, member_index=idx,
@@ -119,16 +130,6 @@ def iter_tar_members(fobj) -> Iterator[dict]:
         yield dict(shard_file=None, member_index=idx, key=None,
                    member_name=None, ext=None, size=None, data=None,
                    error=f"tar stream: {exc}")
-
-
-def _open_path(path: str):
-    if path.startswith("file:"):
-        path = path[5:]
-        if path.startswith("//"):
-            path = path[2:]
-            if not path.startswith("/"):
-                path = "/" + path.split("/", 1)[1]
-    return open(path, "rb")
 
 
 def _member_batches(batch_rows: int):
@@ -188,8 +189,12 @@ def tar_to_corpus(members: DataFrame,
     payload enters the probe's tier ladder. ``.json`` members are
     metadata under the convention and excluded unless
     ``include_json=True``. Deterministic ``doc_id``/``media_ref`` (sha
-    of shard#key / shard#member), so re-ingesting a shard is idempotent
-    for lineage/resume."""
+    of shard#key / shard#member#index), so re-ingesting a shard is
+    idempotent for lineage/resume. A member name repeated within one
+    shard (legal — ``tar --append``/``--update`` layering) resolves
+    LAST-occurrence-wins, the same rule ``tar -x`` applies; the
+    superseded payload stays in ``media`` unreferenced and drops out of
+    the extraction span⋈payload join."""
     kept = members.filter(
         F.col("error").isNull() & F.col("data").isNotNull()
         & F.col("key").isNotNull()
@@ -201,14 +206,26 @@ def tar_to_corpus(members: DataFrame,
         )
     doc_id = F.concat(F.lit("tar:"), F.sha2(
         F.concat_ws("#", "shard_file", "key"), 256))
+    # member_index is part of the ref so duplicate names hash to
+    # DISTINCT refs — otherwise two payload versions would share one
+    # ref and the downstream equi-join would cross-multiply them
     media_ref = F.concat(F.lit("tarm:"), F.sha2(
-        F.concat_ws("#", "shard_file", "key", "member_name"), 256))
+        F.concat_ws("#", "shard_file", "key", "member_name",
+                    F.col("member_index").cast("string")), 256))
     kept = kept.select(
         doc_id.alias("doc_id"), media_ref.alias("media_ref"),
         "member_index", "member_name", "data",
     )
+    # last-wins on duplicate member names: metadata-only rows shuffle
+    # here (the bytes-carrying frame never re-partitions for this)
+    parts_src = (
+        kept.select("doc_id", "member_name", "member_index", "media_ref")
+        .groupBy("doc_id", "member_name")
+        .agg(F.max("member_index").alias("member_index"),
+             F.max_by("media_ref", "member_index").alias("media_ref"))
+    )
     documents = (
-        kept.groupBy("doc_id")
+        parts_src.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct(
             "member_index", "media_ref"))).alias("parts"))
         .select(

@@ -136,3 +136,30 @@ def test_annotate_matches_table_operator_semantics(spark, shard_dir):
         assert r["quality_fxp4"] == q[doc_id][1], doc_id
         assert r["n_tokens"] == t[doc_id][1], doc_id
         assert r["pred_lang"] == lg[doc_id][1], doc_id
+
+
+def test_dedup_normalization_matches_table_operator(spark):
+    # the pipeline leg must use dedup_exact's token-normalized
+    # fingerprint, not raw-byte sha: case/punctuation/whitespace
+    # variants of one document collapse on BOTH paths
+    df = spark.createDataFrame(
+        [("b", "The quick fox."), ("a", "the  quick fox"),
+         ("c", "a different document")],
+        "doc_id string, text string",
+    )
+    got = sorted(r["doc_id"]
+                 for r in pipelines.dedup_exact_text(df).collect())
+    assert got == ["a", "c"]
+
+
+def test_annotate_preserves_caller_t_column(spark):
+    # the advertised contract is "any (doc_id, text, ...) frame" — a
+    # caller's own column named like an internal scratch column must
+    # survive untouched
+    df = spark.createDataFrame(
+        [("d1", "plain english words here", "keep-me")],
+        "doc_id string, text string, t string",
+    )
+    [row] = pipelines.annotate_documents(df).collect()
+    assert row["t"] == "keep-me"
+    assert row["n_tokens"] == 4

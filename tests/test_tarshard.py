@@ -170,3 +170,52 @@ def test_doc_ids_deterministic_across_reingest(spark, shard_corpus):
         tarshard.read_tar_shards(spark, d))[0].collect())
     assert ids1 == ids2 and len(set(ids1)) == len(ids1)
     assert all(i.startswith("tar:") for i in ids1)
+
+
+def test_hidden_dotfile_members_skip():
+    # WebDataset's key rule: leading-dot basenames are filesystem
+    # metadata (macOS ._AppleDouble sidecars, .hidden configs), never
+    # samples — and their empty stem must not collapse into one key
+    import tarfile as tarmod
+
+    buf = io.BytesIO()
+    with tarmod.open(fileobj=buf, mode="w") as tf:
+        for name, payload in [("._000001.jpg", b"\x00\x05\x16\x07junk"),
+                              (".hidden", b"secret"),
+                              ("d/._000002.txt", b"sidecar"),
+                              ("000001.txt", b"real content")]:
+            info = tarmod.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    buf.seek(0)
+    rows = list(tarshard.iter_tar_members(buf))
+    assert [r["member_name"] for r in rows] == ["000001.txt"]
+
+
+def test_duplicate_member_name_last_wins(spark, tmp_path):
+    # tar --append/--update layering: the same member name twice in one
+    # shard. ``tar -x`` keeps the last; so do we — one span, pointing
+    # at the LAST payload, and the extraction join must not multiply.
+    import tarfile as tarmod
+
+    buf = io.BytesIO()
+    with tarmod.open(fileobj=buf, mode="w") as tf:
+        for payload in [b"old version", b"new version"]:
+            info = tarmod.TarInfo(name="000001.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    (tmp_path / "dup.tar").write_bytes(buf.getvalue())
+    members = tarshard.read_tar_shards(spark, str(tmp_path))
+    docs, media = tarshard.tar_to_corpus(members)
+    [doc] = docs.collect()
+    assert len(doc["spans"]) == 1
+    media_rows = {r["media_ref"]: bytes(r["data"])
+                  for r in media.collect()}
+    # distinct refs per occurrence; the span references the last one
+    assert len(media_rows) == 2
+    assert media_rows[doc["spans"][0]["media_ref"]] == b"new version"
+    # end-to-end: exactly one extracted text span, from the new payload
+    out = extract_real.extract_real_documents(docs, media).collect()
+    texts = [s["text"] for r in out for s in r["spans"]
+             if s["text"] is not None]
+    assert texts == ["new version"]
