@@ -59,7 +59,7 @@ def sniff_kind(raw: bytes) -> str:
     """Byte-level content sniffing (the reference dispatches on
     content-type/extension, ``ocr_tasks.py:36-39``; serving sniffs magic
     bytes). Returns one of ``spdf | simg | pdf | png | jpeg | tiff |
-    gif | bmp | zip | rtf | html | unknown`` —
+    gif | bmp | zip | rtf | html | wav | avi | unknown`` —
     ``pdf``/``png``/``jpeg``/``tiff``/``gif``/``bmp``
     are REAL codecs
     handled by the optional
@@ -94,6 +94,15 @@ def sniff_kind(raw: bytes) -> str:
         return "zip"
     if raw.startswith(MAGIC_REAL_RTF):
         return "rtf"
+    # RIFF containers dispatch on the form tag at bytes 8-12: WAV audio
+    # and AVI video are first-class multimodal kinds (audio features /
+    # frame sampling); other RIFF forms (WEBP, CDR, ...) stay unknown
+    if raw.startswith(b"RIFF") and len(raw) >= 12:
+        form = raw[8:12]
+        if form == b"WAVE":
+            return "wav"
+        if form == b"AVI ":
+            return "avi"
     # HTML has no magic number: sniff a leading doctype/<html> tag after
     # an optional UTF-8 BOM + whitespace (the pragmatic browser rule)
     head = raw[3:64] if raw.startswith(b"\xef\xbb\xbf") else raw[:64]
@@ -166,6 +175,12 @@ def decode_media(raw: bytes) -> tuple[str, list[PageDesc]]:
             raise ValueError(
                 "HTML payload: reflowable text has no page rasters — "
                 "extract with ocr_platform_spark.htmltext"
+            )
+        if sniffed in ("wav", "avi"):
+            raise ValueError(
+                f"{sniffed} payload: audio/video has no page rasters — "
+                "use ocr_platform_spark.multimodal.audio_features / "
+                "video_frame_features"
             )
         raise ValueError(f"unknown media magic {magic!r}")
     doc = json.loads(zlib.decompress(body).decode("utf-8"))

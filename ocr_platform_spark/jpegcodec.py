@@ -1053,6 +1053,9 @@ def validate_jpeg(raw: bytes) -> tuple[int, int]:
         seg = raw[pos + 2:pos + seglen]
         pos += seglen
         if marker in (0xC0, 0xC1, 0xC2):
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ValueError(
+                    "JPEG SOF segment shorter than its component table")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")

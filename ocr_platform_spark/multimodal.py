@@ -172,6 +172,11 @@ def decode_real_media(raw: bytes) -> tuple[str, list[np.ndarray]]:
             "(operators/extract_real dispatches on the probe-refined "
             "kind)"
         )
+    if kind in ("wav", "avi"):
+        raise ValueError(
+            f"{kind}: audio/video payloads have no OCR raster pages — "
+            "route to multimodal.audio_features / video_frame_features"
+        )
     raise ValueError(f"unknown media magic {raw[:5]!r}")
 
 
@@ -416,6 +421,31 @@ def probe_real_media(
             n, w, h = rtftext.validate_rtf(raw)
             return "rtf", n, w, h
         return "rtf", 1, 0, 0
+    if kind == "wav":
+        from . import audiocodec
+
+        # audio is a first-class MULTIMODAL kind but has no text tier:
+        # the deep probe (the OCR extraction pre-flight) refuses it so
+        # extraction quarantines with a typed triage reason, while the
+        # shallow metadata pass reports it — route audio payloads to
+        # multimodal.audio_metadata / audio_features instead
+        if deep:
+            raise ValueError(
+                "wav: audio payload has no text tier — route to "
+                "multimodal.audio_features")
+        audiocodec.probe_wav(raw)  # full header-walk validation
+        return "wav", 1, 0, 0
+    if kind == "avi":
+        from . import avicodec
+
+        # same split for video: frames are sampleable media
+        # (multimodal.video_frame_features), never OCR text pages
+        if deep:
+            raise ValueError(
+                "avi: video payload has no text tier — route to "
+                "multimodal.video_frame_features")
+        n, w, h = avicodec.probe_avi(raw, deep=False)
+        return "avi", n, w, h
     # XML tier — leading markup that is not HTML (feeds, sitemaps,
     # SVG, data exports): the strict whole-document parse is the gate,
     # so truncated markup still quarantines exactly as it did when the
@@ -598,3 +628,318 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     return media.select("media_ref", "data").mapInPandas(
         _sample, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+# --- audio (WAV) and video (AVI) operators -----------------------------------
+
+AUDIO_META_SCHEMA = (
+    "media_ref string, n_frames bigint, sample_rate int, channels int, "
+    "bits int, duration_ms bigint"
+)
+AUDIO_FEATURE_SCHEMA = (
+    "media_ref string, window_index int, n_samples int, rms_fxp6 bigint, "
+    "peak_fxp6 bigint, n_zero_cross int"
+)
+VIDEO_FEATURE_SCHEMA = (
+    "media_ref string, frame_index int, width int, height int, "
+    "mean_luma_fxp6 bigint"
+)
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Header-only typed metadata for WAV payloads: the audio analog of
+    :func:`real_media_metadata` — full chunk-walk validation, zero
+    sample bytes touched (``duration_ms = n_frames * 1000 // rate``,
+    integer math both engines reproduce exactly). Non-WAV / malformed
+    payloads are skipped (they already triage through
+    ``real_media_metadata``'s kind/error row)."""
+    from . import audiocodec
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_ref", "n_frames", "sample_rate", "channels",
+                "bits", "duration_ms"]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for ref, raw in zip(pdf["media_ref"], pdf["data"]):
+                try:
+                    n, rate, ch, bits = audiocodec.probe_wav(bytes(raw))
+                except Exception:
+                    continue
+                out["media_ref"].append(ref)
+                out["n_frames"].append(n)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["bits"].append(bits)
+                out["duration_ms"].append(n * 1000 // rate)
+            res = pd.DataFrame(out)
+            for c in ("sample_rate", "channels", "bits"):
+                res[c] = res[c].astype("int32")
+            for c in ("n_frames", "duration_ms"):
+                res[c] = res[c].astype("int64")
+            yield res
+
+    return media.select("media_ref", "data").mapInPandas(
+        _meta, schema=AUDIO_META_SCHEMA
+    )
+
+
+def audio_features(media: DataFrame, window_frames: int = 400) -> DataFrame:
+    """Windowed audio features over WAV payloads: per non-overlapping
+    ``window_frames`` window of the mono mix (channel mean) — RMS,
+    peak ``|x|``, and strict zero crossings (``x[i-1]*x[i] < 0``). The
+    speech-corpus curation primitives (silence / clipping / activity
+    detection) as one narrow ``mapInPandas`` — binary in, hashable
+    scalars out, no shuffle. A trailing partial window is emitted with
+    its actual ``n_samples``. Malformed payloads are skipped
+    (quarantine posture of :func:`page_features`).
+
+    Exactness note: RMS/peak of ``k/2^(bits-1)``-amplitude inputs are
+    exact in float64 (integer-valued partial sums), which is what lets
+    the DuckDB gate pin this operator with closed-form oracle SQL.
+    """
+    from . import audiocodec
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                c: [] for c in ("media_ref", "window_index", "n_samples",
+                                "rms_fxp6", "peak_fxp6", "n_zero_cross")}
+            for ref, raw in zip(pdf["media_ref"], pdf["data"]):
+                try:
+                    _rate, samples = audiocodec.decode_wav(bytes(raw))
+                except Exception:
+                    continue
+                mono = samples.mean(axis=1)
+                for wi in range(0, len(mono), window_frames):
+                    w = mono[wi:wi + window_frames]
+                    out["media_ref"].append(ref)
+                    out["window_index"].append(wi // window_frames)
+                    out["n_samples"].append(len(w))
+                    out["rms_fxp6"].append(
+                        _fxp6(float(np.sqrt(np.dot(w, w) / len(w)))))
+                    out["peak_fxp6"].append(
+                        _fxp6(float(np.max(np.abs(w)))))
+                    out["n_zero_cross"].append(
+                        int(np.count_nonzero(w[1:] * w[:-1] < 0)))
+            res = pd.DataFrame(out)
+            for c in ("window_index", "n_samples", "n_zero_cross"):
+                res[c] = res[c].astype("int32")
+            for c in ("rms_fxp6", "peak_fxp6"):
+                res[c] = res[c].astype("int64")
+            yield res
+
+    return media.select("media_ref", "data").mapInPandas(
+        _feats, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def video_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampling over AVI payloads: decode every ``every``-th
+    frame (MJPEG via :mod:`.jpegcodec`, raw DIB directly) and emit its
+    dimensions + mean luma (ITU-R BT.601 weights over the CHANNEL
+    means — linearity makes that equal to per-pixel mean luma while
+    keeping the float64 arithmetic exact for the oracle's closed
+    forms). One container parse per payload
+    (:func:`.avicodec.iter_frames`), one decoded frame in memory at a
+    time. Malformed payloads are skipped."""
+    from . import avicodec
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                c: [] for c in ("media_ref", "frame_index", "width",
+                                "height", "mean_luma_fxp6")}
+            for ref, raw in zip(pdf["media_ref"], pdf["data"]):
+                try:
+                    for i, frame in avicodec.iter_frames(bytes(raw),
+                                                         every):
+                        h, w, _ = frame.shape
+                        mr = float(np.mean(frame[:, :, 0], dtype=np.float64))
+                        mg = float(np.mean(frame[:, :, 1], dtype=np.float64))
+                        mb = float(np.mean(frame[:, :, 2], dtype=np.float64))
+                        luma = (0.299 * mr + 0.587 * mg + 0.114 * mb) / 255.0
+                        out["media_ref"].append(ref)
+                        out["frame_index"].append(i)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["mean_luma_fxp6"].append(_fxp6(luma))
+                except Exception:
+                    continue
+            res = pd.DataFrame(out)
+            for c in ("frame_index", "width", "height"):
+                res[c] = res[c].astype("int32")
+            res["mean_luma_fxp6"] = res["mean_luma_fxp6"].astype("int64")
+            yield res
+
+    return media.select("media_ref", "data").mapInPandas(
+        _feats, schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
+# --- audio/video driver-contract queries (closed-form oracle SQL) -------------
+#
+# The gate cannot decode WAV/AVI in DuckDB, so these queries SYNTHESIZE
+# the payloads deterministically from documents-table scalars inside the
+# Spark plan (a mapInPandas stage running the real encoders), run the
+# real decode+feature operators over them, and pin the results against
+# CLOSED-FORM oracle SQL: a square wave of amplitude k/2^15 has
+# rms == peak == k/2^15 EXACTLY in float64 (integer-valued partial
+# sums; see audio_features), and a solid-color frame's channel means
+# are its color exactly — so the full encode -> decode -> window ->
+# feature path is value-pinned end-to-end, not rows-only.
+
+_AUDIO_Q_DOCS = 200
+_AUDIO_Q_WINDOW = 400
+_AUDIO_Q_RATE = 16000
+
+
+def _audio_params(spark, sf_dir: str):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").orderBy("doc_id").limit(_AUDIO_Q_DOCS)
+    )
+    return docs.select(
+        "doc_id",
+        (F.lit(1000) + (F.col("doc_id") * 37) % 20000).alias("amp_int"),
+        F.when(F.col("doc_id") % 3 == 0, 20)
+         .when(F.col("doc_id") % 3 == 1, 40)
+         .otherwise(80).alias("hp"),
+        (F.lit(2) + F.col("doc_id") % 3).alias("n_win"),
+    )
+
+
+def _synth_wav_frame(params):
+    """(doc_id, amp_int, hp, n_win) -> (media_ref, data) WAV payloads:
+    16-bit mono square wave, amplitude amp_int/2^15, half-period hp,
+    n_win * window frames at 16 kHz."""
+    from . import audiocodec
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, payloads = [], []
+            for doc_id, amp_int, hp, n_win in zip(
+                pdf["doc_id"], pdf["amp_int"], pdf["hp"], pdf["n_win"]
+            ):
+                n = int(n_win) * _AUDIO_Q_WINDOW
+                i = np.arange(n)
+                sign = 1.0 - 2.0 * ((i // int(hp)) % 2)
+                s = sign * (int(amp_int) / 32768.0)
+                refs.append(str(int(doc_id)))
+                payloads.append(audiocodec.encode_wav(
+                    s, _AUDIO_Q_RATE, bits=16))
+            yield pd.DataFrame({"media_ref": refs, "data": payloads})
+
+    return params.mapInPandas(_synth, schema="media_ref string, data binary")
+
+
+def audio_features_q(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: synthetic square-wave WAVs through the
+    real encode -> decode -> windowed-feature path."""
+    media = _synth_wav_frame(_audio_params(spark, sf_dir))
+    feats = audio_features(media, window_frames=_AUDIO_Q_WINDOW)
+    return feats.select(
+        F.col("media_ref").cast("long").alias("doc_id"),
+        "window_index", "n_samples", "rms_fxp6", "peak_fxp6",
+        "n_zero_cross",
+    )
+
+
+AUDIO_FEATURES_SQL = f"""
+WITH params AS (
+  SELECT doc_id,
+         1000 + (doc_id * 37) % 20000 AS amp_int,
+         CASE doc_id % 3 WHEN 0 THEN 20 WHEN 1 THEN 40 ELSE 80 END AS hp,
+         2 + (doc_id % 3) AS n_win
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_AUDIO_Q_DOCS})
+), wins AS (SELECT unnest(range(4)) AS w)
+SELECT p.doc_id,
+       CAST(w.w AS INT) AS window_index,
+       CAST({_AUDIO_Q_WINDOW} AS INT) AS n_samples,
+       CAST(floor(CAST(p.amp_int AS DOUBLE) / 32768.0 * 1000000 + 0.5)
+            AS BIGINT) AS rms_fxp6,
+       CAST(floor(CAST(p.amp_int AS DOUBLE) / 32768.0 * 1000000 + 0.5)
+            AS BIGINT) AS peak_fxp6,
+       CAST({_AUDIO_Q_WINDOW} / p.hp - 1 AS INT) AS n_zero_cross
+FROM params p JOIN wins w ON w.w < p.n_win
+"""
+
+
+def audio_metadata_q(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: header-only WAV metadata over the same
+    synthetic payloads."""
+    media = _synth_wav_frame(_audio_params(spark, sf_dir))
+    return audio_metadata(media).select(
+        F.col("media_ref").cast("long").alias("doc_id"),
+        "n_frames", "sample_rate", "channels", "bits", "duration_ms",
+    )
+
+
+AUDIO_METADATA_SQL = f"""
+SELECT doc_id,
+       CAST((2 + doc_id % 3) * {_AUDIO_Q_WINDOW} AS BIGINT) AS n_frames,
+       CAST({_AUDIO_Q_RATE} AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       CAST(16 AS INT) AS bits,
+       CAST((2 + doc_id % 3) * {_AUDIO_Q_WINDOW} * 1000
+            // {_AUDIO_Q_RATE} AS BIGINT) AS duration_ms
+FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_AUDIO_Q_DOCS})
+"""
+
+_VIDEO_Q_DOCS = 120
+_VIDEO_Q_W = 32
+_VIDEO_Q_H = 24
+
+
+def video_frame_luma_q(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: synthetic solid-color DIB AVIs through the
+    real container parse + every-2nd-frame decode + mean-luma path."""
+    from . import avicodec
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").orderBy("doc_id").limit(_VIDEO_Q_DOCS)
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = []
+                for i in range(2 + d % 3):
+                    rgb = ((d * 13 + 29 * i) % 256,
+                           (d * 7 + 17 * i) % 256,
+                           (d * 3 + 11 * i) % 256)
+                    f = np.empty((_VIDEO_Q_H, _VIDEO_Q_W, 3), np.uint8)
+                    f[:, :] = rgb
+                    frames.append(f)
+                refs.append(str(d))
+                payloads.append(avicodec.encode_avi(frames, codec="dib"))
+            yield pd.DataFrame({"media_ref": refs, "data": payloads})
+
+    media = docs.mapInPandas(_synth, schema="media_ref string, data binary")
+    feats = video_frame_features(media, every=2)
+    return feats.select(
+        F.col("media_ref").cast("long").alias("doc_id"),
+        "frame_index", "width", "height", "mean_luma_fxp6",
+    )
+
+
+VIDEO_FRAME_LUMA_SQL = f"""
+WITH frames AS (
+  SELECT doc_id, CAST(w.w AS INT) AS frame_index,
+         (doc_id * 13 + 29 * w.w) % 256 AS r,
+         (doc_id * 7 + 17 * w.w) % 256 AS g,
+         (doc_id * 3 + 11 * w.w) % 256 AS b
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_VIDEO_Q_DOCS}),
+       (SELECT unnest(range(4)) AS w) w
+  WHERE w.w < 2 + (doc_id % 3) AND w.w % 2 = 0
+)
+SELECT doc_id, frame_index,
+       CAST({_VIDEO_Q_W} AS INT) AS width,
+       CAST({_VIDEO_Q_H} AS INT) AS height,
+       CAST(floor((0.299::DOUBLE * r + 0.587::DOUBLE * g
+                   + 0.114::DOUBLE * b) / 255.0 * 1000000 + 0.5)
+            AS BIGINT) AS mean_luma_fxp6
+FROM frames
+"""

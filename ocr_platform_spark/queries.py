@@ -820,6 +820,21 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
         html_extract.html_main_blocks,
         html_extract.HTML_MAIN_BLOCKS_SQL,
     ),
+    # audio/video multimodal tier (round 4): same demotion policy — the
+    # 50-entry gate cap is immovable, so these land past-cap; each is
+    # FULLY oracle-backed (closed-form SQL pinning the real
+    # encode->decode->feature path; multimodal.py "audio/video
+    # driver-contract queries") and verified by tools/check_oracle.py +
+    # pytest (test_audio_video.py)
+    "audio_metadata": (
+        multimodal.audio_metadata_q, multimodal.AUDIO_METADATA_SQL,
+    ),
+    "audio_features": (
+        multimodal.audio_features_q, multimodal.AUDIO_FEATURES_SQL,
+    ),
+    "video_frame_luma": (
+        multimodal.video_frame_luma_q, multimodal.VIDEO_FRAME_LUMA_SQL,
+    ),
     "extract_spans": (extract_spans, None),
     "extract_detect_boxes": (extract_detect_boxes, None),
     "extract_two_phase": (extract_two_phase, None),

@@ -38,6 +38,7 @@ GATED = [
 PAST_CAP = [
     "simhash_pairs", "embedding_near_dup", "ann_recall",
     "html_main_blocks",
+    "audio_metadata", "audio_features", "video_frame_luma",
     "extract_spans", "extract_detect_boxes", "extract_two_phase",
     "extract_fused", "media_quarantine", "media_metadata",
     "page_features", "frame_sample",
@@ -46,9 +47,13 @@ PAST_CAP = [
 # html_main_blocks (round 4) follows the same policy: derivative of the
 # in-cap html_text/html_main_content siblings, pytest-pinned end-to-end
 # in test_extract_html.py, oracle-verified by tools/check_oracle.py.
+# The audio/video tier (round 4) likewise: the gate cap is immovable,
+# so the three closed-form-oracle queries land past-cap, pytest-pinned
+# in test_audio_video.py and verified by tools/check_oracle.py.
 DEMOTED_SQL_BACKED = {
     "simhash_pairs", "embedding_near_dup", "ann_recall",
     "html_main_blocks",
+    "audio_metadata", "audio_features", "video_frame_luma",
 }
 
 
