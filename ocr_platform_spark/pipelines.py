@@ -44,7 +44,7 @@ from .functions.textstats import _LANG_ORDER, LANG_MARKERS, STOPWORDS
 
 __all__ = ["spans_to_documents", "annotate_documents",
            "dedup_exact_text", "curate_documents",
-           "crawl_to_training_corpus"]
+           "crawl_to_training_corpus", "speech_corpus"]
 
 
 def spans_to_documents(extracted: DataFrame) -> DataFrame:
@@ -176,3 +176,51 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
     if not curate:
         return docs_text
     return curate_documents(docs_text, **curate_kw)
+
+
+def speech_corpus(spark: SparkSession, paths: str,
+                  **extract_kw) -> DataFrame:
+    """WebDataset speech shards -> the ASR-training corpus shape.
+
+    The canonical speech shard pairs an audio member with its
+    transcript (``000001.wav`` + ``000001.txt``). This composition
+    lands both sides of the pair in one declarative plan:
+
+    * transcripts flow through the tier-extraction pipeline (text
+      members extract; the audio members quarantine there by design —
+      the probe's typed no-text-tier refusal) and fold to per-sample
+      reading-order text via :func:`spans_to_documents`;
+    * the SAME media frame feeds :func:`..multimodal.audio_metadata`
+      (header-only — no sample bytes inflate for the metadata pass),
+      aggregated per sample for pairs shipping audio in several parts.
+
+    Output: ``(doc_id, text, n_spans, duration_ms, sample_rate,
+    channels)`` — transcript plus the duration/rate facts an ASR
+    training budget needs. Samples with no decodable audio keep NULL
+    audio columns (left join), so transcript-only members still
+    surface for triage instead of vanishing.
+
+    Plan shape: ingestion + extraction are the mapInPandas stages; the
+    pair join is a narrow (doc_id)-keyed join of metadata-sized rows.
+    """
+    from .multimodal import audio_metadata
+    from .sources.tarshard import read_tar_shards, tar_to_corpus
+
+    members = read_tar_shards(spark, paths)
+    documents, media = tar_to_corpus(members)
+    from .operators.extract_real import extract_real_documents
+
+    extracted = extract_real_documents(documents, media, **extract_kw)
+    docs_text = spans_to_documents(extracted)
+    ref_to_doc = documents.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    audio = (
+        audio_metadata(media)
+        .join(ref_to_doc, "media_ref")
+        .groupBy("doc_id")
+        .agg(F.sum("duration_ms").alias("duration_ms"),
+             F.max("sample_rate").alias("sample_rate"),
+             F.max("channels").alias("channels"))
+    )
+    return docs_text.join(audio, "doc_id", "left")

@@ -163,3 +163,39 @@ def test_annotate_preserves_caller_t_column(spark):
     [row] = pipelines.annotate_documents(df).collect()
     assert row["t"] == "keep-me"
     assert row["n_tokens"] == 4
+
+
+def test_speech_corpus_pairs_transcripts_with_audio(spark, tmp_path):
+    # the canonical WebDataset speech shard: NNNN.wav + NNNN.txt pairs.
+    # Transcripts extract through the text tier; audio quarantines in
+    # extraction (typed no-text-tier) but its header metadata joins
+    # back per sample.
+    import numpy as np
+
+    from ocr_platform_spark import audiocodec
+    from ocr_platform_spark.sources import tarshard
+
+    def wav(n_frames, rate):
+        return audiocodec.encode_wav(
+            np.zeros((n_frames, 1)), rate, bits=16)
+
+    samples = {
+        "000001": {"txt": b"hello spoken world\n",
+                   "wav": wav(8000, 16000)},      # 500 ms
+        "000002": {"txt": b"second utterance here\n",
+                   "wav": wav(4000, 8000)},       # 500 ms at 8 kHz
+        "000003": {"txt": b"transcript with no audio\n"},
+    }
+    (tmp_path / "speech-000.tar").write_bytes(
+        tarshard.tar_shard_bytes(samples))
+    out = {r["text"]: r for r in pipelines.speech_corpus(
+        spark, str(tmp_path)).collect()}
+    assert set(out) == {"hello spoken world", "second utterance here",
+                       "transcript with no audio"}
+    r1 = out["hello spoken world"]
+    assert (r1["duration_ms"], r1["sample_rate"], r1["channels"]) == \
+        (500, 16000, 1)
+    r2 = out["second utterance here"]
+    assert (r2["duration_ms"], r2["sample_rate"]) == (500, 8000)
+    r3 = out["transcript with no audio"]
+    assert r3["duration_ms"] is None and r3["sample_rate"] is None
