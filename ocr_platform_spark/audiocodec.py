@@ -60,10 +60,24 @@ _LAYOUTS = {
 }
 
 
+def iter_riff(raw: bytes, off: int, end: int):
+    """Walk a RIFF chunk run in ``raw[off:end]`` ->
+    ``(fourcc, payload_offset, size)``. Sizes are validated against the
+    span; odd sizes advance by the spec's pad byte. The ONE
+    bounds-checked RIFF walker — :mod:`.avicodec` shares it."""
+    while off + 8 <= end:
+        fourcc = raw[off:off + 4]
+        size = struct.unpack_from("<I", raw, off + 4)[0]
+        if off + 8 + size > end:
+            raise ValueError(
+                f"RIFF truncated inside {fourcc!r} chunk")
+        yield fourcc, off + 8, size
+        off += 8 + size + (size & 1)
+
+
 def _chunks(raw: bytes):
-    """Walk the RIFF chunk list -> ``(fourcc, payload_offset, size)``.
-    Sizes are validated against the payload; odd sizes advance by the
-    spec's pad byte."""
+    """WAV-form chunk walk: RIFF/WAVE magic + size validation, then
+    :func:`iter_riff` over the chunk run."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE magic")
     riff_size = struct.unpack_from("<I", raw, 4)[0]
@@ -71,16 +85,7 @@ def _chunks(raw: bytes):
     # garbage after it (common in the wild) but never a SHORT payload
     if riff_size + 8 > len(raw):
         raise ValueError("WAV truncated: RIFF size exceeds payload")
-    end = 8 + riff_size
-    off = 12
-    while off + 8 <= end:
-        fourcc = raw[off:off + 4]
-        size = struct.unpack_from("<I", raw, off + 4)[0]
-        if off + 8 + size > end:
-            raise ValueError(
-                f"WAV truncated inside {fourcc!r} chunk")
-        yield fourcc, off + 8, size
-        off += 8 + size + (size & 1)
+    yield from iter_riff(raw, 12, 8 + riff_size)
 
 
 def _parse(raw: bytes) -> dict:
@@ -118,8 +123,9 @@ def _parse(raw: bytes) -> dict:
             f"{fmt['bits']}-bit")
     if not 1 <= fmt["channels"] <= 64:
         raise ValueError(f"unsupported channel count {fmt['channels']}")
-    if fmt["rate"] < 1:
-        raise ValueError("WAV sample rate must be positive")
+    if not 1 <= fmt["rate"] <= 0x7FFFFFFF:
+        raise ValueError(
+            f"WAV sample rate {fmt['rate']} outside 1..2^31-1")
     expect_block = fmt["channels"] * (fmt["bits"] // 8)
     if fmt["block"] != expect_block:
         raise ValueError(
@@ -199,6 +205,10 @@ def encode_wav(samples: np.ndarray, rate: int, bits: int = 16,
     else:
         data = s.astype(dt).tobytes()
     block = ch * (bits // 8)
+    if not 1 <= rate <= 0x7FFFFFFF or rate * block > 0xFFFFFFFF:
+        raise ValueError(
+            f"sample rate {rate} (byte rate {rate * block}) does not "
+            f"fit the WAV header fields")
     hdr = struct.pack("<HHIIHH", fmt, ch, rate, rate * block, block,
                       bits)
     chunks = b"".join((

@@ -31,6 +31,7 @@ import struct
 import numpy as np
 
 from . import jpegcodec
+from .audiocodec import iter_riff as _chunks
 
 #: per-frame pixel cap (matches the image codecs' allocation guard)
 MAX_PIXELS = 1 << 28
@@ -38,18 +39,6 @@ MAX_PIXELS = 1 << 28
 
 def _u32(raw: bytes, off: int) -> int:
     return struct.unpack_from("<I", raw, off)[0]
-
-
-def _chunks(raw: bytes, off: int, end: int):
-    """Walk a RIFF chunk run in ``raw[off:end]`` ->
-    ``(fourcc, payload_off, size)`` with bounds + even padding."""
-    while off + 8 <= end:
-        fourcc = raw[off:off + 4]
-        size = _u32(raw, off + 4)
-        if off + 8 + size > end:
-            raise ValueError(f"AVI truncated inside {fourcc!r} chunk")
-        yield fourcc, off + 8, size
-        off += 8 + size + (size & 1)
 
 
 def _parse(raw: bytes, deep: bool) -> dict:

@@ -699,6 +699,35 @@ def audio_features(media: DataFrame, window_frames: int = 400) -> DataFrame:
     """
     from . import audiocodec
 
+    if window_frames < 1:
+        raise ValueError("window_frames must be >= 1")
+
+    def _payload_windows(mono: np.ndarray) -> dict[str, np.ndarray]:
+        """Vectorized per-window features: full windows as one
+        (n_full, W) reshape with axis-1 reductions (the hot path stays
+        in numpy kernels, not the interpreter), trailing partial
+        appended separately. Window semantics are unchanged: a
+        crossing between samples j and j+1 counts for the window
+        containing BOTH (never the boundary pair)."""
+        n = len(mono)
+        n_full, tail = divmod(n, window_frames)
+        full = mono[:n_full * window_frames].reshape(
+            n_full, window_frames)
+        rms = np.sqrt(np.einsum("ij,ij->i", full, full)
+                      / window_frames)
+        peak = np.abs(full).max(axis=1, initial=0.0)
+        j = np.nonzero(mono[:-1] * mono[1:] < 0)[0]
+        j = j[(j % window_frames) != window_frames - 1]
+        zc = np.bincount(j // window_frames,
+                         minlength=n_full + (1 if tail else 0))
+        n_samples = np.full(n_full + (1 if tail else 0), window_frames)
+        if tail:
+            w = mono[n_full * window_frames:]
+            rms = np.append(rms, np.sqrt(np.dot(w, w) / tail))
+            peak = np.append(peak, np.max(np.abs(w)))
+            n_samples[-1] = tail
+        return dict(rms=rms, peak=peak, zc=zc, n_samples=n_samples)
+
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
@@ -709,18 +738,16 @@ def audio_features(media: DataFrame, window_frames: int = 400) -> DataFrame:
                     _rate, samples = audiocodec.decode_wav(bytes(raw))
                 except Exception:
                     continue
-                mono = samples.mean(axis=1)
-                for wi in range(0, len(mono), window_frames):
-                    w = mono[wi:wi + window_frames]
-                    out["media_ref"].append(ref)
-                    out["window_index"].append(wi // window_frames)
-                    out["n_samples"].append(len(w))
-                    out["rms_fxp6"].append(
-                        _fxp6(float(np.sqrt(np.dot(w, w) / len(w)))))
-                    out["peak_fxp6"].append(
-                        _fxp6(float(np.max(np.abs(w)))))
-                    out["n_zero_cross"].append(
-                        int(np.count_nonzero(w[1:] * w[:-1] < 0)))
+                f = _payload_windows(samples.mean(axis=1))
+                n_win = len(f["n_samples"])
+                out["media_ref"].extend([ref] * n_win)
+                out["window_index"].extend(range(n_win))
+                out["n_samples"].extend(int(x) for x in f["n_samples"])
+                out["rms_fxp6"].extend(
+                    _fxp6(float(x)) for x in f["rms"])
+                out["peak_fxp6"].extend(
+                    _fxp6(float(x)) for x in f["peak"])
+                out["n_zero_cross"].extend(int(x) for x in f["zc"])
             res = pd.DataFrame(out)
             for c in ("window_index", "n_samples", "n_zero_cross"):
                 res[c] = res[c].astype("int32")
@@ -741,8 +768,14 @@ def video_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
     keeping the float64 arithmetic exact for the oracle's closed
     forms). One container parse per payload
     (:func:`.avicodec.iter_frames`), one decoded frame in memory at a
-    time. Malformed payloads are skipped."""
+    time. Malformed payloads are skipped ALL-OR-NOTHING: a payload
+    whose shallow parse passes but whose Nth frame fails mid-decode
+    contributes no rows at all (a half-represented video would be
+    indistinguishable from a short one downstream)."""
     from . import avicodec
+
+    if every < 1:
+        raise ValueError("every must be >= 1")
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -750,6 +783,7 @@ def video_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
                 c: [] for c in ("media_ref", "frame_index", "width",
                                 "height", "mean_luma_fxp6")}
             for ref, raw in zip(pdf["media_ref"], pdf["data"]):
+                rows: list[tuple[int, int, int, int]] = []
                 try:
                     for i, frame in avicodec.iter_frames(bytes(raw),
                                                          every):
@@ -758,13 +792,15 @@ def video_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
                         mg = float(np.mean(frame[:, :, 1], dtype=np.float64))
                         mb = float(np.mean(frame[:, :, 2], dtype=np.float64))
                         luma = (0.299 * mr + 0.587 * mg + 0.114 * mb) / 255.0
-                        out["media_ref"].append(ref)
-                        out["frame_index"].append(i)
-                        out["width"].append(w)
-                        out["height"].append(h)
-                        out["mean_luma_fxp6"].append(_fxp6(luma))
+                        rows.append((i, w, h, _fxp6(luma)))
                 except Exception:
                     continue
+                for i, w, h, luma_fxp in rows:
+                    out["media_ref"].append(ref)
+                    out["frame_index"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_luma_fxp6"].append(luma_fxp)
             res = pd.DataFrame(out)
             for c in ("frame_index", "width", "height"):
                 res[c] = res[c].astype("int32")

@@ -309,3 +309,54 @@ def test_driver_query_duckdb_parity(spark, name):
     assert len(got) == len(want) and len(got) > 0
     for c in got.columns:
         assert (got[c] == want[c].astype(got[c].dtype)).all(), c
+
+
+# ---------------------------------------------------------------------------
+# review-finding regressions
+# ---------------------------------------------------------------------------
+
+
+def test_wav_rate_above_int32_refused():
+    raw = bytearray(audiocodec.encode_wav(np.zeros(16), 16000))
+    off = bytes(raw).find(b"fmt ") + 8 + 4  # rate field
+    struct.pack_into("<I", raw, off, 3_000_000_000)
+    # byte-rate field kept consistent so ONLY the rate check can fire
+    struct.pack_into("<I", raw, off + 4, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="sample rate"):
+        audiocodec.probe_wav(bytes(raw))
+
+
+def test_encode_wav_header_overflow_is_valueerror():
+    with pytest.raises(ValueError):
+        audiocodec.encode_wav(np.zeros((4, 2)), 2**31 - 1, bits=16)
+    with pytest.raises(ValueError):
+        audiocodec.encode_wav(np.zeros(4), 0)
+
+
+def test_operator_parameters_validate_driver_side(spark):
+    media = spark.createDataFrame(
+        [("m", bytearray(b"x"))], "media_ref string, data binary")
+    with pytest.raises(ValueError, match="window_frames"):
+        multimodal.audio_features(media, window_frames=0)
+    with pytest.raises(ValueError, match="every"):
+        multimodal.video_frame_features(media, every=0)
+
+
+def test_video_features_all_or_nothing_on_mid_decode_failure(spark):
+    # shallow parse passes, 2nd MJPEG frame's entropy bytes corrupt ->
+    # the payload contributes NO rows (never a half-represented video)
+    frames = [np.full((16, 16, 3), 60 * i + 20, np.uint8)
+              for i in range(3)]
+    raw = bytearray(avicodec.encode_avi(frames, codec="mjpeg"))
+    p = avicodec._parse(bytes(raw), deep=False)
+    off, size, _ = p["frames"][1]
+    raw[off + size - 30:off + size - 10] = b"\x00" * 20
+    bad = bytes(raw)
+    assert avicodec.probe_avi(bad, deep=False)[0] == 3  # shallow passes
+    good = avicodec.encode_avi(frames, codec="dib")
+    media = spark.createDataFrame(
+        [("bad", bytearray(bad)), ("good", bytearray(good))],
+        "media_ref string, data binary")
+    rows = multimodal.video_frame_features(media, every=1).collect()
+    assert {r["media_ref"] for r in rows} == {"good"}
+    assert len(rows) == 3
