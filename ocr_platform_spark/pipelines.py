@@ -150,8 +150,9 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
                              **kwargs) -> DataFrame:
     """Archives in, curated training documents out.
 
-    ``source``: ``"warc"`` (crawl archives) or ``"tar"`` (WebDataset
-    shards). Curation kwargs (``min_quality_fxp4`` / ``langs`` /
+    ``source``: ``"warc"`` (crawl archives), ``"tar"`` (WebDataset
+    shards) or ``"zip"`` (zip-archived dataset dumps). Curation kwargs
+    (``min_quality_fxp4`` / ``langs`` /
     ``min_tokens`` / ``max_tokens``) pass through
     :func:`curate_documents`; every other kwarg passes through to the
     extraction pipeline (``bucket_pages``, ``text_layer``, ...).
@@ -169,9 +170,13 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
         from .sources.tarshard import extract_tar_shards
 
         extracted = extract_tar_shards(spark, paths, **kwargs)
+    elif source == "zip":
+        from .sources.zipshard import extract_zip_shards
+
+        extracted = extract_zip_shards(spark, paths, **kwargs)
     else:
         raise ValueError(f"unknown source {source!r} "
-                         f"(expected 'warc' or 'tar')")
+                         f"(expected 'warc', 'tar' or 'zip')")
     docs_text = spans_to_documents(extracted)
     if not curate:
         return docs_text

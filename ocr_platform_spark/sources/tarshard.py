@@ -58,8 +58,8 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType,
 # deployment swaps warc._open_path and both ingestion paths follow
 from .warc import _open_path
 
-__all__ = ["MEMBER_SCHEMA", "read_tar_shards", "tar_to_corpus",
-           "extract_tar_shards", "tar_shard_bytes"]
+__all__ = ["MEMBER_SCHEMA", "read_tar_shards", "members_to_corpus",
+           "tar_to_corpus", "extract_tar_shards", "tar_shard_bytes"]
 
 MEMBER_SCHEMA = StructType([
     StructField("shard_file", StringType()),
@@ -179,22 +179,27 @@ def read_tar_shards(spark: SparkSession, paths: str,
                                schema=MEMBER_SCHEMA)
 
 
-def tar_to_corpus(members: DataFrame,
-                  include_json: bool = False
-                  ) -> tuple[DataFrame, DataFrame]:
-    """Member rows -> ``(documents, media)`` in the engine's interleaved
-    input shape. One document per (shard, key); spans in member order
-    (WebDataset writers emit a sample's members consecutively, so tar
-    order IS the author's order); every member is a media span whose
-    payload enters the probe's tier ladder. ``.json`` members are
-    metadata under the convention and excluded unless
-    ``include_json=True``. Deterministic ``doc_id``/``media_ref`` (sha
-    of shard#key / shard#member#index), so re-ingesting a shard is
-    idempotent for lineage/resume. A member name repeated within one
-    shard (legal — ``tar --append``/``--update`` layering) resolves
-    LAST-occurrence-wins, the same rule ``tar -x`` applies; the
-    superseded payload stays in ``media`` unreferenced and drops out of
-    the extraction span⋈payload join."""
+def members_to_corpus(members: DataFrame,
+                      include_json: bool = False,
+                      doc_prefix: str = "tar:",
+                      media_prefix: str = "tarm:"
+                      ) -> tuple[DataFrame, DataFrame]:
+    """Member rows (:data:`MEMBER_SCHEMA`) -> ``(documents, media)`` in
+    the engine's interleaved input shape — shared by every
+    shard-container source (tar here, zip in :mod:`.zipshard`).
+
+    One document per (shard, key); spans in member order (WebDataset
+    writers emit a sample's members consecutively, so archive order IS
+    the author's order); every member is a media span whose payload
+    enters the probe's tier ladder. ``.json`` members are metadata
+    under the convention and excluded unless ``include_json=True``.
+    Deterministic ``doc_id``/``media_ref`` (sha of shard#key /
+    shard#member#index), so re-ingesting a shard is idempotent for
+    lineage/resume. A member name repeated within one shard (legal —
+    ``tar --append``/``--update`` layering; later zip entries shadow
+    earlier ones) resolves LAST-occurrence-wins, the same rule
+    extraction tools apply; the superseded payload stays in ``media``
+    unreferenced and drops out of the extraction span⋈payload join."""
     kept = members.filter(
         F.col("error").isNull() & F.col("data").isNotNull()
         & F.col("key").isNotNull()
@@ -204,12 +209,12 @@ def tar_to_corpus(members: DataFrame,
             ~(F.col("ext") == "json")
             & ~F.col("ext").endswith(".json")
         )
-    doc_id = F.concat(F.lit("tar:"), F.sha2(
+    doc_id = F.concat(F.lit(doc_prefix), F.sha2(
         F.concat_ws("#", "shard_file", "key"), 256))
     # member_index is part of the ref so duplicate names hash to
     # DISTINCT refs — otherwise two payload versions would share one
     # ref and the downstream equi-join would cross-multiply them
-    media_ref = F.concat(F.lit("tarm:"), F.sha2(
+    media_ref = F.concat(F.lit(media_prefix), F.sha2(
         F.concat_ws("#", "shard_file", "key", "member_name",
                     F.col("member_index").cast("string")), 256))
     kept = kept.select(
@@ -248,6 +253,15 @@ def tar_to_corpus(members: DataFrame,
         F.lit(None).cast("int").alias("page_count"),
     )
     return documents, media
+
+
+def tar_to_corpus(members: DataFrame,
+                  include_json: bool = False
+                  ) -> tuple[DataFrame, DataFrame]:
+    """Tar-shard member rows -> ``(documents, media)``; see
+    :func:`members_to_corpus` for the full contract."""
+    return members_to_corpus(members, include_json=include_json,
+                             doc_prefix="tar:", media_prefix="tarm:")
 
 
 def extract_tar_shards(spark: SparkSession, paths: str,
