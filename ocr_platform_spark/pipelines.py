@@ -151,7 +151,10 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
     """Archives in, curated training documents out.
 
     ``source``: ``"warc"`` (crawl archives), ``"tar"`` (WebDataset
-    shards) or ``"zip"`` (zip-archived dataset dumps). Curation kwargs
+    shards), ``"zip"`` (zip-archived dataset dumps) or ``"jsonl"``
+    (line-delimited JSON corpora — already text, so extraction is
+    skipped and lines go straight to curation; ``text_field`` /
+    ``id_field`` kwargs pass through). Curation kwargs
     (``min_quality_fxp4`` / ``langs`` /
     ``min_tokens`` / ``max_tokens``) pass through
     :func:`curate_documents`; every other kwarg passes through to the
@@ -174,9 +177,18 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
         from .sources.zipshard import extract_zip_shards
 
         extracted = extract_zip_shards(spark, paths, **kwargs)
+    elif source == "jsonl":
+        from .sources.jsonl import jsonl_corpus
+
+        docs, _quarantine = jsonl_corpus(spark, paths, **kwargs)
+        docs_text = docs.select(
+            "doc_id", "text", F.lit(1).cast("int").alias("n_spans"))
+        if not curate:
+            return docs_text
+        return curate_documents(docs_text, **curate_kw)
     else:
         raise ValueError(f"unknown source {source!r} "
-                         f"(expected 'warc', 'tar' or 'zip')")
+                         f"(expected 'warc', 'tar', 'zip' or 'jsonl')")
     docs_text = spans_to_documents(extracted)
     if not curate:
         return docs_text

@@ -30,9 +30,9 @@ import zlib
 import numpy as np
 import pytest
 
-from ocr_platform_spark import bmpcodec, docxtext, epubtext, formats, \
-    gifcodec, jpegcodec, multimodal, odttext, pdfcodec, pngcodec, \
-    pptxtext, rtftext, tiffcodec, xlsxtext
+from ocr_platform_spark import audiocodec, avicodec, bmpcodec, \
+    docxtext, epubtext, formats, gifcodec, jpegcodec, multimodal, \
+    odttext, pdfcodec, pngcodec, pptxtext, rtftext, tiffcodec, xlsxtext
 from tests.test_pdfcodec import build_pdf, scanned_objs
 from tests.test_pdfcrypt import encrypt_pdf
 
@@ -83,6 +83,13 @@ def _fixtures() -> dict[str, bytes]:
                 b"</item></channel></rss>"),
         "json": (b'{"id": 1, "text": "alpha beta", "tags": ["x"]}\n'
                  b'{"id": 2, "text": "gamma\\ndelta"}\n'),
+        # RIFF multimodal kinds: valid payloads REFUSE the deep probe
+        # (typed no-text-tier quarantine) — mutants must hold the same
+        # ValueError contract through sniff/probe/decode
+        "wav": audiocodec.encode_wav(
+            _rng(7).integers(-128, 128, 300) / 128.0, 16000),
+        "avi": avicodec.encode_avi([_img(8, 16, 16), _img(9, 16, 16)],
+                                   codec="mjpeg"),
         # compressed transport wrappers: the seam must unwrap these
         # transparently, and mutants (corrupt members, truncations,
         # nested bombs) must hold the ValueError contract
@@ -138,10 +145,19 @@ def test_dispatch_seam_mutation_fuzz(kind):
         base, base)
     # the pristine fixture must pass the whole seam
     assert formats.sniff_kind(raw) == sniff
-    probed = multimodal.probe_real_media(raw, deep=True)
-    assert probed[0] == probe_kind and probed[1] >= 1
+    if base in ("wav", "avi"):
+        # audio/video: shallow probe reports, deep probe refuses with
+        # the typed quarantine reason — that IS the seam contract
+        shallow = multimodal.probe_real_media(raw, deep=False)
+        assert shallow[0] == base and shallow[1] >= 1
+        with pytest.raises(ValueError, match="no text tier"):
+            multimodal.probe_real_media(raw, deep=True)
+    else:
+        probed = multimodal.probe_real_media(raw, deep=True)
+        assert probed[0] == probe_kind and probed[1] >= 1
     if base not in ("html", "docx", "pptx", "xlsx", "epub", "odt",
-                    "rtf", "txt", "md", "csv", "xml", "json"):
+                    "rtf", "txt", "md", "csv", "xml", "json",
+                    "wav", "avi"):
         # reflowable text has no raster decode by design
         got_kind, pages = multimodal.decode_real_media(raw)
         assert len(pages) >= 1, got_kind
