@@ -110,6 +110,17 @@ sections.append(("Real-codec extraction (extract_real_documents)",
   " cheaper (BENCH/REAL_CODEC.json: html arm 2.53x the scanned arm).",
   plan_of(extract_real.extract_real_documents(docs_df, real_df))))
 
+from ocr_platform_spark import multimodal as _mm
+sections.append(("Audio features (audio_features over WAV payloads)",
+  "The audio/video multimodal tier's plan shape: ONE scan feeding one"
+  " MapInPandas (synth stage here, since the gate query synthesizes its"
+  " payloads) chained into the decode+window-feature MapInPandas — NO"
+  " Exchange anywhere; features of a shard never leave the task that"
+  " read it. video_frame_features compiles to the identical shape."
+  " The narrow-map posture claimed in docs/COVERAGE.md, visible in the"
+  " plan.",
+  plan_of(_mm.audio_features_q(spark, sf))))
+
 # static (non-regenerated) evidence sections, preserved across regens
 STATIC_TAIL = """
 ## Round 3: extract_documents single-scan rewrite (A/B evidence)
