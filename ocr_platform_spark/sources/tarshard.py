@@ -132,8 +132,15 @@ def iter_tar_members(fobj) -> Iterator[dict]:
                    error=f"tar stream: {exc}")
 
 
-def _member_batches(batch_rows: int):
+def member_batches(batch_rows: int, iter_members=None):
+    """The shard-reader ``mapInPandas`` body, shared by every archive
+    container source: open each listed path through the storage seam,
+    stream it with ``iter_members`` (``iter_tar_members`` here,
+    ``iter_zip_members`` in :mod:`.zipshard`), batch the member dicts.
+    An unopenable path is one ``open:`` error row."""
     cols = [f.name for f in MEMBER_SCHEMA.fields]
+    if iter_members is None:
+        iter_members = iter_tar_members
 
     def gen(frames: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for frame in frames:
@@ -149,7 +156,7 @@ def _member_batches(batch_rows: int):
                     continue
                 rows: list[dict] = []
                 with fobj:
-                    for rec in iter_tar_members(fobj):
+                    for rec in iter_members(fobj):
                         rec["shard_file"] = path
                         rows.append(rec)
                         if len(rows) >= batch_rows:
@@ -158,6 +165,9 @@ def _member_batches(batch_rows: int):
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
     return gen
+
+
+_member_batches = member_batches  # internal alias (existing callers)
 
 
 def read_tar_shards(spark: SparkSession, paths: str,

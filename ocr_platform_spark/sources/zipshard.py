@@ -35,13 +35,11 @@ from __future__ import annotations
 
 import zipfile
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from .tarshard import MAX_MEMBER, MEMBER_SCHEMA, _split_key, \
+from . import tarshard
+from .tarshard import MEMBER_SCHEMA, _split_key, member_batches, \
     members_to_corpus
-from .warc import _open_path
 
 __all__ = ["read_zip_shards", "zip_to_corpus", "extract_zip_shards",
            "zip_shard_bytes"]
@@ -69,12 +67,14 @@ def iter_zip_members(fobj):
             if info.filename.rpartition("/")[2].startswith("."):
                 continue
             key, ext = _split_key(info.filename)
-            if info.file_size > MAX_MEMBER:
+            # by-reference (tarshard.MAX_MEMBER): one knob bounds both
+            # archive sources' member allocations
+            if info.file_size > tarshard.MAX_MEMBER:
                 yield dict(shard_file=None, member_index=idx, key=key,
                            member_name=info.filename, ext=ext,
                            size=int(info.file_size), data=None,
-                           error=f"member exceeds {MAX_MEMBER}-byte "
-                                 f"cap")
+                           error=f"member exceeds "
+                                 f"{tarshard.MAX_MEMBER}-byte cap")
                 idx += 1
                 continue
             try:
@@ -92,34 +92,6 @@ def iter_zip_members(fobj):
             idx += 1
 
 
-def _member_batches(batch_rows: int):
-    cols = [f.name for f in MEMBER_SCHEMA.fields]
-
-    def gen(frames):
-        for frame in frames:
-            for path in frame["path"]:
-                try:
-                    fobj = _open_path(path)
-                except OSError as exc:
-                    yield pd.DataFrame(
-                        [dict(shard_file=path, member_index=-1,
-                              key=None, member_name=None, ext=None,
-                              size=None, data=None,
-                              error=f"open: {exc}")], columns=cols)
-                    continue
-                rows: list[dict] = []
-                with fobj:
-                    for rec in iter_zip_members(fobj):
-                        rec["shard_file"] = path
-                        rows.append(rec)
-                        if len(rows) >= batch_rows:
-                            yield pd.DataFrame(rows, columns=cols)
-                            rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-    return gen
-
-
 def read_zip_shards(spark: SparkSession, paths: str,
                     batch_rows: int = 256) -> DataFrame:
     """Shard files (glob / dir / file) -> one row per member
@@ -133,8 +105,9 @@ def read_zip_shards(spark: SparkSession, paths: str,
     )
     n_files = listing.count()
     listing = listing.repartition(max(n_files, 1))
-    return listing.mapInPandas(_member_batches(batch_rows),
-                               schema=MEMBER_SCHEMA)
+    return listing.mapInPandas(
+        member_batches(batch_rows, iter_zip_members),
+        schema=MEMBER_SCHEMA)
 
 
 def zip_to_corpus(members: DataFrame,

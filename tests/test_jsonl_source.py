@@ -95,3 +95,56 @@ def test_reused_user_id_with_different_text_keeps_both(spark, tmp_path):
     docs, _ = jsonl.jsonl_corpus(spark, str(tmp_path), id_field="id")
     rows = sorted(r["text"] for r in docs.collect())
     assert rows == ["version one", "version two"]
+
+
+def test_non_string_text_values_quarantine(spark, tmp_path):
+    # {"text": 123} / nested objects must NOT enter the corpus as
+    # coerced raw JSON — only genuine JSON string values qualify
+    _write(tmp_path, "g.jsonl", [
+        b'{"text": "a real string"}',
+        b'{"text": 123}',
+        b'{"text": {"en": "nested translation"}}',
+        b'{"text": ["a", "list"]}',
+        b'{"text": null}',
+    ])
+    docs, quar = jsonl.jsonl_corpus(spark, str(tmp_path))
+    assert [r["text"] for r in docs.collect()] == ["a real string"]
+    assert quar.count() == 4
+
+
+def test_dotted_field_names(spark, tmp_path):
+    _write(tmp_path, "h.jsonl", [
+        b'{"meta.text": "dotted field body", "meta.id": "d9"}',
+    ])
+    docs, quar = jsonl.jsonl_corpus(
+        spark, str(tmp_path), text_field="meta.text",
+        id_field="meta.id")
+    [row] = docs.collect()
+    assert (row["doc_id"], row["text"]) == ("jsonl:d9",
+                                            "dotted field body")
+    assert quar.count() == 0
+
+
+def test_numeric_ids_coerce_to_strings(spark, tmp_path):
+    _write(tmp_path, "i.jsonl", [b'{"text": "numbered doc", "id": 42}'])
+    docs, _ = jsonl.jsonl_corpus(spark, str(tmp_path), id_field="id")
+    assert [r["doc_id"] for r in docs.collect()] == ["jsonl:42"]
+
+
+def test_glob_filter_skips_non_jsonl_files(spark, tmp_path):
+    _write(tmp_path, "j.jsonl", [b'{"text": "kept document"}'])
+    (tmp_path / "README.md").write_bytes(b"# not a corpus\njust docs\n")
+    (tmp_path / "shard.zip").write_bytes(b"PK\x03\x04binary junk")
+    docs, quar = jsonl.jsonl_corpus(spark, str(tmp_path))
+    assert [r["text"] for r in docs.collect()] == ["kept document"]
+    assert quar.count() == 0
+
+
+def test_cross_file_duplicate_source_is_deterministic(spark, tmp_path):
+    # same corpus id + identical text in two shards: one survivor with
+    # the MIN source file — stable under any partitioning
+    _write(tmp_path, "b_shard.jsonl", [b'{"text": "same", "id": "d"}'])
+    _write(tmp_path, "a_shard.jsonl", [b'{"text": "same", "id": "d"}'])
+    docs, _ = jsonl.jsonl_corpus(spark, str(tmp_path), id_field="id")
+    [row] = docs.collect()
+    assert row["source"].endswith("a_shard.jsonl")

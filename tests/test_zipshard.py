@@ -89,8 +89,9 @@ def test_duplicate_member_last_wins(spark, tmp_path):
 
 
 def test_member_size_cap(monkeypatch, tmp_path):
+    # ONE knob bounds both archive sources (zipshard references
+    # tarshard.MAX_MEMBER, never a by-value copy)
     monkeypatch.setattr(tarshard, "MAX_MEMBER", 100)
-    monkeypatch.setattr(zipshard, "MAX_MEMBER", 100)
     shard = zipshard.zip_shard_bytes(
         {"big": {"txt": b"x" * 500}, "ok": {"txt": b"small"}})
     rows = list(zipshard.iter_zip_members(io.BytesIO(shard)))
