@@ -44,7 +44,8 @@ from .functions.textstats import _LANG_ORDER, LANG_MARKERS, STOPWORDS
 
 __all__ = ["spans_to_documents", "annotate_documents",
            "dedup_exact_text", "curate_documents",
-           "crawl_to_training_corpus", "speech_corpus"]
+           "crawl_to_training_corpus", "federated_training_corpus",
+           "speech_corpus"]
 
 
 def spans_to_documents(extracted: DataFrame) -> DataFrame:
@@ -193,6 +194,38 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
     if not curate:
         return docs_text
     return curate_documents(docs_text, **curate_kw)
+
+
+def federated_training_corpus(spark: SparkSession,
+                              sources: dict[str, str],
+                              **curate_kw) -> DataFrame:
+    """One curated corpus from a whole data estate.
+
+    ``sources`` maps source kind -> paths, e.g. ``{"warc": "/crawl",
+    "tar": "/shards", "jsonl": "/dumps"}``. Each source lands through
+    its own ingestion/extraction leg (``curate=False``), the raw
+    frames union, and curation runs ONCE over the union — which is the
+    point: exact-dedup sees every source at once, so the same document
+    arriving as a crawled page, a shard member and a JSONL line
+    collapses to ONE survivor (smallest ``doc_id``; the per-source id
+    prefixes keep ids collision-free across legs). Curating per-source
+    and unioning afterwards would keep one copy per source.
+
+    Plan shape: the union is a zero-shuffle plan merge; the one
+    cross-source shuffle is the dedup fingerprint groupBy that any
+    cross-source dedup must pay.
+    """
+    if not sources:
+        raise ValueError("sources must name at least one source")
+    frames = [
+        crawl_to_training_corpus(spark, paths, source=kind,
+                                 curate=False)
+        for kind, paths in sorted(sources.items())
+    ]
+    docs = frames[0]
+    for f in frames[1:]:
+        docs = docs.unionByName(f)
+    return curate_documents(docs, **curate_kw)
 
 
 def speech_corpus(spark: SparkSession, paths: str,

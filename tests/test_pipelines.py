@@ -199,3 +199,32 @@ def test_speech_corpus_pairs_transcripts_with_audio(spark, tmp_path):
     assert (r2["duration_ms"], r2["sample_rate"]) == (500, 8000)
     r3 = out["transcript with no audio"]
     assert r3["duration_ms"] is None and r3["sample_rate"] is None
+
+
+def test_federated_corpus_dedups_across_sources(spark, tmp_path):
+    # the same document arriving as a tar-shard member AND a JSONL
+    # line must collapse to ONE survivor when curation runs over the
+    # federated union (per-source curation would keep one copy each)
+    from ocr_platform_spark.sources import tarshard
+
+    body = b"the quick fox is one of a kind and rather sly\n"
+    tar_dir = tmp_path / "shards"
+    tar_dir.mkdir()
+    (tar_dir / "s.tar").write_bytes(
+        tarshard.tar_shard_bytes({"000001": {"txt": body}}))
+    jl_dir = tmp_path / "dumps"
+    jl_dir.mkdir()
+    (jl_dir / "d.jsonl").write_bytes(
+        b'{"text": "the quick fox is one of a kind and rather sly"}\n'
+        b'{"text": "and here is a different second document of the '
+        b'corpus"}\n')
+    out = pipelines.federated_training_corpus(
+        spark, {"tar": str(tar_dir), "jsonl": str(jl_dir)},
+        min_tokens=1).collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == [
+        "and here is a different second document of the corpus",
+        "the quick fox is one of a kind and rather sly",
+    ]
+    # the duplicate's survivor is the smallest doc_id across sources
+    assert len(out) == 2
