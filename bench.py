@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "payload_stats",
+    # audio/video multimodal tier (synth -> real encode/decode/feature
+    # inside the plan; deterministic doc subset, so scale-stable)
+    "audio_features",
+    "video_frame_luma",
 ]
 
 
