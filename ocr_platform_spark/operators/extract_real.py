@@ -335,6 +335,15 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 blocks = mdtext.markdown_blocks(
                     plaintext.decode_text(raw)
                 )
+            elif kind == "tex":
+                # LaTeX tier (probe-refined from txt): the arXiv
+                # shape — rendered text, math/cites dropped, captions
+                # kept (..latextext module docstring)
+                from .. import latextext
+
+                blocks = latextext.latex_blocks(
+                    plaintext.decode_text(raw)
+                )
             elif kind == "csv":
                 # tabular tier (probe-refined from txt): one block per
                 # row, cells joined with a single space — the XLSX

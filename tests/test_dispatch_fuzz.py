@@ -83,6 +83,12 @@ def _fixtures() -> dict[str, bytes]:
                 b"</item></channel></rss>"),
         "json": (b'{"id": 1, "text": "alpha beta", "tags": ["x"]}\n'
                  b'{"id": 2, "text": "gamma\\ndelta"}\n'),
+        "tex": (b"\\documentclass{article} % arXiv shape\n"
+                b"\\title{A Title}\n"
+                b"\\begin{document}\n\\maketitle\n"
+                b"\\section{Intro}\nalpha $x$ beta \\cite{k}.\n\n"
+                b"\\begin{itemize}\n\\item one\n\\item two\n"
+                b"\\end{itemize}\n\\end{document}\n"),
         # RIFF multimodal kinds: valid payloads REFUSE the deep probe
         # (typed no-text-tier quarantine) — mutants must hold the same
         # ValueError contract through sniff/probe/decode
@@ -134,7 +140,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
     # plain text (no magic) as unknown — the probe refines both
     sniff = {"docx": "zip", "pptx": "zip", "xlsx": "zip",
              "epub": "zip", "odt": "zip", "txt": "unknown",
-             "md": "unknown", "csv": "unknown",
+             "md": "unknown", "csv": "unknown", "tex": "unknown",
              "xml": "unknown", "json": "unknown"}.get(base, base)
     if kind.split("-")[-1] in ("gz", "bz2", "xz"):
         # transport-wrapped fixtures: the magic ladder sees only the
@@ -156,7 +162,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
         probed = multimodal.probe_real_media(raw, deep=True)
         assert probed[0] == probe_kind and probed[1] >= 1
     if base not in ("html", "docx", "pptx", "xlsx", "epub", "odt",
-                    "rtf", "txt", "md", "csv", "xml", "json",
+                    "rtf", "txt", "md", "csv", "tex", "xml", "json",
                     "wav", "avi"):
         # reflowable text has no raster decode by design
         got_kind, pages = multimodal.decode_real_media(raw)

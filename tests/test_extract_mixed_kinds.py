@@ -4,7 +4,7 @@ A realistic 100 TB crawl interleaves scanned PDFs, fax TIFFs,
 wild-compression long-tail formats, born-digital PDFs, web HTML,
 office DOCX/PPTX/XLSX/ODT, RTF, EPUB books, bare plain text,
 Markdown, DSV tables, XML and JSONL in the same table. This pin
-rotates the seeded corpus's media across ALL sixteen re-encoders and asserts
+rotates the seeded corpus's media across ALL seventeen re-encoders and asserts
 span equality with the synthetic flagship through one
 `extract_real_documents` call — per-media dispatch (probe kinds,
 bucket slicing, raster OCR vs text-layer parse vs DOM walk vs
@@ -29,6 +29,7 @@ from tests.test_extract_text_layer import reencode_text_layer, split_pdf_spans
 from tests.test_extract_csv import content_dsv
 from tests.test_extract_json import content_jsonl
 from tests.test_extract_xml import content_xml
+from tests.test_extract_latex import content_tex
 from tests.test_extract_md import content_md
 from tests.test_extract_text_plain import content_txt
 
@@ -42,7 +43,7 @@ def test_all_tiers_in_one_job(spark):
     )
     rows, text_pdf_refs = [], set()
     for i, (ref, m) in enumerate(sorted(media.items())):
-        tier = i % 16
+        tier = i % 17
         if tier == 0:
             data = reencode_real(m["data"])
         elif tier == 1:
@@ -75,8 +76,10 @@ def test_all_tiers_in_one_job(spark):
             data = content_dsv(m["data"])
         elif tier == 14:
             data = content_xml(m["data"])
-        else:
+        elif tier == 15:
             data = content_jsonl(m["data"])
+        else:
+            data = content_tex(m["data"])
         rows.append((ref, bytearray(data)))
     assert text_pdf_refs, "rotation must hit at least one text-layer PDF"
     mixed = spark.createDataFrame(rows, "media_ref string, data binary")
