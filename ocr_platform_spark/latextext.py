@@ -76,6 +76,9 @@ _DROP_WITH_ARG = frozenset((
     "hspace", "setlength", "newcommand", "renewcommand",
     "providecommand", "pagestyle", "thispagestyle", "color",
     "textcolor", "hypersetup", "graphicspath",
+    # inline \begin{env}/\end{env} (not at line start, so outside the
+    # block-level environment walk): the env NAME must not leak as text
+    "begin", "end",
 ))
 
 #: math environments (contents drop whole)
@@ -152,23 +155,30 @@ def _brace_group(s: str, i: int) -> tuple[str, int]:
 
 
 def _skip_groups(s: str, i: int) -> int:
-    """Skip whitespace + any run of ``[..]`` / ``{..}`` argument
-    groups following a command."""
+    """Skip any run of ``[..]`` / ``{..}`` argument groups following a
+    command (whitespace between groups skips, but whitespace after the
+    LAST group stays — it separates the following word)."""
     while i < len(s):
-        while i < len(s) and s[i] in " \t":
-            i += 1
-        if i < len(s) and s[i] == "[":
-            j = s.find("]", i)
+        k = i
+        while k < len(s) and s[k] in " \t":
+            k += 1
+        if k < len(s) and s[k] == "[":
+            j = s.find("]", k)
             i = len(s) if j < 0 else j + 1
-        elif i < len(s) and s[i] == "{":
-            _, i = _brace_group(s, i)
+        elif k < len(s) and s[k] == "{":
+            _, i = _brace_group(s, k)
         else:
             return i
     return i
 
 
-def _render(s: str) -> str:
-    """One paragraph's source -> displayed text (inline rules)."""
+def _render(s: str, depth: int = 0) -> str:
+    """One paragraph's source -> displayed text (inline rules).
+    ``depth`` caps nested argument re-rendering (\href/\footnote):
+    adversarially deep nesting degrades to dropped content instead of
+    a RecursionError escaping the quarantine contract."""
+    if depth > 32:
+        return ""
     out: list[str] = []
     i, n = 0, len(s)
     while i < n:
@@ -254,7 +264,7 @@ def _render(s: str) -> str:
                     k = _skip_ws(s, k)
                     if k < n and s[k] == "{":
                         t, k = _brace_group(s, k)
-                        out.append(_render(t))
+                        out.append(_render(t, depth + 1))
                     i = k
                 elif name == "footnote":
                     # parenthetical content: keep it, space-separated
@@ -262,7 +272,7 @@ def _render(s: str) -> str:
                     k = _skip_ws(s, j)
                     if k < n and s[k] == "{":
                         t, k = _brace_group(s, k)
-                        out.append(" " + _render(t).strip())
+                        out.append(" " + _render(t, depth + 1).strip())
                     i = k
                 elif name in _DROP_WITH_ARG:
                     i = _skip_groups(s, j)
@@ -426,9 +436,12 @@ def latex_blocks(text: str, base: int = 0) -> list[TextParagraph]:
             i += 1
             continue
         if env_stack and _ITEM_RE.search(line):
-            flush()
-            # split multiple \item on one line
+            # text before the first \item continues the previous block
             parts = _ITEM_RE.split(line)
+            if parts[0].strip():
+                para.append(parts[0])
+            flush()
+            # one block per \item, multiple items on one line split
             for part in parts[1:]:
                 flush()
                 para.append(part)

@@ -168,3 +168,21 @@ def test_sniff_requires_document_structure():
     assert not sniff_latex("\\begin{document} but never closed")
     # a commented-out documentclass does not promote
     assert not sniff_latex("% \\documentclass{article}\nplain")
+
+
+def test_inline_begin_end_never_leak_env_name():
+    got = texts(wrap("text with inline \\begin{small}tiny\\end{small}"
+                     " words"))
+    assert got == ["text with inline tiny words"]
+
+
+def test_text_before_inline_item_is_kept():
+    got = texts(wrap("\\begin{itemize}\nlead in \\item alpha\n"
+                     "\\item beta\n\\end{itemize}"))
+    assert got == ["lead in", "alpha", "beta"]
+
+
+def test_adversarial_nesting_never_recursion_errors():
+    deep = "\\href{u}{" * 2000 + "x" + "}" * 2000
+    blocks = latex_blocks(wrap(deep))
+    assert isinstance(blocks, list)  # degrades, never raises
