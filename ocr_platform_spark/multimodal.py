@@ -475,25 +475,29 @@ def probe_real_media(
                 f"unknown media magic {raw[:5]!r} and not plain text "
                 f"({e})"
             ) from e
-        from . import csvtext, jsontext, latextext, mdtext
+        from . import csvtext, jsontext, latextext, mdtext, subtext
 
         # structural refinements of the text tier, strictest first:
         # a whole-payload strict JSON/JSONL parse (jsontext) beats the
         # unambiguous LaTeX document signal (latextext.sniff_latex)
-        # beats a confident DSV rectangle (csvtext.sniff_tabular,
-        # row-wise like an XLSX sheet) beats a markdown signal
+        # beats the subtitle cue shape (subtext.sniff_subtitles,
+        # WEBVTT header or a structural timestamp line) beats a
+        # confident DSV rectangle (csvtext.sniff_tabular, row-wise
+        # like an XLSX sheet) beats a markdown signal
         # (mdtext.sniff_markdown, rendered text); else literal
         if jsontext.sniff_json(text) is not None:
             return "json", 1, 0, 0
         if latextext.sniff_latex(text):
             return "tex", 1, 0, 0
+        if subtext.sniff_subtitles(text):
+            return "sub", 1, 0, 0
         if csvtext.sniff_tabular(text) is not None:
             return "csv", 1, 0, 0
         if mdtext.sniff_markdown(text):
             return "md", 1, 0, 0
         return "txt", 1, 0, 0
     if plaintext.sniff_text(raw):
-        from . import csvtext, jsontext, latextext, mdtext
+        from . import csvtext, jsontext, latextext, mdtext, subtext
 
         # shallow refinement over the sniff window only (a structural
         # signal past the window keeps the metadata kind "txt"; the
@@ -509,6 +513,8 @@ def probe_real_media(
             return "json", 1, 0, 0
         if latextext.sniff_latex(head):
             return "tex", 1, 0, 0
+        if subtext.sniff_subtitles(head):
+            return "sub", 1, 0, 0
         if csvtext.sniff_tabular(head) is not None:
             return "csv", 1, 0, 0
         if mdtext.sniff_markdown(head):

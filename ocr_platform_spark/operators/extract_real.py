@@ -344,6 +344,15 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 blocks = latextext.latex_blocks(
                     plaintext.decode_text(raw)
                 )
+            elif kind == "sub":
+                # subtitle tier (probe-refined from txt): SRT/WebVTT
+                # cue text — ids/timestamps/markup drop, rolling
+                # duplicates collapse (..subtext module docstring)
+                from .. import subtext
+
+                blocks = subtext.subtitle_blocks(
+                    plaintext.decode_text(raw)
+                )
             elif kind == "csv":
                 # tabular tier (probe-refined from txt): one block per
                 # row, cells joined with a single space — the XLSX

@@ -89,6 +89,10 @@ def _fixtures() -> dict[str, bytes]:
                 b"\\section{Intro}\nalpha $x$ beta \\cite{k}.\n\n"
                 b"\\begin{itemize}\n\\item one\n\\item two\n"
                 b"\\end{itemize}\n\\end{document}\n"),
+        "sub": (b"WEBVTT\n\nNOTE fixture\n\n"
+                b"cue-1\n00:00.000 --> 00:01.900 align:start\n"
+                b"<v Bob>alpha beta\n\n"
+                b"00:02.000 --> 00:03.900\ngamma <i>delta</i>\n"),
         # RIFF multimodal kinds: valid payloads REFUSE the deep probe
         # (typed no-text-tier quarantine) — mutants must hold the same
         # ValueError contract through sniff/probe/decode
@@ -141,6 +145,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
     sniff = {"docx": "zip", "pptx": "zip", "xlsx": "zip",
              "epub": "zip", "odt": "zip", "txt": "unknown",
              "md": "unknown", "csv": "unknown", "tex": "unknown",
+             "sub": "unknown",
              "xml": "unknown", "json": "unknown"}.get(base, base)
     if kind.split("-")[-1] in ("gz", "bz2", "xz"):
         # transport-wrapped fixtures: the magic ladder sees only the
@@ -162,8 +167,8 @@ def test_dispatch_seam_mutation_fuzz(kind):
         probed = multimodal.probe_real_media(raw, deep=True)
         assert probed[0] == probe_kind and probed[1] >= 1
     if base not in ("html", "docx", "pptx", "xlsx", "epub", "odt",
-                    "rtf", "txt", "md", "csv", "tex", "xml", "json",
-                    "wav", "avi"):
+                    "rtf", "txt", "md", "csv", "tex", "sub", "xml",
+                    "json", "wav", "avi"):
         # reflowable text has no raster decode by design
         got_kind, pages = multimodal.decode_real_media(raw)
         assert len(pages) >= 1, got_kind
