@@ -228,3 +228,24 @@ def test_federated_corpus_dedups_across_sources(spark, tmp_path):
     ]
     # the duplicate's survivor is the smallest doc_id across sources
     assert len(out) == 2
+
+
+def test_speech_corpus_with_vtt_transcripts(spark, tmp_path):
+    # wav + WebVTT caption pairs: the transcript extracts as CUE TEXT
+    # through the subtitle tier (timestamps/markup dropped), paired
+    # with the audio's duration metadata
+    import numpy as np
+
+    from ocr_platform_spark import audiocodec, subtext
+    from ocr_platform_spark.sources import tarshard
+
+    vtt = subtext.encode_vtt(["hello spoken world", "second caption"])
+    samples = {"000001": {
+        "vtt": vtt,
+        "wav": audiocodec.encode_wav(np.zeros((16000, 1)), 16000),
+    }}
+    (tmp_path / "speech-vtt.tar").write_bytes(
+        tarshard.tar_shard_bytes(samples))
+    [row] = pipelines.speech_corpus(spark, str(tmp_path)).collect()
+    assert row["text"] == "hello spoken world\n\nsecond caption"
+    assert (row["duration_ms"], row["sample_rate"]) == (1000, 16000)
