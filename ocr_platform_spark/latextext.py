@@ -173,7 +173,7 @@ def _skip_groups(s: str, i: int) -> int:
 
 
 def _render(s: str, depth: int = 0) -> str:
-    """One paragraph's source -> displayed text (inline rules).
+    r"""One paragraph's source -> displayed text (inline rules).
     ``depth`` caps nested argument re-rendering (\href/\footnote):
     adversarially deep nesting degrades to dropped content instead of
     a RecursionError escaping the quarantine contract."""

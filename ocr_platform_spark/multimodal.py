@@ -475,18 +475,29 @@ def probe_real_media(
                 f"unknown media magic {raw[:5]!r} and not plain text "
                 f"({e})"
             ) from e
-        from . import csvtext, jsontext, latextext, mdtext, subtext
+        from . import csvtext, emltext, jsontext, latextext, mdtext, subtext
 
         # structural refinements of the text tier, strictest first:
         # a whole-payload strict JSON/JSONL parse (jsontext) beats the
-        # unambiguous LaTeX document signal (latextext.sniff_latex)
-        # beats the subtitle cue shape (subtext.sniff_subtitles,
-        # WEBVTT header or a structural timestamp line) beats a
-        # confident DSV rectangle (csvtext.sniff_tabular, row-wise
-        # like an XLSX sheet) beats a markdown signal
-        # (mdtext.sniff_markdown, rendered text); else literal
+        # mbox envelope + RFC-5322 header block (emltext.sniff_mbox,
+        # messages are pages) beats a bare e-mail header block
+        # (emltext.sniff_eml) beats the unambiguous LaTeX document
+        # signal (latextext.sniff_latex) beats the subtitle cue shape
+        # (subtext.sniff_subtitles, WEBVTT header or a structural
+        # timestamp line) beats a confident DSV rectangle
+        # (csvtext.sniff_tabular, row-wise like an XLSX sheet) beats a
+        # markdown signal (mdtext.sniff_markdown, rendered text); else
+        # literal
         if jsontext.sniff_json(text) is not None:
             return "json", 1, 0, 0
+        if emltext.sniff_mbox(text):
+            # deep probe = strict parse+render of every message, so
+            # extraction-time failures quarantine here (office split)
+            n, w, h = emltext.probe_mbox(raw, deep=True)
+            return "mbox", n, w, h
+        if emltext.sniff_eml(text):
+            n, w, h = emltext.validate_eml(raw)
+            return "eml", n, w, h
         if latextext.sniff_latex(text):
             return "tex", 1, 0, 0
         if subtext.sniff_subtitles(text):
@@ -497,7 +508,7 @@ def probe_real_media(
             return "md", 1, 0, 0
         return "txt", 1, 0, 0
     if plaintext.sniff_text(raw):
-        from . import csvtext, jsontext, latextext, mdtext, subtext
+        from . import csvtext, emltext, jsontext, latextext, mdtext, subtext
 
         # shallow refinement over the sniff window only (a structural
         # signal past the window keeps the metadata kind "txt"; the
@@ -511,6 +522,13 @@ def probe_real_media(
             head = head[:head.rfind("\n") + 1] or head
         if jsontext.sniff_json(head) is not None:
             return "json", 1, 0, 0
+        if emltext.sniff_mbox(head):
+            # page count from the envelope-line scan only (bytes-level
+            # regex, no decode/parse) — the O(n)-but-cheap economy the
+            # office tiers' central-directory walk also pays
+            return "mbox", emltext.count_messages(raw), 0, 0
+        if emltext.sniff_eml(head):
+            return "eml", 1, 0, 0
         if latextext.sniff_latex(head):
             return "tex", 1, 0, 0
         if subtext.sniff_subtitles(head):

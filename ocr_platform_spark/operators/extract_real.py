@@ -85,7 +85,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import (csvtext, docxtext, epubtext, formats, gifcodec,
+from .. import (csvtext, docxtext, emltext, epubtext, formats, gifcodec,
                 htmltext, jpegcodec, jsontext, mdtext, multimodal,
                 odttext, pdfcodec, pdftext, plaintext, pngcodec,
                 pptxtext, rtftext, tiffcodec, transport, xlsxtext,
@@ -121,6 +121,7 @@ _PAGED_TEXT_CODECS = {
     "pptx": (pptxtext.slice_slides, pptxtext.slide_blocks),
     "xlsx": (xlsxtext.slice_sheets, xlsxtext.sheet_blocks),
     "epub": (epubtext.slice_chapters, epubtext.chapter_blocks),
+    "mbox": (emltext.slice_messages, emltext.mbox_page_blocks),
 }
 
 REAL_BUCKET = (
@@ -342,6 +343,14 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 from .. import latextext
 
                 blocks = latextext.latex_blocks(
+                    plaintext.decode_text(raw)
+                )
+            elif kind == "eml":
+                # e-mail tier (probe-refined from txt): decoded
+                # Subject + supported body parts in part order, html
+                # parts through the DOM walk (..emltext docstring);
+                # mbox archives take the paged route below instead
+                blocks = emltext.eml_blocks(
                     plaintext.decode_text(raw)
                 )
             elif kind == "sub":

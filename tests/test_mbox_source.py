@@ -1,0 +1,138 @@
+"""mbox ingestion source — streaming reader, interleaved corpus shape,
+and the end-to-end pin against the directly constructed pipeline
+(``ocr_platform_spark/sources/mbox.py``).
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pytest
+
+from ocr_platform_spark import corpus, emltext, pngcodec, schemas
+from ocr_platform_spark.operators import extract_real
+from ocr_platform_spark.sources import mbox as mboxsrc
+from tests.test_extract_eml import HDRS, _body_from_blocks
+from tests.test_extract_real import _render_pages, _spans_by_doc
+
+
+def _eml(i: int, body: str, attach: bytes | None = None,
+         with_id: bool = True) -> bytes:
+    hdrs = [("From", f"u{i}@example.org"), ("Subject", f"msg {i}"),
+            ("Received", "from relay"), ("Date", "Thu, 01 Jan 2026")]
+    if with_id:
+        hdrs.append(("Message-ID", f"<m{i}@example.org>"))
+    if attach is None:
+        return emltext.encode_eml(hdrs, body=body)
+    return emltext.encode_eml(
+        hdrs, parts=[("text/plain", body), ("image/png", attach)])
+
+
+def test_iter_mbox_messages_stream_semantics():
+    msgs = [_eml(0, "a"), _eml(1, "From the body\n\n>From quoted")]
+    mb = emltext.encode_mbox(msgs)
+    rows = list(mboxsrc.iter_mbox_messages(io.BytesIO(mb)))
+    assert [(r["msg_index"], r["error"]) for r in rows] == \
+        [(0, None), (1, None)]
+    # mboxrd unquoting happened in the reader: raw message round-trips
+    _mid, parts = emltext.message_spans(rows[1]["raw"])
+    assert [p[2] for p in parts] == ["msg 1", "From the body",
+                                    ">From quoted"]
+    # preamble resyncs with one error row; empty file errors
+    rows = list(mboxsrc.iter_mbox_messages(io.BytesIO(b"junk\n" + mb)))
+    assert sum(r["error"] is not None for r in rows) == 1
+    assert sum(r["error"] is None for r in rows) == 2
+    rows = list(mboxsrc.iter_mbox_messages(io.BytesIO(b"")))
+    assert rows[0]["error"] is not None
+
+
+def test_doc_id_deterministic():
+    assert mboxsrc._doc_id("f", 3, "mid@x") == "mid@x"
+    a = mboxsrc._doc_id("f", 3, "")
+    assert a == mboxsrc._doc_id("f", 3, "") and a.startswith("mbox:sha:")
+    assert a != mboxsrc._doc_id("f", 4, "")
+
+
+@pytest.fixture(scope="module")
+def mbox_tree(spark, tmp_path_factory):
+    """Two mbox files whose messages interleave body paragraphs with a
+    real-PNG attachment derived from the synthetic corpus, plus the
+    directly constructed (documents, media) equivalent."""
+    root = tmp_path_factory.mktemp("mboxsrc")
+    _docs, media = corpus.generate(10, seed=7272, max_pages=3)
+    refs = sorted(media)
+    half = len(refs) // 2
+    msgs, direct_docs, direct_media = [], [], []
+    for i, ref in enumerate(refs):
+        kind, rasters = _render_pages(media[ref]["data"])
+        png = pngcodec.encode_png(np.stack([rasters[0]] * 3, axis=-1))
+        body = f"intro paragraph {i}\n\nclosing paragraph {i}"
+        msgs.append(_eml(i, body, attach=png, with_id=(i % 2 == 0)))
+        part = 0 if i < half else 1
+        idx_in_file = i if i < half else i - half
+        did = f"m{i}@example.org" if i % 2 == 0 else mboxsrc._doc_id(
+            f"file:{root}/part-{part}.mbox", idx_in_file, "")
+        direct_docs.append((did, [
+            ("text", f"msg {i}", None, 0),
+            ("text", f"intro paragraph {i}", None, 1),
+            ("text", f"closing paragraph {i}", None, 2),
+            ("media", None, f"{did}#p3", 3),
+        ]))
+        direct_media.append((f"{did}#p3", bytearray(png)))
+    with open(root / "part-0.mbox", "wb") as f:
+        f.write(emltext.encode_mbox(msgs[:half]))
+    with open(root / "part-1.mbox", "wb") as f:
+        f.write(emltext.encode_mbox(msgs[half:]))
+    docs_df = spark.createDataFrame(direct_docs, schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(direct_media,
+                                     "media_ref string, data binary")
+    return str(root), docs_df, media_df
+
+
+def test_corpus_shape_interleaves(spark, mbox_tree):
+    root, docs_df, _media_df = mbox_tree
+    docs, media = mboxsrc.mbox_to_corpus(mboxsrc.read_mbox(spark, root))
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"],
+                          s["offset"]) for s in r["spans"]]
+           for r in docs.collect()}
+    expected = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"],
+                               s["offset"]) for s in r["spans"]]
+                for r in docs_df.collect()}
+    assert got == expected
+    med = {r["media_ref"]: r for r in media.collect()}
+    assert all(r["content_type"] == "image/png" for r in med.values())
+    assert sorted(med) == sorted(expected[d][3][2] for d in expected)
+
+
+def test_extract_mbox_equals_direct_pipeline(spark, mbox_tree):
+    """Archives -> spans == the real-codec pipeline over the directly
+    constructed corpus: text spans pass through at their offsets and
+    the PNG attachment's OCR blocks interleave at the media span's
+    slot — TRUE interleaving through the source."""
+    root, docs_df, media_df = mbox_tree
+    direct = _spans_by_doc(
+        extract_real.extract_real_documents(docs_df, media_df))
+    got = _spans_by_doc(mboxsrc.extract_mbox(spark, root))
+    assert got == direct
+    assert len(got) == docs_df.count()
+    # the attachment leg genuinely extracted OCR text between the
+    # intro/closing text spans
+    sample = direct[sorted(direct)[0]]
+    assert any(s[1] and "paragraph" not in s[1] and s[0] == "text"
+               for s in sample[3:])
+
+
+def test_quarantined_message_is_triage_row_not_job_failure(
+        spark, tmp_path):
+    good = _eml(0, "fine body")
+    bad = _eml(1, "x").replace(b"Message-ID", b"Message-ID: <dup@x>\r\n"
+                               b"Content-Type: text/plain; "
+                               b"charset=x-weird\r\nX-Junk", 1)
+    with open(tmp_path / "q.mbox", "wb") as f:
+        f.write(emltext.encode_mbox([good, bad]))
+    recs = mboxsrc.read_mbox(spark, str(tmp_path))
+    errs = mboxsrc.mbox_errors(recs).collect()
+    assert len(errs) == 1 and "quarantined" in errs[0]["error"]
+    docs, _media = mboxsrc.mbox_to_corpus(recs)
+    assert docs.count() == 1  # the good message still lands
