@@ -31,8 +31,9 @@ import numpy as np
 import pytest
 
 from ocr_platform_spark import audiocodec, avicodec, bmpcodec, \
-    docxtext, epubtext, formats, gifcodec, jpegcodec, multimodal, \
-    odttext, pdfcodec, pngcodec, pptxtext, rtftext, tiffcodec, xlsxtext
+    docxtext, emltext, epubtext, formats, gifcodec, jpegcodec, \
+    multimodal, odttext, pdfcodec, pngcodec, pptxtext, rtftext, \
+    tiffcodec, xlsxtext
 from tests.test_pdfcodec import build_pdf, scanned_objs
 from tests.test_pdfcrypt import encrypt_pdf
 
@@ -93,6 +94,17 @@ def _fixtures() -> dict[str, bytes]:
                 b"cue-1\n00:00.000 --> 00:01.900 align:start\n"
                 b"<v Bob>alpha beta\n\n"
                 b"00:02.000 --> 00:03.900\ngamma <i>delta</i>\n"),
+        "eml": emltext.encode_eml(
+            [("From", "a@x.test"), ("Subject", "fuzz fixture"),
+             ("Message-ID", "<f@x.test>"), ("Date", "Thu, 01 Jan 2026")],
+            parts=[("text/plain", "alpha beta\n\ngamma"),
+                   ("application/octet-stream", b"\x00\x01\x02\x03")]),
+        "mbox": emltext.encode_mbox([
+            emltext.encode_eml(
+                [("From", "a@x.test"), ("Subject", f"msg {i}"),
+                 ("Received", "relay"), ("Date", "d")],
+                body=f"body {i}\n\nFrom the field")
+            for i in range(2)]),
         # RIFF multimodal kinds: valid payloads REFUSE the deep probe
         # (typed no-text-tier quarantine) — mutants must hold the same
         # ValueError contract through sniff/probe/decode
@@ -145,7 +157,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
     sniff = {"docx": "zip", "pptx": "zip", "xlsx": "zip",
              "epub": "zip", "odt": "zip", "txt": "unknown",
              "md": "unknown", "csv": "unknown", "tex": "unknown",
-             "sub": "unknown",
+             "sub": "unknown", "eml": "unknown", "mbox": "unknown",
              "xml": "unknown", "json": "unknown"}.get(base, base)
     if kind.split("-")[-1] in ("gz", "bz2", "xz"):
         # transport-wrapped fixtures: the magic ladder sees only the
@@ -167,8 +179,8 @@ def test_dispatch_seam_mutation_fuzz(kind):
         probed = multimodal.probe_real_media(raw, deep=True)
         assert probed[0] == probe_kind and probed[1] >= 1
     if base not in ("html", "docx", "pptx", "xlsx", "epub", "odt",
-                    "rtf", "txt", "md", "csv", "tex", "sub", "xml",
-                    "json", "wav", "avi"):
+                    "rtf", "txt", "md", "csv", "tex", "sub", "eml",
+                    "mbox", "xml", "json", "wav", "avi"):
         # reflowable text has no raster decode by design
         got_kind, pages = multimodal.decode_real_media(raw)
         assert len(pages) >= 1, got_kind
@@ -195,7 +207,7 @@ def test_dispatch_seam_mutation_fuzz(kind):
             pytest.fail(f"{kind} {label}: decode raised {type(e).__name__}: "
                         f"{e}")
         if probe_ok and probed_kind in ("pdf", "tiff", "gif",
-                                        "pptx", "xlsx", "epub"):
+                                        "pptx", "xlsx", "epub", "mbox"):
             # the bucket-explode slicer is the third distributed call
             # site; a mutant that survives the deep probe reaches it
             try:
@@ -209,6 +221,8 @@ def test_dispatch_seam_mutation_fuzz(kind):
                     pptxtext.slice_slides(mut, [0])
                 elif probed_kind == "xlsx":
                     xlsxtext.slice_sheets(mut, [0])
+                elif probed_kind == "mbox":
+                    emltext.slice_messages(mut, [0])
                 else:
                     epubtext.slice_chapters(mut, [0])
             except ValueError:

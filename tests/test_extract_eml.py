@@ -65,6 +65,21 @@ def _eml_for(payload: bytes, variant: int) -> tuple[bytes, bool]:
         used_subject
 
 
+def content_eml(payload: bytes) -> bytes:
+    """Synthetic container -> an EML whose extraction equals the
+    flagship blocks exactly (mixed-kind rotation hook)."""
+    raw, _used_subject = _eml_for(payload, 0)
+    return raw
+
+
+def content_mbox(payload: bytes) -> bytes:
+    """Synthetic container -> an mbox with ONE MESSAGE PER PAGE whose
+    extraction equals the flagship blocks exactly."""
+    msgs = [emltext.encode_eml(HDRS, body=_body_from_blocks(pg))
+            for pg in _page_block_texts(payload)]
+    return emltext.encode_mbox(msgs)
+
+
 @pytest.fixture(scope="module")
 def eml_corpus(spark):
     docs, media = corpus.generate(18, seed=6161, max_pages=5)

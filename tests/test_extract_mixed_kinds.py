@@ -3,8 +3,9 @@
 A realistic 100 TB crawl interleaves scanned PDFs, fax TIFFs,
 wild-compression long-tail formats, born-digital PDFs, web HTML,
 office DOCX/PPTX/XLSX/ODT, RTF, EPUB books, bare plain text,
-Markdown, DSV tables, XML and JSONL in the same table. This pin
-rotates the seeded corpus's media across ALL seventeen re-encoders and asserts
+Markdown, DSV tables, XML, JSONL, e-mail messages and mbox archives in
+the same table. This pin
+rotates the seeded corpus's media across ALL nineteen re-encoders and asserts
 span equality with the synthetic flagship through one
 `extract_real_documents` call — per-media dispatch (probe kinds,
 bucket slicing, raster OCR vs text-layer parse vs DOM walk vs
@@ -32,6 +33,7 @@ from tests.test_extract_xml import content_xml
 from tests.test_extract_latex import content_tex
 from tests.test_extract_md import content_md
 from tests.test_extract_text_plain import content_txt
+from tests.test_extract_eml import content_eml, content_mbox
 
 
 def test_all_tiers_in_one_job(spark):
@@ -43,7 +45,7 @@ def test_all_tiers_in_one_job(spark):
     )
     rows, text_pdf_refs = [], set()
     for i, (ref, m) in enumerate(sorted(media.items())):
-        tier = i % 17
+        tier = i % 19
         if tier == 0:
             data = reencode_real(m["data"])
         elif tier == 1:
@@ -78,8 +80,12 @@ def test_all_tiers_in_one_job(spark):
             data = content_xml(m["data"])
         elif tier == 15:
             data = content_jsonl(m["data"])
-        else:
+        elif tier == 16:
             data = content_tex(m["data"])
+        elif tier == 17:
+            data = content_eml(m["data"])
+        else:
+            data = content_mbox(m["data"])
         rows.append((ref, bytearray(data)))
     assert text_pdf_refs, "rotation must hit at least one text-layer PDF"
     mixed = spark.createDataFrame(rows, "media_ref string, data binary")
