@@ -612,6 +612,147 @@ def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media_df)
 
 
+# --- e-mail tier driver-contract queries (closed-form oracles) ---------------
+
+_EML_Q_DOCS = 120
+_MBOX_Q_DOCS = 80
+
+
+def _synth_eml_media(ids: DataFrame, build) -> DataFrame:
+    """doc_id frame -> (media_ref, data) with ``build(d) -> bytes``
+    running inside a mapInPandas stage (payloads synthesized in-plan,
+    never on the driver)."""
+    import pandas as pd
+
+    def _synth(batches):
+        for pdf in batches:
+            refs, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                refs.append(str(int(doc_id)))
+                payloads.append(build(int(doc_id)))
+            yield pd.DataFrame({"media_ref": refs, "data": payloads})
+
+    return ids.mapInPandas(_synth, schema="media_ref string, data binary")
+
+
+def _eml_docs_frame(media: DataFrame) -> DataFrame:
+    return media.select(
+        F.col("media_ref").alias("doc_id"),
+        F.array(F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.col("media_ref").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )).alias("spans"),
+    )
+
+
+def _flatten_text_spans(out: DataFrame) -> DataFrame:
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("spans").alias("span_order_l", "s"),
+    ).select(
+        "doc_id",
+        F.col("span_order_l").cast("int").alias("span_order"),
+        F.col("s.text").alias("span_text"),
+    )
+
+
+def _build_eml_payload(d: int) -> bytes:
+    from . import emltext
+
+    hdrs = [("From", "gate@example.org"), ("Subject", f"subject {d}"),
+            ("Message-ID", f"<g{d}@example.org>"),
+            ("Date", "Thu, 01 Jan 2026 00:00:00 +0000")]
+    k = 1 + d % 3
+    paras = [f"para {d} {i}" for i in range(k)]
+    if d % 2 == 0:
+        return emltext.encode_eml(hdrs, body="\n\n".join(paras))
+    html = ("<html><body>"
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</body></html>")
+    return emltext.encode_eml(
+        hdrs, subtype="alternative",
+        parts=[("text/plain", "decoy alternative -- must not extract"),
+               ("text/html", html)])
+
+
+def eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: deterministic EML payloads synthesized
+    in-plan from documents-table ids through the REAL dispatch
+    (probe -> text-ladder promotion -> strict MIME walk -> span
+    assembly). Even ids are single-part plain messages; odd ids are
+    multipart/alternative whose LAST supported alternative is an HTML
+    document — so the RFC 2046 preference rule and the DOM-tier leg
+    are value-pinned, not just pytest-pinned."""
+    from .operators.extract_real import extract_real_documents
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id").orderBy("doc_id").limit(_EML_Q_DOCS)
+    )
+    media = _synth_eml_media(ids, _build_eml_payload)
+    out = extract_real_documents(_eml_docs_frame(media), media)
+    return _flatten_text_spans(out)
+
+
+EML_EXTRACT_SQL = f"""
+WITH params AS (
+  SELECT doc_id, 1 + doc_id % 3 AS k
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_EML_Q_DOCS})
+), seq AS (SELECT unnest(range(4)) AS i)
+SELECT p.doc_id,
+       CAST(s.i AS INT) AS span_order,
+       CASE WHEN s.i = 0 THEN 'subject ' || p.doc_id
+            ELSE 'para ' || p.doc_id || ' ' || (s.i - 1) END AS span_text
+FROM params p JOIN seq s ON s.i <= p.k
+"""
+
+
+def _build_mbox_payload(d: int) -> bytes:
+    from . import emltext
+
+    msgs = []
+    for j in range(1 + d % 3):
+        msgs.append(emltext.encode_eml(
+            [("From", "gate@example.org"), ("Subject", f"m {d} {j}"),
+             ("Message-ID", f"<g{d}-{j}@example.org>"),
+             ("Date", "Thu, 01 Jan 2026 00:00:00 +0000")],
+            body=f"page {d} {j}"))
+    return emltext.encode_mbox(msgs)
+
+
+def mbox_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: mbox archives (one message per PAGE)
+    through the paged-tier path at ``bucket_pages=2`` — envelope
+    split, message-subset payload SLICING, per-page MIME render and
+    global page ordering are all value-pinned by the closed-form
+    oracle."""
+    from .operators.extract_real import extract_real_documents
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id").orderBy("doc_id").limit(_MBOX_Q_DOCS)
+    )
+    media = _synth_eml_media(ids, _build_mbox_payload)
+    out = extract_real_documents(_eml_docs_frame(media), media,
+                                 bucket_pages=2)
+    return _flatten_text_spans(out)
+
+
+MBOX_PAGES_SQL = f"""
+WITH params AS (
+  SELECT doc_id, 1 + doc_id % 3 AS m
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_MBOX_Q_DOCS})
+), seq AS (SELECT unnest(range(6)) AS i)
+SELECT p.doc_id,
+       CAST(s.i AS INT) AS span_order,
+       CASE WHEN s.i % 2 = 0 THEN 'm ' || p.doc_id || ' ' || (s.i // 2)
+            ELSE 'page ' || p.doc_id || ' ' || (s.i // 2) END AS span_text
+FROM params p JOIN seq s ON s.i < 2 * p.m
+"""
+
+
 # --- streaming: watermarked window agg, drained and oracle-checked -----------
 
 
@@ -835,6 +976,13 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
     "video_frame_luma": (
         multimodal.video_frame_luma_q, multimodal.VIDEO_FRAME_LUMA_SQL,
     ),
+    # e-mail tier (round 4): same demotion policy — fully oracle-backed
+    # closed-form pins of the real probe->ladder->MIME-walk->assembly
+    # path (incl. the alternative/DOM leg and the mbox paged slicer at
+    # bucket_pages=2), verified by tools/check_oracle.py + pytest
+    # (test_extract_eml.py / test_mbox_source.py)
+    "eml_extract": (eml_extract, EML_EXTRACT_SQL),
+    "mbox_pages": (mbox_pages, MBOX_PAGES_SQL),
     "extract_spans": (extract_spans, None),
     "extract_detect_boxes": (extract_detect_boxes, None),
     "extract_two_phase": (extract_two_phase, None),

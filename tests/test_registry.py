@@ -39,6 +39,7 @@ PAST_CAP = [
     "simhash_pairs", "embedding_near_dup", "ann_recall",
     "html_main_blocks",
     "audio_metadata", "audio_features", "video_frame_luma",
+    "eml_extract", "mbox_pages",
     "extract_spans", "extract_detect_boxes", "extract_two_phase",
     "extract_fused", "media_quarantine", "media_metadata",
     "page_features", "frame_sample",
@@ -54,6 +55,7 @@ DEMOTED_SQL_BACKED = {
     "simhash_pairs", "embedding_near_dup", "ann_recall",
     "html_main_blocks",
     "audio_metadata", "audio_features", "video_frame_luma",
+    "eml_extract", "mbox_pages",
 }
 
 
