@@ -152,10 +152,12 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
     """Archives in, curated training documents out.
 
     ``source``: ``"warc"`` (crawl archives), ``"tar"`` (WebDataset
-    shards), ``"zip"`` (zip-archived dataset dumps) or ``"jsonl"``
-    (line-delimited JSON corpora — already text, so extraction is
-    skipped and lines go straight to curation; ``text_field`` /
-    ``id_field`` kwargs pass through). Curation kwargs
+    shards), ``"zip"`` (zip-archived dataset dumps), ``"mbox"``
+    (mailing-list archives — messages land with body text spans and
+    attachment media spans interleaved, so attachments OCR-extract in
+    place) or ``"jsonl"`` (line-delimited JSON corpora — already text,
+    so extraction is skipped and lines go straight to curation;
+    ``text_field`` / ``id_field`` kwargs pass through). Curation kwargs
     (``min_quality_fxp4`` / ``langs`` /
     ``min_tokens`` / ``max_tokens``) pass through
     :func:`curate_documents`; every other kwarg passes through to the
@@ -178,6 +180,10 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
         from .sources.zipshard import extract_zip_shards
 
         extracted = extract_zip_shards(spark, paths, **kwargs)
+    elif source == "mbox":
+        from .sources.mbox import extract_mbox
+
+        extracted = extract_mbox(spark, paths, **kwargs)
     elif source == "jsonl":
         from .sources.jsonl import jsonl_corpus
 
@@ -188,8 +194,8 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
             return docs_text
         return curate_documents(docs_text, **curate_kw)
     else:
-        raise ValueError(f"unknown source {source!r} "
-                         f"(expected 'warc', 'tar', 'zip' or 'jsonl')")
+        raise ValueError(f"unknown source {source!r} (expected 'warc', "
+                         f"'tar', 'zip', 'mbox' or 'jsonl')")
     docs_text = spans_to_documents(extracted)
     if not curate:
         return docs_text

@@ -75,6 +75,32 @@ def test_warc_crawl_to_training_corpus(spark, warc_dir):
     assert sorted(r["text"] for r in cur) == sorted([GOOD, GOOD2])
 
 
+@pytest.fixture(scope="module")
+def mbox_dir(tmp_path_factory):
+    from ocr_platform_spark import emltext
+
+    d = tmp_path_factory.mktemp("pipe_mbox")
+    msgs = [
+        # subject-less (empty Subject never emits a span) so the
+        # curated text equals the body exactly, like the other legs
+        emltext.encode_eml(
+            [("From", f"u@example.org"), ("Message-ID", f"<{k}@x>"),
+             ("Received", "relay"), ("Date", "Thu, 01 Jan 2026")],
+            body=v["txt"].decode())
+        for k, v in sorted(_samples().items())
+    ]
+    (d / "m0.mbox").write_bytes(emltext.encode_mbox(msgs))
+    return str(d)
+
+
+def test_mbox_crawl_to_training_corpus(spark, mbox_dir):
+    """The mail leg of the estate: mbox ingestion -> MIME span walk ->
+    curation keep rule, same outcome as the WARC/tar legs."""
+    cur = pipelines.crawl_to_training_corpus(
+        spark, mbox_dir, source="mbox").collect()
+    assert sorted(r["text"] for r in cur) == sorted([GOOD, GOOD2])
+
+
 def test_curate_false_returns_raw_extracted_text(spark, shard_dir):
     raw = pipelines.crawl_to_training_corpus(
         spark, shard_dir, source="tar", curate=False).collect()
