@@ -56,6 +56,8 @@ def _ensure_corpus() -> str:
     from test_extract_csv import content_dsv
     from test_extract_xml import content_xml
     from test_extract_json import content_jsonl
+    from test_extract_latex import content_tex
+    from test_extract_eml import content_eml, content_mbox
 
     import bz2
     import gzip
@@ -76,17 +78,19 @@ def _ensure_corpus() -> str:
               lambda d: reencode_text_layer(d)[0],
               content_html, content_docx, content_pptx, content_xlsx,
               content_epub, content_odt, content_rtf, content_txt,
-              content_md, content_dsv, content_xml, content_jsonl)
+              content_md, content_dsv, content_xml, content_jsonl,
+              content_tex, content_eml, content_mbox)
     _WRAP = (gzip.compress, bz2.compress, lzma.compress)
 
     def reencode_office(data: bytes) -> bytes:
         return _OFFICE[next(office_idx) % 4](data)
 
     def reencode_crawl(data: bytes) -> bytes:
-        # the realistic interleaved crawl: all 16 tiers rotating, every
-        # 5th payload arriving transport-compressed
+        # the realistic interleaved crawl: all 19 tiers rotating
+        # (round-4 full set incl. LaTeX, EML, mbox), every 5th payload
+        # arriving transport-compressed
         i = next(crawl_idx)
-        out = _CRAWL[i % 16](data)
+        out = _CRAWL[i % 19](data)
         if i % 5 == 4:
             out = _WRAP[i % 3](out)
         return out
@@ -110,9 +114,11 @@ def _ensure_corpus() -> str:
                # office/plain-text rotation (DOCX / PPTX / XLSX / txt)
                # — the zip-container + no-magic OCR-bypass arm
                "media_office.parquet": reencode_office,
-               # the 16-tier interleaved crawl mix with transport
+               # the 19-tier interleaved crawl mix with transport
                # wrappers — the realistic corpus shape end-to-end
-               "media_crawl.parquet": reencode_crawl}
+               # (filename versions with the tier set: a new tier
+               # regenerates this arm, never a stale cache)
+               "media_crawl19.parquet": reencode_crawl}
     missing = {f: fn for f, fn in targets.items()
                if not os.path.exists(os.path.join(CACHE, f))}
     if not missing:
@@ -157,7 +163,7 @@ def main() -> None:
     media_html = spark.read.parquet(f"{d}/media_html.parquet")
     media_gif = spark.read.parquet(f"{d}/media_gif.parquet")
     media_office = spark.read.parquet(f"{d}/media_office.parquet")
-    media_crawl = spark.read.parquet(f"{d}/media_crawl.parquet")
+    media_crawl = spark.read.parquet(f"{d}/media_crawl19.parquet")
     n_pages = media_synth.groupBy().sum("page_count").collect()[0][0] or 0
 
     # warm-up (JVM + codegen), excluded
@@ -204,7 +210,7 @@ def main() -> None:
         "office_mix_bucket8": best2(
             lambda: extract_real.extract_real_documents(
                 docs, media_office, bucket_pages=8)),
-        # the realistic interleaved crawl: all 16 media tiers rotating
+        # the realistic interleaved crawl: all 19 media tiers rotating
         # in ONE job, 20% of payloads transport-compressed
         "crawl_mix_bucket8": best2(
             lambda: extract_real.extract_real_documents(
