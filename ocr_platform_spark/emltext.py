@@ -51,6 +51,17 @@ Deterministic SUBSET, documented here:
   boilerplate drop included, same as a bare HTML payload. Other text
   subtypes render as plain. An alternative group with NO supported
   alternative contributes nothing.
+- MAIL BOILERPLATE DROP (the e-mail analog of the DOM tier's
+  link-density rule, and the reason a mail corpus dedups at the
+  message level instead of keeping N quoted copies of every thread
+  message): in ``text/plain`` parts, quoted-reply lines (leading
+  ``>``, after mboxrd unquoting has already run) and the signature
+  block (the RFC 3676 ``"-- "`` delimiter line and everything after
+  it) drop before the paragraph split. Attribution lines ("On ...,
+  X wrote:") are KEPT — dropping them is a heuristic with real
+  false positives, quote markers are structural. HTML parts keep
+  their ``<blockquote>`` content (the DOM walk has no mail
+  semantics); the plain alternative is usually the one rendered.
 - Attachments (any non-text, non-message leaf, or an explicit
   ``Content-Disposition: attachment``) are DROPPED at the tier level,
   like DOCX embedded images — the mbox ingestion source is the path
@@ -278,9 +289,24 @@ def _walk(part: EmailMessage, depth: int, base: int, out: list,
         for b in htmltext.main_blocks(text):
             out.append(("text", base + b.y1, b.text))
         return base + len(text) + 1
-    for b in paragraph_blocks(text):
+    for b in paragraph_blocks(_strip_mail_boilerplate(text)):
         out.append(("text", base + b.pos, b.text))
     return base + len(text) + 1
+
+
+def _strip_mail_boilerplate(text: str) -> str:
+    """Quoted-reply lines and the RFC 3676 signature block drop from
+    plain body parts (module docstring rule). The signature delimiter
+    is the exact line ``"-- "`` (trailing space significant; a
+    stripped ``--`` stays content)."""
+    out: list[str] = []
+    for ln in text.replace("\r\n", "\n").replace("\r", "\n").split("\n"):
+        if ln == "-- ":
+            break
+        if ln.lstrip().startswith(">"):
+            continue
+        out.append(ln)
+    return "\n".join(out)
 
 
 def _message_walk(msg: EmailMessage, depth: int, base: int, out: list,

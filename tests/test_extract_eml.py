@@ -286,14 +286,30 @@ def test_quoted_printable_decodes():
 
 
 def test_mbox_round_trip_and_mboxrd_quoting():
+    """Writer quotes 'From ' body lines, reader unquotes exactly one
+    level: an unquoted 'From ' line survives as content while a
+    genuinely quoted '>From' line is reply boilerplate and drops."""
     msgs = [_simple("From the start\n\n>From quoted", subject=f"m{i}")
             for i in range(3)]
     mb = emltext.encode_mbox(msgs)
+    assert b"\n>From the start\n" in mb      # quoted on write
+    assert b"\n>>From quoted\n" in mb        # double-quoted on write
     pages = emltext.mbox_page_blocks(mb)
     assert [[b.text for b in p] for p in pages] == [
-        [f"m{i}", "From the start", ">From quoted"] for i in range(3)]
+        [f"m{i}", "From the start"] for i in range(3)]
     assert emltext.count_messages(mb) == 3
     assert emltext.probe_mbox(mb, deep=True) == (3, 0, 0)
+
+
+def test_mail_boilerplate_drop_rules():
+    """Quote lines and the exact RFC 3676 '-- ' signature block drop;
+    a stripped '--' line and attribution lines stay content."""
+    body = ("On Thu, someone wrote:\n> quoted one\n>> nested quote\n"
+            "my reply\n\n--\n\nnot a signature\n\n-- \nsig line one\n"
+            "sig line two")
+    raw = _simple(body, subject="s")
+    assert [b.text for b in emltext.eml_blocks(raw.decode())] == \
+        ["s", "On Thu, someone wrote:\nmy reply", "--", "not a signature"]
 
 
 def test_mbox_slice_preserves_messages():

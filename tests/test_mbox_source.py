@@ -35,10 +35,13 @@ def test_iter_mbox_messages_stream_semantics():
     rows = list(mboxsrc.iter_mbox_messages(io.BytesIO(mb)))
     assert [(r["msg_index"], r["error"]) for r in rows] == \
         [(0, None), (1, None)]
-    # mboxrd unquoting happened in the reader: raw message round-trips
+    # mboxrd unquoting happened in the reader: the raw message
+    # round-trips byte-exactly (one '>' level stripped), and the
+    # genuinely quoted line then drops as reply boilerplate
+    assert b"\nFrom the body\n" in rows[1]["raw"]
+    assert b"\n>From quoted\n" in rows[1]["raw"]
     _mid, parts = emltext.message_spans(rows[1]["raw"])
-    assert [p[2] for p in parts] == ["msg 1", "From the body",
-                                    ">From quoted"]
+    assert [p[2] for p in parts] == ["msg 1", "From the body"]
     # preamble resyncs with one error row; empty file errors
     rows = list(mboxsrc.iter_mbox_messages(io.BytesIO(b"junk\n" + mb)))
     assert sum(r["error"] is not None for r in rows) == 1
