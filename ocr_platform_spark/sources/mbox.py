@@ -72,20 +72,41 @@ PARTS_SCHEMA = (
 )
 
 
-def iter_mbox_messages(fobj) -> Iterator[dict]:
+#: per-message size cap: a message past this yields an error row and
+#: its remaining lines are read-and-discarded until the next envelope —
+#: the streaming reader's peak memory stays one (bounded) message even
+#: against a corrupt multi-GB archive with no envelope lines (the tar
+#: source's per-member cap, same rationale)
+MAX_MESSAGE_BYTES = 1 << 30
+
+
+def iter_mbox_messages(fobj,
+                       max_message_bytes: int = MAX_MESSAGE_BYTES,
+                       ) -> Iterator[dict]:
     """Stream ``(msg_index, error, raw)`` rows from an mbox byte
-    stream: envelope-line split, mboxrd unquoting, preamble resync."""
+    stream: envelope-line split, mboxrd unquoting, preamble resync,
+    oversized messages capped (error row + skip to next envelope)."""
     index = 0
     cur: "list[bytes] | None" = None
+    cur_bytes = 0
     preamble = False
+    skipping = False
     for line in fobj:
         nline = line.replace(b"\r\n", b"\n")
         if emltext._ENVELOPE_BYTES_RE.match(nline):
-            if cur is not None:
+            if cur is not None and not skipping:
                 yield {"msg_index": index, "error": None,
                        "raw": b"".join(cur)}
+            if skipping:
+                yield {"msg_index": index,
+                       "error": f"message exceeds {max_message_bytes}"
+                                f"-byte cap (skipped)",
+                       "raw": None}
+            if cur is not None or skipping:
                 index += 1
-            cur = []
+            cur, cur_bytes, skipping = [], 0, False
+            continue
+        if skipping:
             continue
         if cur is None:
             preamble = True
@@ -93,12 +114,21 @@ def iter_mbox_messages(fobj) -> Iterator[dict]:
         if nline.startswith(b">") and \
                 nline.lstrip(b">").startswith(b"From "):
             nline = nline[1:]
+        cur_bytes += len(nline)
+        if cur_bytes > max_message_bytes:
+            cur, cur_bytes, skipping = None, 0, True
+            continue
         cur.append(nline)
     if preamble:
         yield {"msg_index": -1,
                "error": "mbox preamble before the first envelope line",
                "raw": None}
-    if cur is not None:
+    if skipping:
+        yield {"msg_index": index,
+               "error": f"message exceeds {max_message_bytes}-byte cap "
+                        f"(skipped)",
+               "raw": None}
+    elif cur is not None:
         yield {"msg_index": index, "error": None, "raw": b"".join(cur)}
     elif not preamble:
         yield {"msg_index": -1, "error": "empty mbox (no envelope line)",

@@ -50,6 +50,24 @@ def test_iter_mbox_messages_stream_semantics():
     assert rows[0]["error"] is not None
 
 
+def test_message_size_cap_skips_not_oom():
+    """An oversized message yields an error row with read-and-discard
+    skip (bounded memory); neighbors still parse. A capped TRAILING
+    message errors too (no silent loss at EOF)."""
+    msgs = [_eml(0, "small one"), _eml(1, "x" * 4096), _eml(2, "small two")]
+    mb = emltext.encode_mbox(msgs)
+    rows = list(mboxsrc.iter_mbox_messages(io.BytesIO(mb),
+                                           max_message_bytes=1024))
+    assert [(r["msg_index"], r["error"] is None) for r in rows] == \
+        [(0, True), (1, False), (2, True)]
+    assert b"small two" in rows[2]["raw"]
+    rows = list(mboxsrc.iter_mbox_messages(
+        io.BytesIO(emltext.encode_mbox([_eml(0, "ok"), _eml(1, "y" * 4096)])),
+        max_message_bytes=1024))
+    assert [(r["msg_index"], r["error"] is None) for r in rows] == \
+        [(0, True), (1, False)]
+
+
 def test_doc_id_deterministic():
     assert mboxsrc._doc_id("f", 3, "mid@x") == "mid@x"
     a = mboxsrc._doc_id("f", 3, "")

@@ -20,6 +20,7 @@ from ocr_platform_spark import corpus, multimodal, schemas, transport
 from ocr_platform_spark.operators import extract, extract_real
 from tests.test_extract_html import content_html
 from tests.test_extract_md import content_md
+from tests.test_extract_eml import content_eml, content_mbox
 from tests.test_extract_real import _spans_by_doc, reencode_real
 from tests.test_extract_text_plain import content_txt
 
@@ -105,8 +106,10 @@ def test_probe_split_shallow_names_transport_deep_resolves_inner():
 
 def test_wrapped_tiers_equal_flagship(spark):
     """Rotating compressor x rotating inner tier (txt, HTML, markdown,
-    real scanned PDF) at bucket_pages=2: exact span equality, so the
-    unwrap demonstrably precedes slicing for multi-page inner PDFs."""
+    real scanned PDF, EML, mbox) at bucket_pages=2: exact span
+    equality, so the unwrap demonstrably precedes slicing for
+    multi-page inner PDFs and paged mbox archives (.mbox.gz ships
+    per-bucket message slices)."""
     docs, media = corpus.generate(18, seed=3131, max_pages=6)
     docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
     synth = spark.createDataFrame(
@@ -116,7 +119,7 @@ def test_wrapped_tiers_equal_flagship(spark):
     rows = []
     for i, (ref, m) in enumerate(sorted(media.items())):
         inner = [content_txt, content_html, content_md,
-                 reencode_real][i % 4](m["data"])
+                 reencode_real, content_eml, content_mbox][i % 6](m["data"])
         rows.append((ref, bytearray(_COMPRESSORS[i % 3](inner))))
     wrapped = spark.createDataFrame(rows, "media_ref string, data binary")
     flagship = _spans_by_doc(extract.extract_documents(docs_df, synth))
