@@ -178,36 +178,45 @@ def sniff_mbox(text: str) -> bool:
 # message walk
 # ---------------------------------------------------------------------------
 
-def _walk_leaves(msg: EmailMessage):
+#: validation-walk depth cap: bounds BOTH multipart and rfc822 nesting
+#: so adversarially deep trees quarantine as ValueError long before
+#: Python's recursion limit could escape as RecursionError (the render
+#: walk's _MAX_DEPTH only counts rfc822 hops and only runs AFTER
+#: validation has traversed the full tree)
+_MAX_TREE_DEPTH = 50
+
+
+def _walk_leaves(msg: EmailMessage, depth: int = 0):
+    if depth > _MAX_TREE_DEPTH:
+        raise ValueError("MIME tree exceeds validation depth cap")
     yield msg
     if msg.get_content_maintype() == "multipart":
         for p in msg.iter_parts():
-            yield from _walk_leaves(p)
+            yield from _walk_leaves(p, depth + 1)
     elif msg.get_content_type() == "message/rfc822":
         # iter_parts() only descends multipart/*; an embedded message's
         # subtree must still be defect-checked
         inner = msg.get_payload()
         for p in (inner if isinstance(inner, list) else [inner]):
             if isinstance(p, EmailMessage):
-                yield from _walk_leaves(p)
+                yield from _walk_leaves(p, depth + 1)
 
 
 def _validate_parts(msg: EmailMessage) -> None:
-    """Force-decode every leaf payload, then fail on ANY recorded
-    defect: the stdlib registers transfer-encoding defects (invalid
-    base64, ...) lazily at payload-decode time, so a parse-time-only
-    defect check would under-report."""
+    """One preorder walk: force-decode each leaf payload, then check
+    the node's defects — the stdlib registers transfer-encoding
+    defects (invalid base64, ...) lazily at payload-decode time, so a
+    parse-time-only defect check would under-report. Preorder is
+    sufficient: decoding a leaf only ever adds defects to that leaf,
+    and ancestors' parse-time defects exist before their children are
+    visited."""
     for part in _walk_leaves(msg):
         if not part.is_multipart() \
                 and part.get_content_type() != "message/rfc822":
             part.get_payload(decode=True)
-    defects = [d for p in _walk_leaves(msg) for d in p.defects]
-    if defects:
-        names = sorted({type(d).__name__ for d in defects})
-        raise ValueError(f"message defects: {', '.join(names)}")
-
-
-_SUPPORTED_ALT = ("text/plain", "text/html")
+        if part.defects:
+            names = sorted({type(d).__name__ for d in part.defects})
+            raise ValueError(f"message defects: {', '.join(names)}")
 
 
 def _renderable(part: EmailMessage, depth: int) -> bool:
@@ -320,9 +329,15 @@ def _message_walk(msg: EmailMessage, depth: int, base: int, out: list,
 
 def parse_message(raw: bytes) -> EmailMessage:
     """Strict parse: full MIME tree with every leaf payload
-    force-decoded and zero defects (else ``ValueError``)."""
-    msg = _PARSER.parsebytes(raw)
-    _validate_parts(msg)
+    force-decoded and zero defects (else ``ValueError``). A
+    RecursionError from pathological nesting inside the stdlib parser
+    itself also surfaces as ``ValueError`` — the quarantine contract
+    admits no other exception type."""
+    try:
+        msg = _PARSER.parsebytes(raw)
+        _validate_parts(msg)
+    except RecursionError as e:
+        raise ValueError(f"pathologically nested message: {e}") from e
     return msg
 
 
@@ -351,11 +366,14 @@ def message_spans(raw: bytes) -> tuple[str, list[tuple]]:
     return mid, out
 
 
-def validate_eml(raw: bytes) -> tuple[int, int, int]:
+def validate_eml(raw: bytes, text: "str | None" = None
+                 ) -> tuple[int, int, int]:
     """Probe-time pre-flight for a bare EML payload: full strict parse
     AND a full block render (charset checks live in the render path).
-    ``(1, 0, 0)`` — one reflowable page, no raster geometry."""
-    eml_blocks(decode_text(raw))
+    ``(1, 0, 0)`` — one reflowable page, no raster geometry. ``text``
+    lets a caller that already ran the plain-text decode (the probe
+    ladder) skip a second O(n) pass over the payload."""
+    eml_blocks(decode_text(raw) if text is None else text)
     return 1, 0, 0
 
 
@@ -387,18 +405,24 @@ _ENVELOPE_BYTES_RE = re.compile(rb"(?m)^From \S+ .+\d")
 
 def count_messages(raw: bytes) -> int:
     """Envelope-line count straight off the bytes — the SHALLOW page
-    count (no decode, no MIME parse; one regex scan)."""
+    count (no decode, no MIME parse; one regex scan). Strips a UTF-8
+    BOM first so the first envelope still sits at a line start and the
+    shallow count agrees with the deep probe's."""
+    if raw.startswith(b"\xef\xbb\xbf"):
+        raw = raw[3:]
     return len(_ENVELOPE_BYTES_RE.findall(raw.replace(b"\r\n", b"\n")))
 
 
-def probe_mbox(raw: bytes, deep: bool = False) -> tuple[int, int, int]:
+def probe_mbox(raw: bytes, deep: bool = False,
+               text: "str | None" = None) -> tuple[int, int, int]:
     """``(n_messages, 0, 0)`` — messages are pages, text has no raster
     geometry. ``deep=True`` strictly parses AND renders every message
     (defects, charsets, nesting) so extraction-time failures quarantine
     at probe time, mirroring the office tiers' deep/shallow split; the
     shallow pass only splits on envelope lines (one regex scan, no
-    MIME parse)."""
-    msgs = _split_mbox(decode_text(raw))
+    MIME parse). ``text`` skips the redundant decode when the caller
+    (the probe ladder) already holds the decoded payload."""
+    msgs = _split_mbox(decode_text(raw) if text is None else text)
     if deep:
         for m in msgs:
             if not sniff_eml(m):

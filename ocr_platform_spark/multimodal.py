@@ -492,11 +492,13 @@ def probe_real_media(
             return "json", 1, 0, 0
         if emltext.sniff_mbox(text):
             # deep probe = strict parse+render of every message, so
-            # extraction-time failures quarantine here (office split)
-            n, w, h = emltext.probe_mbox(raw, deep=True)
+            # extraction-time failures quarantine here (office split);
+            # the already-decoded text is passed through (no second
+            # O(n) decode of a multi-GB archive)
+            n, w, h = emltext.probe_mbox(raw, deep=True, text=text)
             return "mbox", n, w, h
         if emltext.sniff_eml(text):
-            n, w, h = emltext.validate_eml(raw)
+            n, w, h = emltext.validate_eml(raw, text=text)
             return "eml", n, w, h
         if latextext.sniff_latex(text):
             return "tex", 1, 0, 0

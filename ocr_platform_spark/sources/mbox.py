@@ -26,10 +26,19 @@ Scale shape (mirrors ``sources/warc.py``):
   output frames derive by column expressions (``transform`` for the
   spans array, ``posexplode`` for the media rows) — no groupBy is
   needed because a message's spans never leave their task;
-- ``doc_id`` is deterministic (cleaned Message-ID when present, else a
-  sha of file + message index) so re-ingesting an archive is
-  idempotent for lineage/resume purposes; ``media_ref`` is
-  ``doc_id#p<span_index>``.
+- ``doc_id`` is deterministic AND collision-free: the cleaned
+  Message-ID (kept for lineage readability) is suffixed with a sha of
+  file + message index — real corpora routinely repeat Message-IDs
+  (resends, cross-posts, spoofed spam), and a bare-Message-ID id would
+  merge such messages into one garbled document downstream. Absent a
+  Message-ID the sha alone is the id. Re-ingesting the same paths is
+  idempotent; ``media_ref`` is ``doc_id#p<span_index>``.
+- archives arriving gzip/bzip2/xz-compressed (``list.mbox.gz`` is the
+  public-inbox/LKML distribution shape) decompress as STREAMS
+  (``gzip.GzipFile``/``bz2``/``lzma`` file wrappers — peak memory one
+  message, never the inflated archive); a corrupt compressed stream
+  yields an error row for the unreadable remainder, keeping the rows
+  already parsed.
 
 The reference has no mail path (it OCRs uploaded PDFs/images only,
 ``apps/worker/app/tasks/ocr_tasks.py:36-39``); this source exists for
@@ -135,7 +144,29 @@ def iter_mbox_messages(fobj,
                "raw": None}
 
 
+def _maybe_decompress(fobj):
+    """Wrap a seekable byte stream in a STREAMING decompressor when it
+    carries a gzip/bzip2/xz magic (the ``.mbox.gz`` distribution
+    shape); plain streams pass through. Never inflates the archive
+    into memory."""
+    import bz2
+    import gzip
+    import lzma
+
+    head = fobj.read(6)
+    fobj.seek(0)
+    if head[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=fobj)
+    if head[:3] == b"BZh" and len(head) >= 4 and head[3:4].isdigit():
+        return bz2.BZ2File(fobj)
+    if head == b"\xfd7zXZ\x00":
+        return lzma.LZMAFile(fobj)
+    return fobj
+
+
 def _mbox_batches(batch_rows: int):
+    import lzma
+
     cols = [f.name for f in RECORD_SCHEMA.fields]
 
     def gen(frames: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,12 +182,22 @@ def _mbox_batches(batch_rows: int):
                     continue
                 rows: list[dict] = []
                 with fobj:
-                    for rec in iter_mbox_messages(fobj):
-                        rec["mbox_file"] = path
-                        rows.append(rec)
-                        if len(rows) >= batch_rows:
-                            yield pd.DataFrame(rows, columns=cols)
-                            rows = []
+                    try:
+                        for rec in iter_mbox_messages(
+                                _maybe_decompress(fobj)):
+                            rec["mbox_file"] = path
+                            rows.append(rec)
+                            if len(rows) >= batch_rows:
+                                yield pd.DataFrame(rows, columns=cols)
+                                rows = []
+                    except (OSError, EOFError, lzma.LZMAError) as exc:
+                        # corrupt compressed stream mid-archive: the
+                        # unreadable remainder becomes ONE error row,
+                        # rows already parsed are kept (warc's member
+                        # recovery semantics at file granularity)
+                        rows.append({"mbox_file": path, "msg_index": -1,
+                                     "error": f"decompress: {exc}",
+                                     "raw": None})
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
     return gen
@@ -180,10 +221,13 @@ def read_mbox(spark: SparkSession, paths: str,
 
 
 def _doc_id(mbox_file: str, msg_index: int, message_id: str) -> str:
-    if message_id:
-        return message_id
+    """Deterministic and COLLISION-FREE (module docstring): the
+    file+index sha disambiguates repeated Message-IDs; the Message-ID
+    prefix stays for lineage readability."""
     digest = hashlib.sha256(
         f"{mbox_file}#{msg_index}".encode()).hexdigest()
+    if message_id:
+        return f"{message_id}#{digest[:12]}"
     return f"mbox:sha:{digest}"
 
 

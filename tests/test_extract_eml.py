@@ -254,6 +254,28 @@ def test_depth_cap_quarantines():
         emltext.eml_blocks(raw.decode())
 
 
+@pytest.mark.parametrize("levels", [200, 5000])
+def test_pathological_nesting_stays_valueerror(levels):
+    """Adversarially deep rfc822 nesting must quarantine as ValueError
+    — never let RecursionError escape the contract (it would fail the
+    whole Spark task instead of yielding a triage row)."""
+    hdr = ("From: a@x\r\nMIME-Version: 1.0\r\n"
+           "Content-Type: message/rfc822\r\n\r\n").encode()
+    raw = hdr * levels + b"From: z@x\r\n\r\nleaf\r\n"
+    with pytest.raises(ValueError):
+        emltext.parse_message(raw)
+    with pytest.raises(ValueError):
+        emltext.message_spans(raw)
+
+
+def test_bom_mbox_shallow_deep_page_counts_agree():
+    msgs = [_simple(subject=f"s{i}") for i in range(3)]
+    mb = b"\xef\xbb\xbf" + emltext.encode_mbox(msgs)
+    assert emltext.count_messages(mb) == 3
+    assert multimodal.probe_real_media(mb)[:2] == ("mbox", 3)
+    assert multimodal.probe_real_media(mb, deep=True)[:2] == ("mbox", 3)
+
+
 def test_defects_quarantine():
     mixed = emltext.encode_eml(
         HDRS, parts=[("text/plain", "x"), ("application/pdf", b"%PDF-1")])

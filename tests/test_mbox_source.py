@@ -68,11 +68,56 @@ def test_message_size_cap_skips_not_oom():
         [(0, True), (1, False)]
 
 
-def test_doc_id_deterministic():
-    assert mboxsrc._doc_id("f", 3, "mid@x") == "mid@x"
-    a = mboxsrc._doc_id("f", 3, "")
-    assert a == mboxsrc._doc_id("f", 3, "") and a.startswith("mbox:sha:")
-    assert a != mboxsrc._doc_id("f", 4, "")
+def test_doc_id_deterministic_and_collision_free():
+    a = mboxsrc._doc_id("f", 3, "mid@x")
+    assert a == mboxsrc._doc_id("f", 3, "mid@x")
+    assert a.startswith("mid@x#")
+    # repeated Message-IDs (resends, spoofed spam) must NOT collide
+    assert a != mboxsrc._doc_id("f", 4, "mid@x")
+    assert a != mboxsrc._doc_id("g", 3, "mid@x")
+    b = mboxsrc._doc_id("f", 3, "")
+    assert b == mboxsrc._doc_id("f", 3, "") and b.startswith("mbox:sha:")
+    assert b != mboxsrc._doc_id("f", 4, "")
+
+
+def test_duplicate_message_ids_stay_distinct_documents(spark, tmp_path):
+    """Two different messages sharing a Message-ID land as two
+    documents (no garbled merge through the media_ref equijoin)."""
+    m1 = _eml(0, "first body", with_id=False)
+    m2 = _eml(1, "second body", with_id=False)
+    dup = b"Message-ID: <dup@x>\r\n"
+    with open(tmp_path / "d.mbox", "wb") as f:
+        f.write(emltext.encode_mbox([dup + m1, dup + m2]))
+    docs, _media = mboxsrc.mbox_to_corpus(
+        mboxsrc.read_mbox(spark, str(tmp_path)))
+    rows = docs.collect()
+    assert len(rows) == 2
+    assert len({r["doc_id"] for r in rows}) == 2
+    assert all(r["doc_id"].startswith("dup@x#") for r in rows)
+
+
+def test_compressed_mbox_streams(spark, tmp_path):
+    """list.mbox.gz (the public-inbox distribution shape) parses via
+    streaming decompression; a corrupt gzip yields an error row for
+    the remainder, not a job failure."""
+    import gzip
+
+    mb = emltext.encode_mbox([_eml(0, "gz body one"), _eml(1, "gz two")])
+    with open(tmp_path / "l.mbox.gz", "wb") as f:
+        f.write(gzip.compress(mb))
+    with open(tmp_path / "c.mbox.gz", "wb") as f:
+        f.write(gzip.compress(mb * 40)[:60])  # truncated stream
+    recs = mboxsrc.read_mbox(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in recs:
+        by_file.setdefault(r["mbox_file"].rsplit("/", 1)[-1],
+                           []).append(r)
+    good = by_file["l.mbox.gz"]
+    assert [(r["msg_index"], r["error"]) for r in good] == \
+        [(0, None), (1, None)]
+    assert b"gz body one" in bytes(good[0]["raw"])
+    assert any(r["error"] and "decompress" in r["error"]
+               for r in by_file["c.mbox.gz"])
 
 
 @pytest.fixture(scope="module")
@@ -92,8 +137,9 @@ def mbox_tree(spark, tmp_path_factory):
         msgs.append(_eml(i, body, attach=png, with_id=(i % 2 == 0)))
         part = 0 if i < half else 1
         idx_in_file = i if i < half else i - half
-        did = f"m{i}@example.org" if i % 2 == 0 else mboxsrc._doc_id(
-            f"file:{root}/part-{part}.mbox", idx_in_file, "")
+        did = mboxsrc._doc_id(
+            f"file:{root}/part-{part}.mbox", idx_in_file,
+            f"m{i}@example.org" if i % 2 == 0 else "")
         direct_docs.append((did, [
             ("text", f"msg {i}", None, 0),
             ("text", f"intro paragraph {i}", None, 1),
