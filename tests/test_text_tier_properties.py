@@ -186,3 +186,42 @@ def test_html_escape_round_trip(paras):
     for text in paras:
         assert htmltext.unescape_entities(
             htmltext.escape_text(text)) == text
+
+
+# the e-mail tier's normal form additionally excludes its documented
+# boilerplate drops: a line starting '>' is reply quoting and a line
+# equal to '-- ' is the signature delimiter (unreachable here anyway —
+# normal-form lines are stripped). Encoding that in the strategy
+# mirrors the EPUB whitespace note above: the drop is the documented
+# rendering rule, not corruption.
+_mail_line = _line.filter(lambda s: not s.startswith(">"))
+_mail_block = st.lists(_mail_line, min_size=1, max_size=4).map("\n".join)
+_mail_blocks = st.lists(_mail_block, min_size=1, max_size=6)
+
+_EML_HDRS = [("From", "p@example.org"), ("Message-ID", "<p@x>"),
+             ("Received", "relay"), ("Date", "Thu, 01 Jan 2026")]
+
+
+@given(_mail_blocks)
+@settings(max_examples=150, deadline=None)
+def test_eml_round_trip(paras):
+    from ocr_platform_spark import emltext
+
+    raw = emltext.encode_eml(_EML_HDRS, body="\n\n".join(paras))
+    assert emltext.sniff_eml(raw.decode("utf-8"))  # guaranteed sniff
+    got = emltext.eml_blocks(raw.decode("utf-8"))
+    assert [b.text for b in got] == paras
+
+
+@given(st.lists(_mail_blocks, min_size=1, max_size=3))
+@settings(max_examples=100, deadline=None)
+def test_mbox_round_trip(pages):
+    from ocr_platform_spark import emltext
+
+    msgs = [emltext.encode_eml(_EML_HDRS, body="\n\n".join(p))
+            for p in pages]
+    mb = emltext.encode_mbox(msgs)
+    assert emltext.sniff_mbox(mb.decode("utf-8"))  # guaranteed sniff
+    assert emltext.count_messages(mb) == len(pages)
+    got = emltext.mbox_page_blocks(mb)
+    assert [[b.text for b in p] for p in got] == pages
