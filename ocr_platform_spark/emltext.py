@@ -407,10 +407,13 @@ def count_messages(raw: bytes) -> int:
     """Envelope-line count straight off the bytes — the SHALLOW page
     count (no decode, no MIME parse; one regex scan). Strips a UTF-8
     BOM first so the first envelope still sits at a line start and the
-    shallow count agrees with the deep probe's."""
+    shallow count agrees with the deep probe's. Normalizes CRLF *and*
+    bare-CR line endings, mirroring ``_split_mbox``, so classic-Mac
+    archives report the same shallow and deep counts."""
     if raw.startswith(b"\xef\xbb\xbf"):
         raw = raw[3:]
-    return len(_ENVELOPE_BYTES_RE.findall(raw.replace(b"\r\n", b"\n")))
+    normalized = raw.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
+    return len(_ENVELOPE_BYTES_RE.findall(normalized))
 
 
 def probe_mbox(raw: bytes, deep: bool = False,

@@ -166,6 +166,7 @@ def _maybe_decompress(fobj):
 
 def _mbox_batches(batch_rows: int):
     import lzma
+    import zlib
 
     cols = [f.name for f in RECORD_SCHEMA.fields]
 
@@ -190,7 +191,11 @@ def _mbox_batches(batch_rows: int):
                             if len(rows) >= batch_rows:
                                 yield pd.DataFrame(rows, columns=cols)
                                 rows = []
-                    except (OSError, EOFError, lzma.LZMAError) as exc:
+                    except (OSError, EOFError, lzma.LZMAError,
+                            zlib.error) as exc:
+                        # zlib.error: corrupt (non-truncated) gzip
+                        # deflate data raises it directly, not OSError
+                        # (cf. warc.py's member recovery)
                         # corrupt compressed stream mid-archive: the
                         # unreadable remainder becomes ONE error row,
                         # rows already parsed are kept (warc's member

@@ -120,6 +120,32 @@ def test_compressed_mbox_streams(spark, tmp_path):
                for r in by_file["c.mbox.gz"])
 
 
+def test_bitflipped_gzip_mbox_error_row(spark, tmp_path):
+    """Corrupt (non-truncated) gzip — a bit flip in the deflate stream —
+    raises zlib.error from GzipFile.read, which must quarantine as an
+    error row exactly like a truncated stream (ADVICE r4)."""
+    import gzip
+
+    mb = emltext.encode_mbox(
+        [_eml(i, f"flip body {i}") for i in range(20)])
+    gz = bytearray(gzip.compress(mb))
+    gz[len(gz) // 2] ^= 0xFF  # flip a byte mid-deflate-stream
+    with open(tmp_path / "flip.mbox.gz", "wb") as f:
+        f.write(bytes(gz))
+    recs = mboxsrc.read_mbox(spark, str(tmp_path)).collect()
+    assert any(r["error"] and "decompress" in r["error"] for r in recs)
+
+
+def test_count_messages_bare_cr_endings():
+    """count_messages (shallow) must agree with the deep probe on
+    classic-Mac bare-CR archives (ADVICE r4)."""
+    mb = emltext.encode_mbox([_eml(0, "cr one"), _eml(1, "cr two")])
+    bare_cr = mb.replace(b"\r\n", b"\n").replace(b"\n", b"\r")
+    assert emltext.count_messages(bare_cr) == 2
+    n, _, _ = emltext.probe_mbox(bare_cr)
+    assert n == 2
+
+
 @pytest.fixture(scope="module")
 def mbox_tree(spark, tmp_path_factory):
     """Two mbox files whose messages interleave body paragraphs with a
