@@ -273,6 +273,41 @@ def emit_text_blocks(doc_id: str, offset: int, ref: str, page_index: int,
         out["page_height"].append(page_h)
 
 
+def _decode_raster_pages(payload: bytes) -> list:
+    """Standalone raster payload -> grayscale page list via the magic
+    dispatch (PNG/BMP/TIFF/GIF/JPEG), shared by the top-level image
+    branch and the office embedded-media interleave."""
+    kind = formats.sniff_kind(payload)
+    if kind == "png":
+        return [pdfcodec.rgb_to_gray(pngcodec.decode_png(payload))]
+    if kind == "bmp":
+        from .. import bmpcodec
+
+        return [pdfcodec.rgb_to_gray(bmpcodec.decode_bmp(payload))]
+    if kind in _PAGED_CODECS:
+        return _PAGED_CODECS[kind][1](payload, mode="L", page_indices=None)
+    return [pdfcodec.rgb_to_gray(jpegcodec.decode_jpeg(payload))]
+
+
+def _office_content(parts: list[tuple]) -> list[tuple]:
+    """Part walk output (:func:`..docxtext.document_parts` /
+    :func:`..odttext.document_parts`) -> ordered ``("text", text)`` /
+    ``("raster", gray_page)`` content items. Embedded pictures whose
+    bytes sniff as a supported raster codec decode here (a multi-frame
+    TIFF/GIF contributes one item per frame, in frame order);
+    unsupported formats (EMF/WMF vectors, nested containers)
+    contribute nothing — the deep probe validates exactly this subset
+    (:func:`..docxtext.validate_embedded_media`)."""
+    content: list[tuple] = []
+    for part in parts:
+        if part[0] == "text":
+            content.append(("text", part[2]))
+        elif formats.sniff_kind(part[3]) in docxtext.EMBED_RASTER_KINDS:
+            for page in _decode_raster_pages(part[3]):
+                content.append(("raster", page))
+    return content
+
+
 def _ocr_real_batches_fn(text_layer: bool = False):
     # keep the closure's __name__ descriptive: it is what
     # .explain("formatted") prints on the MapInPandas node
@@ -300,7 +335,7 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
         # OCR/kernel failure propagates LOUDLY; swallowing it after
         # some pages' rows were appended would leave a silently
         # part-extracted document).
-        blocks = hybrid = pages = paged_text = None
+        blocks = hybrid = pages = paged_text = office = None
         try:
             # mode="L": the OCR kernels are grayscale — native-gray
             # PDF pages stay 2-D end-to-end (no RGB round trip),
@@ -313,13 +348,19 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 # (page, y1, x1) span sort is document order.
                 blocks = htmltext.main_blocks(htmltext.decode_html(raw))
             elif kind == "docx":
-                # office tier: word/document.xml paragraphs in document
-                # order (headers/footers live in other zip members and
-                # never emit — the office boilerplate drop)
-                blocks = docxtext.paragraph_blocks(raw)
+                # office tier: the INTERLEAVED part walk — paragraphs
+                # in document order PLUS embedded pictures
+                # (w:drawing/a:blip, VML imagedata) decoded through the
+                # real raster codecs and OCR'd IN PLACE, so a scanned
+                # page pasted into a DOCX extracts between its
+                # surrounding paragraphs (headers/footers live in other
+                # zip members and never emit — the office boilerplate
+                # drop)
+                office = _office_content(docxtext.document_parts(raw))
             elif kind == "odt":
                 # OpenDocument sibling: content.xml text:p/text:h walk
-                blocks = odttext.paragraph_blocks(raw)
+                # + draw:image pictures, same interleave contract
+                office = _office_content(odttext.document_parts(raw))
             elif kind == "rtf":
                 # legacy desktop/email: strict RTF token stream
                 blocks = rtftext.extract_paragraphs(raw)
@@ -432,6 +473,24 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
         if blocks is not None:
             emit_text_blocks(doc_id, int(offset), ref, int(lo),
                              blocks, 0, 0, out)
+        elif office is not None:
+            # content ordinal AS page_index: the assembler's global
+            # sort key (offset, page_index, y1, x1, block_index) then
+            # interleaves each picture's OCR blocks (real in-page
+            # geometry, internal reading order intact) exactly between
+            # the paragraphs around it. For text-only documents this
+            # is sort-equivalent to the old single-page ordinal-y1
+            # emission — identical span output.
+            for i, (okind, item) in enumerate(office):
+                if okind == "text":
+                    emit_text_blocks(
+                        doc_id, int(offset), ref, i,
+                        [plaintext.TextParagraph(0, item)], 0, 0, out,
+                    )
+                else:
+                    ocr_rendered_page(
+                        doc_id, int(offset), ref, i, item, out,
+                    )
         elif paged_text is not None:
             for i, page_blocks in enumerate(paged_text):
                 emit_text_blocks(doc_id, int(offset), ref, int(lo) + i,
