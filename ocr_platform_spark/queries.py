@@ -753,6 +753,71 @@ FROM params p JOIN seq s ON s.i < 2 * p.m
 """
 
 
+# --- office embedded-media driver-contract query (closed-form oracle) --------
+
+_DOCX_Q_DOCS = 100
+_DOCX_Q_WORDS = ["page", "scan", "word", "line"]
+
+
+def _build_docx_payload(d: int) -> bytes:
+    import numpy as np
+
+    from . import docxtext, pngcodec, raster
+    from .formats import Band, PageDesc
+    from .kernels import text_px_width
+
+    word = _DOCX_Q_WORDS[d % 4]
+    page = PageDesc(
+        width=text_px_width(word) + 60, height=100,
+        bands=[Band(x=10, y=10, lines=[word], line_h=42, gap=8)],
+    )
+    png = pngcodec.encode_png(
+        np.stack([raster.render_page(page, 1.0)] * 3, axis=-1)
+    )
+    return docxtext.encode_docx_with_media(
+        [f"docx {d} a", (f"docx {d} b", png, f"docx {d} c")]
+    )
+
+
+def docx_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query for the office embedded-media interleave
+    (VERDICT r4 #2): deterministic DOCX payloads synthesized in-plan,
+    each embedding a glyph-rendered PNG INLINE between two text runs of
+    its second paragraph, through the REAL dispatch (zip refinement ->
+    part walk -> real PNG decode -> OCR -> span assembly). The OCR'd
+    word is closed-form (``_DOCX_Q_WORDS[d % 4]``), so the picture's
+    position BETWEEN its surrounding paragraphs is value-pinned by the
+    DuckDB oracle."""
+    from .operators.extract_real import extract_real_documents
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id").orderBy("doc_id").limit(_DOCX_Q_DOCS)
+    )
+    media = _synth_eml_media(ids, _build_docx_payload)
+    out = extract_real_documents(_eml_docs_frame(media), media)
+    return _flatten_text_spans(out)
+
+
+DOCX_EMBEDDED_SQL = f"""
+WITH params AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_DOCX_Q_DOCS}
+), seq AS (SELECT unnest(range(4)) AS i)
+SELECT p.doc_id,
+       CAST(s.i AS INT) AS span_order,
+       CASE s.i
+         WHEN 0 THEN 'docx ' || p.doc_id || ' a'
+         WHEN 1 THEN 'docx ' || p.doc_id || ' b'
+         WHEN 2 THEN CASE p.doc_id % 4 WHEN 0 THEN 'page'
+                                       WHEN 1 THEN 'scan'
+                                       WHEN 2 THEN 'word'
+                                       ELSE 'line' END
+         ELSE 'docx ' || p.doc_id || ' c'
+       END AS span_text
+FROM params p CROSS JOIN seq s
+"""
+
+
 # --- streaming: watermarked window agg, drained and oracle-checked -----------
 
 
@@ -818,11 +883,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 OracleSql = "str | Callable[[], str] | None"
 
 REGISTRY: dict[str, tuple[QueryFn, object]] = {
+    # ---- driver-gated first 50 (pinned in tests/test_registry.py) ----
+    # Round-5 rotation (VERDICT r4 #3): the 9 SQL-backed queries that
+    # had never earned a driver-grade row (four rounds of past-cap
+    # history) swap INTO the gate, plus the new docx_embedded office
+    # interleave query; 10 long-green siblings (each a derivative of a
+    # still-gated family member, each pytest-pinned, all still verified
+    # at HEAD by tools/check_oracle.py) rotate out.
     # relational operator surface (SURVEY.md §2)
     "topk_recent_orders": (topk_recent_orders, TOPK_RECENT_ORDERS_SQL),
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "orders_per_nation": (orders_per_nation, ORDERS_PER_NATION_SQL),
-    "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "nation_parttype_profit": (
         nation_parttype_profit,
         NATION_PARTTYPE_PROFIT_SQL,
@@ -835,7 +906,6 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
     "reading_order_events": (reading_order_events, READING_ORDER_EVENTS_SQL),
     "session_spans": (session_spans, SESSION_SPANS_SQL),
     "value_range_bins": (value_range_bins, VALUE_RANGE_BINS_SQL),
-    "event_props_json": (event_props_json, EVENT_PROPS_JSON_SQL),
     "session_json": (session_json, SESSION_JSON_SQL),
     "stream_window_counts": (stream_window_counts, STREAM_WINDOW_COUNTS_SQL),
     "zip_align_events": (zip_align_events, ZIP_ALIGN_EVENTS_SQL),
@@ -848,42 +918,37 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
         textstats.doc_fingerprints,
         textstats.DOC_FINGERPRINTS_SQL,
     ),
-    "doc_checksums": (textstats.doc_checksums, textstats.DOC_CHECKSUMS_SQL),
     "tfidf_top_terms": (
         textstats.tfidf_top_terms,
         textstats.TFIDF_TOP_TERMS_SQL,
     ),
-    "bpe_token_count": (
-        textstats.bpe_token_count,
-        textstats.BPE_TOKEN_COUNT_SQL,
-    ),
     # dedup
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
-    "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     "minhash_signatures": (
         dedup.minhash_signatures,
         dedup.MINHASH_SIGNATURES_SQL,
     ),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL),
     "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
+    "simhash_pairs": (dedup.simhash_pairs, dedup.SIMHASH_PAIRS_SQL),
+    "embedding_near_dup": (
+        dedup.embedding_near_dup,
+        dedup.EMBEDDING_NEAR_DUP_SQL,
+    ),
     # similarity search
     "ann_bruteforce_topk": (
         similarity.ann_bruteforce_topk,
         similarity.ANN_BRUTEFORCE_SQL,
     ),
     "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
-    "lsh_buckets": (similarity.lsh_buckets, similarity.LSH_BUCKETS_SQL),
+    "ann_recall": (similarity.ann_recall, similarity.ANN_RECALL_SQL),
     "embedding_near_dup_lsh": (
         similarity.embedding_near_dup_lsh,
         similarity._finalize_sql(),
     ),
-    # HTML main-content extraction (north_rule: boilerplate strip + DOM
-    # heuristics); tag-strip tier is fully oracle-checked, the density
-    # heuristic is pinned against its Python oracle in pytest
-    # corpus-curation tier: group resolution, vocab, repetition,
-    # PII scrub, deterministic sampling, the composite filter, packing
+    # corpus-curation tier: group resolution, repetition, PII scrub,
+    # deterministic sampling, the composite filter, packing
     "dedup_groups": (curation.dedup_groups, curation.DEDUP_GROUPS_SQL),
-    "vocab_topk": (curation.vocab_topk, curation.VOCAB_TOPK_SQL),
     "repetition_scores": (
         curation.repetition_scores,
         curation.REPETITION_SCORES_SQL,
@@ -899,8 +964,7 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
         curation.source_mix_weights,
         curation.SOURCE_MIX_WEIGHTS_SQL,
     ),
-    # pretraining-corpus analysis tier: decontamination, chunk dedup,
-    # length histograms, SemDeDup clustering + pruning
+    # pretraining-corpus analysis tier
     "contamination_check": (
         pretrain.contamination_check,
         pretrain.CONTAMINATION_CHECK_SQL,
@@ -914,21 +978,40 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
         pretrain.semdedup_clusters,
         pretrain.SEMDEDUP_CLUSTERS_SQL,
     ),
-    "semdedup_prune": (pretrain.semdedup_prune, pretrain.SEMDEDUP_PRUNE_SQL),
     "bpe_pair_counts": (
         pretrain.bpe_pair_counts,
         pretrain.BPE_PAIR_COUNTS_SQL,
     ),
-    "unigram_scores": (pretrain.unigram_scores, pretrain.UNIGRAM_SCORES_SQL),
-    "html_text": (html_extract.html_text, html_extract.HTML_TEXT_SQL),
+    # HTML main-content extraction (north_rule: boilerplate strip + DOM
+    # heuristics) — html_main_blocks is the pipeline DOM tier's keep rule
     "html_main_content": (html_extract.main_content, html_extract.MAIN_CONTENT_SQL),
-    # multimodal binary plumbing
+    "html_main_blocks": (
+        html_extract.html_main_blocks,
+        html_extract.HTML_MAIN_BLOCKS_SQL,
+    ),
+    # multimodal binary plumbing + audio/video tier (closed-form oracles
+    # over the real encode->decode->feature path)
     "payload_stats": (
         multimodal.documents_payload_stats,
         multimodal.DOCUMENTS_PAYLOAD_STATS_SQL,
     ),
-    # extraction pipeline (non-SQL-expressible: rows-only driver check,
-    # exact span-sequence equality pinned by tests/test_extract_spark.py)
+    "audio_metadata": (
+        multimodal.audio_metadata_q, multimodal.AUDIO_METADATA_SQL,
+    ),
+    "audio_features": (
+        multimodal.audio_features_q, multimodal.AUDIO_FEATURES_SQL,
+    ),
+    "video_frame_luma": (
+        multimodal.video_frame_luma_q, multimodal.VIDEO_FRAME_LUMA_SQL,
+    ),
+    # e-mail tier: closed-form pins of the probe->ladder->MIME-walk->
+    # assembly path (incl. the alternative/DOM leg and the mbox paged
+    # slicer at bucket_pages=2)
+    "eml_extract": (eml_extract, EML_EXTRACT_SQL),
+    "mbox_pages": (mbox_pages, MBOX_PAGES_SQL),
+    # office embedded-media interleave (round 5): a PNG inline in a DOCX
+    # paragraph OCRs between its surrounding paragraphs
+    "docx_embedded": (docx_embedded, DOCX_EMBEDDED_SQL),
     # true J5: structure-node source map — blocks from the REAL Spark
     # detect+recognize pipeline range-joined to node anchors; the oracle
     # recomputes the blocks independently via the single-node Python
@@ -939,50 +1022,26 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
     ),
     # --- entries below this line sit OUTSIDE the driver gate's 50-entry
     # cap (CORRECTNESS_rNN records the first 50 queries() items). The
-    # three SQL-backed queries here are deliberately demoted: each is a
-    # derivative of an in-cap gated sibling AND carries its own pytest
-    # pin — simhash_pairs (simhash gated; exact-recall brute-force pin in
-    # test_dedup_recall), embedding_near_dup (guarded exact tier; the
-    # registered scale path embedding_near_dup_lsh is gated; recall pin
-    # in test_dedup_recall), ann_recall (a composition of the two gated
-    # ann_* queries; pinned in test_similarity). They remain fully
-    # oracle-backed — `tools/check_oracle.py` verifies all of them.
-    "simhash_pairs": (dedup.simhash_pairs, dedup.SIMHASH_PAIRS_SQL),
-    "embedding_near_dup": (
-        dedup.embedding_near_dup,
-        dedup.EMBEDDING_NEAR_DUP_SQL,
+    # round-5 rotation demoted these 10 long-green queries — each is a
+    # derivative of an in-cap gated family member AND carries its own
+    # pytest pin, and every one remains fully oracle-backed:
+    # tools/check_oracle.py verifies them at HEAD each round
+    # (CORRECTNESS_LOCAL_rNN.json).
+    "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
+    "event_props_json": (event_props_json, EVENT_PROPS_JSON_SQL),
+    "doc_checksums": (textstats.doc_checksums, textstats.DOC_CHECKSUMS_SQL),
+    "bpe_token_count": (
+        textstats.bpe_token_count,
+        textstats.BPE_TOKEN_COUNT_SQL,
     ),
-    "ann_recall": (similarity.ann_recall, similarity.ANN_RECALL_SQL),
-    # html_main_blocks follows the same demotion policy: a derivative of
-    # the in-cap html_text/html_main_content siblings (the pipeline DOM
-    # tier's keep rule), pytest-pinned end-to-end by span equality in
-    # test_extract_html.py, oracle-backed via check_oracle.py
-    "html_main_blocks": (
-        html_extract.html_main_blocks,
-        html_extract.HTML_MAIN_BLOCKS_SQL,
-    ),
-    # audio/video multimodal tier (round 4): same demotion policy — the
-    # 50-entry gate cap is immovable, so these land past-cap; each is
-    # FULLY oracle-backed (closed-form SQL pinning the real
-    # encode->decode->feature path; multimodal.py "audio/video
-    # driver-contract queries") and verified by tools/check_oracle.py +
-    # pytest (test_audio_video.py)
-    "audio_metadata": (
-        multimodal.audio_metadata_q, multimodal.AUDIO_METADATA_SQL,
-    ),
-    "audio_features": (
-        multimodal.audio_features_q, multimodal.AUDIO_FEATURES_SQL,
-    ),
-    "video_frame_luma": (
-        multimodal.video_frame_luma_q, multimodal.VIDEO_FRAME_LUMA_SQL,
-    ),
-    # e-mail tier (round 4): same demotion policy — fully oracle-backed
-    # closed-form pins of the real probe->ladder->MIME-walk->assembly
-    # path (incl. the alternative/DOM leg and the mbox paged slicer at
-    # bucket_pages=2), verified by tools/check_oracle.py + pytest
-    # (test_extract_eml.py / test_mbox_source.py)
-    "eml_extract": (eml_extract, EML_EXTRACT_SQL),
-    "mbox_pages": (mbox_pages, MBOX_PAGES_SQL),
+    "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
+    "lsh_buckets": (similarity.lsh_buckets, similarity.LSH_BUCKETS_SQL),
+    "vocab_topk": (curation.vocab_topk, curation.VOCAB_TOPK_SQL),
+    "semdedup_prune": (pretrain.semdedup_prune, pretrain.SEMDEDUP_PRUNE_SQL),
+    "unigram_scores": (pretrain.unigram_scores, pretrain.UNIGRAM_SCORES_SQL),
+    "html_text": (html_extract.html_text, html_extract.HTML_TEXT_SQL),
+    # rows-only extraction/multimodal pipelines (non-SQL-expressible;
+    # exact span-sequence equality pinned by tests/test_extract_spark.py)
     "extract_spans": (extract_spans, None),
     "extract_detect_boxes": (extract_detect_boxes, None),
     "extract_two_phase": (extract_two_phase, None),
