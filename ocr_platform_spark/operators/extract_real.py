@@ -613,7 +613,7 @@ def extract_real_documents(
     bucket_pages: int | None = DEFAULT_BUCKET_PAGES,
     num_partitions: int | None = None,
     broadcast_spans: bool | None = None,
-    share_spans: bool = True,
+    share_spans: "bool | str" = True,
     slice_payloads: bool = True,
     text_layer: bool = True,
 ) -> DataFrame:
@@ -632,9 +632,14 @@ def extract_real_documents(
     (instead of three full scans). Same executor-loss caveat as
     :func:`..operators.extract.extract_documents` — pass False on
     clusters with preemptible executors to trade re-scans for plain
-    lineage recompute.
+    lineage recompute, or ``"replicated"`` to keep the single-scan plan
+    on a replicated, recomputable ``MEMORY_AND_DISK_2`` persist.
     """
-    spans = shared_exploded_spans(documents) if share_spans else None
+    spans = (
+        shared_exploded_spans(documents,
+                              replicated=share_spans == "replicated")
+        if share_spans else None
+    )
     buckets = real_page_buckets(
         documents, media, bucket_pages, broadcast_spans, spans=spans,
         slice_payloads=slice_payloads, text_layer=text_layer,
