@@ -439,7 +439,8 @@ def read_warc(spark: SparkSession, paths: str,
                                schema=RECORD_SCHEMA)
 
 
-def warc_to_corpus(records: DataFrame) -> tuple[DataFrame, DataFrame]:
+def warc_to_corpus(records: DataFrame,
+                   single_parse: bool = False) -> tuple[DataFrame, DataFrame]:
     """Kept records -> ``(documents, media)`` in the engine's interleaved
     input shape (BASELINE.json ``input_hint``). Pure column expressions.
 
@@ -448,6 +449,11 @@ def warc_to_corpus(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     extract from. ``doc_id`` is deterministic (the record's own urn id
     when present, else a sha of file + record index) so re-ingesting a
     crawl is idempotent for lineage/resume purposes.
+
+    ``single_parse=True`` persists the kept-records frame
+    (``MEMORY_AND_DISK``) so the two consumer legs materialize the
+    archive parse ONCE instead of once per leg (VERDICT r4 #9; same
+    CacheManager-lifecycle caveat as ``mbox_to_corpus``).
     """
     rid = F.coalesce(
         F.regexp_replace("record_id", r"[<>]", ""),
@@ -471,6 +477,10 @@ def warc_to_corpus(records: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("payload"),
         )
     )
+    if single_parse:
+        from pyspark import StorageLevel
+
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
     documents = kept.select(
         "doc_id",
         F.array(F.struct(
@@ -492,20 +502,22 @@ def warc_to_corpus(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     return documents, media
 
 
-def extract_warc(spark: SparkSession, paths: str, **extract_kw) -> DataFrame:
+def extract_warc(spark: SparkSession, paths: str,
+                 single_parse: bool = True, **extract_kw) -> DataFrame:
     """Archives in, reading-ordered span arrays out: :func:`read_warc`
     -> :func:`warc_to_corpus` -> the real-codec extraction pipeline.
 
     The records frame is referenced by both legs of the downstream
     span⋈payload join; each leg prunes to different columns and only
     the media leg carries ``payload``, so archive bytes cross the wire
-    once. The parse itself runs once per leg — callers chaining many
-    stages over the same crawl should persist the records frame.
+    once. ``single_parse`` (default on) persists the kept-records frame
+    so the archive parse also runs once, not once per leg (see
+    :func:`warc_to_corpus` for the cache-lifecycle caveat).
     """
     from ..operators.extract_real import extract_real_documents
 
     records = read_warc(spark, paths)
-    documents, media = warc_to_corpus(records)
+    documents, media = warc_to_corpus(records, single_parse=single_parse)
     return extract_real_documents(documents, media, **extract_kw)
 
 

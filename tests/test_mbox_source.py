@@ -229,3 +229,43 @@ def test_quarantined_message_is_triage_row_not_job_failure(
     assert len(errs) == 1 and "quarantined" in errs[0]["error"]
     docs, _media = mboxsrc.mbox_to_corpus(recs)
     assert docs.count() == 1  # the good message still lands
+
+
+def _counting_tap(log_path: str, schema):
+    """Pass-through mapInPandas stage that appends one line per row it
+    sees — counts how many times the UPSTREAM (archive split) actually
+    executes across downstream actions (the closure is pickled to the
+    python workers; the log file is on the shared local fs)."""
+    def gen(frames):
+        for pdf in frames:
+            if len(pdf):
+                with open(log_path, "a") as f:
+                    f.write("x\n" * len(pdf))
+            yield pdf
+    return gen
+
+
+def test_single_parse_runs_archive_split_once(spark, tmp_path):
+    """mbox_to_corpus(single_parse=True) (VERDICT r4 #9): both corpus
+    legs together materialize the archive parse ONCE; the default still
+    parses once per leg (the documented two-leg shape)."""
+    n_msgs = 6
+    mb = emltext.encode_mbox([_eml(i, f"sp body {i}") for i in range(n_msgs)])
+    with open(tmp_path / "sp.mbox", "wb") as f:
+        f.write(mb)
+
+    def run(single_parse: bool, tag: str) -> int:
+        log = str(tmp_path / f"tap_{tag}.log")
+        records = mboxsrc.read_mbox(spark, str(tmp_path))
+        tapped = records.mapInPandas(
+            _counting_tap(log, records.schema), schema=records.schema)
+        docs, media = mboxsrc.mbox_to_corpus(tapped,
+                                             single_parse=single_parse)
+        docs.write.format("noop").mode("overwrite").save()
+        media.write.format("noop").mode("overwrite").save()
+        n = sum(1 for _ in open(log))
+        spark.catalog.clearCache()
+        return n
+
+    assert run(False, "dflt") == 2 * n_msgs  # one parse per leg
+    assert run(True, "single") == n_msgs     # ONE parse total
