@@ -115,13 +115,20 @@ _PAGED_CODECS = {
 }
 
 #: multi-page TEXT containers (pages extract as blocks, never rasters)
-#: sharing the same (slice_pages, page_blocks) bucket shape — slides /
-#: sheets are pages, so the skew bucketing and probe-time slicing apply
+#: sharing the same (slice_pages, page_blocks) bucket shape — sheets /
+#: chapters / messages are pages, so the skew bucketing and probe-time
+#: slicing apply
 _PAGED_TEXT_CODECS = {
-    "pptx": (pptxtext.slice_slides, pptxtext.slide_blocks),
     "xlsx": (xlsxtext.slice_sheets, xlsxtext.sheet_blocks),
     "epub": (epubtext.slice_chapters, epubtext.chapter_blocks),
     "mbox": (emltext.slice_messages, emltext.mbox_page_blocks),
+}
+
+#: multi-page MIXED containers: pages carry text blocks AND embedded
+#: pictures that OCR in place (round 5 — PPTX ``p:pic``); same bucket /
+#: slice shape, but the page renderer returns ordered part lists
+_PAGED_MIXED_CODECS = {
+    "pptx": (pptxtext.slice_slides, pptxtext.slide_parts),
 }
 
 REAL_BUCKET = (
@@ -212,6 +219,11 @@ def _bucket_batches_fn(bucket_pages: int | None,
                                 lambda idx, _r=raw, _k=kind:
                                 _PAGED_TEXT_CODECS[_k][0](_r, idx)
                             )
+                        elif kind in _PAGED_MIXED_CODECS:
+                            slice_fn = (
+                                lambda idx, _r=raw, _k=kind:
+                                _PAGED_MIXED_CODECS[_k][0](_r, idx)
+                            )
                     except ValueError:
                         slice_fn = None
                 for b in range(n_buckets):
@@ -289,6 +301,20 @@ def _decode_raster_pages(payload: bytes) -> list:
     return [pdfcodec.rgb_to_gray(jpegcodec.decode_jpeg(payload))]
 
 
+def _decode_mixed_parts(parts: list[tuple]) -> list[tuple]:
+    """One MIXED page's part walk -> emission-ready parts: text parts
+    pass through, each supported embedded picture decodes to
+    ``("rasters", ordinal, gray_pages)`` (so decode failures surface
+    inside the caller's atomic try), unsupported formats drop."""
+    out: list[tuple] = []
+    for part in parts:
+        if part[0] == "text":
+            out.append(part)
+        elif formats.sniff_kind(part[4]) in docxtext.EMBED_RASTER_KINDS:
+            out.append(("rasters", part[1], _decode_raster_pages(part[4])))
+    return out
+
+
 def _office_content(parts: list[tuple]) -> list[tuple]:
     """Part walk output (:func:`..docxtext.document_parts` /
     :func:`..odttext.document_parts`) -> ordered ``("text", text)`` /
@@ -306,6 +332,67 @@ def _office_content(parts: list[tuple]) -> list[tuple]:
             for page in _decode_raster_pages(part[3]):
                 content.append(("raster", page))
     return content
+
+
+def _emit_mixed_page_parts(doc_id: str, offset: int, ref: str,
+                           page_index: int, parts: list[tuple],
+                           out: dict[str, list]) -> None:
+    """One MIXED page (PPTX slide) -> BLOCK rows preserving shape-tree
+    order: text parts emit at ``(y1=ordinal, x1=0)``; each embedded
+    picture OCRs through the shared core and its blocks re-emit at
+    ``(y1=picture ordinal, x1=reading rank)`` — synthetic coordinates
+    (the slide has no shared pixel space with its pictures), so the
+    per-page sort key ``(y1, x1, block_index)`` interleaves the OCR'd
+    text exactly at the picture's slot while keeping the picture's own
+    reading order and per-block confidences."""
+    bi = 0
+    for part in parts:
+        if part[0] == "text":
+            _k, ordinal, text = part
+            text = text.strip()
+            if not text:
+                continue
+            out["doc_id"].append(doc_id)
+            out["offset"].append(offset)
+            out["media_ref"].append(ref)
+            out["page_index"].append(page_index)
+            out["block_index"].append(bi)
+            out["x1"].append(0)
+            out["y1"].append(ordinal)
+            out["x2"].append(max(1, len(text)))
+            out["y2"].append(ordinal + 1)
+            out["text"].append(text)
+            out["conf"].append(1.0)
+            out["page_width"].append(0)
+            out["page_height"].append(0)
+            bi += 1
+            continue
+        _k, ordinal, pages = part  # ("rasters", ordinal, gray pages)
+        rank = 0
+        for page in pages:
+            tmp: dict[str, list] = {f.name: [] for f in BLOCK.fields}
+            ocr_rendered_page(doc_id, offset, ref, 0, page, tmp)
+            order = sorted(
+                range(len(tmp["text"])),
+                key=lambda k: (tmp["y1"][k], tmp["x1"][k],
+                               tmp["block_index"][k]),
+            )
+            for k in order:
+                out["doc_id"].append(doc_id)
+                out["offset"].append(offset)
+                out["media_ref"].append(ref)
+                out["page_index"].append(page_index)
+                out["block_index"].append(bi)
+                out["x1"].append(rank)
+                out["y1"].append(ordinal)
+                out["x2"].append(rank + 1)
+                out["y2"].append(ordinal + 1)
+                out["text"].append(tmp["text"][k])
+                out["conf"].append(tmp["conf"][k])
+                out["page_width"].append(0)
+                out["page_height"].append(0)
+                bi += 1
+                rank += 1
 
 
 def _ocr_real_batches_fn(text_layer: bool = False):
@@ -335,7 +422,7 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
         # OCR/kernel failure propagates LOUDLY; swallowing it after
         # some pages' rows were appended would leave a silently
         # part-extracted document).
-        blocks = hybrid = pages = paged_text = office = None
+        blocks = hybrid = pages = paged_text = paged_mixed = office = None
         try:
             # mode="L": the OCR kernels are grayscale — native-gray
             # PDF pages stay 2-D end-to-end (no RGB round trip),
@@ -422,14 +509,28 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                     plaintext.decode_text(raw)
                 )
             elif kind in _PAGED_TEXT_CODECS:
-                # paged office containers: slides/sheets are pages, so
-                # buckets and slicing apply exactly like raster PDFs —
-                # but pages extract as text blocks, never rasters
+                # paged office containers: sheets/chapters/messages are
+                # pages, so buckets and slicing apply exactly like
+                # raster PDFs — but pages extract as text blocks,
+                # never rasters
                 idx = (None if sliced
                        else list(range(int(lo), int(hi))))
                 paged_text = _PAGED_TEXT_CODECS[kind][1](
                     raw, page_indices=idx,
                 )
+            elif kind in _PAGED_MIXED_CODECS:
+                # paged MIXED containers (PPTX): slides are pages whose
+                # parts interleave text paragraphs with embedded
+                # pictures; pictures decode through the raster codecs
+                # HERE (atomically with the part walk) and OCR below
+                idx = (None if sliced
+                       else list(range(int(lo), int(hi))))
+                paged_mixed = [
+                    _decode_mixed_parts(p)
+                    for p in _PAGED_MIXED_CODECS[kind][1](
+                        raw, page_indices=idx,
+                    )
+                ]
             elif kind == "pdf" and text_layer:
                 # HYBRID dispatch: text-layer pages parse (no pixels
                 # ever produced), scanned pages raster here + OCR below
@@ -495,6 +596,10 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
             for i, page_blocks in enumerate(paged_text):
                 emit_text_blocks(doc_id, int(offset), ref, int(lo) + i,
                                  page_blocks, 0, 0, out)
+        elif paged_mixed is not None:
+            for i, page_parts in enumerate(paged_mixed):
+                _emit_mixed_page_parts(doc_id, int(offset), ref,
+                                       int(lo) + i, page_parts, out)
         elif hybrid is not None:
             for i, (pkind, payload, pw, ph) in enumerate(hybrid):
                 if pkind == "text":

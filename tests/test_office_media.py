@@ -231,3 +231,94 @@ def test_embedded_pictures_ocr_between_their_paragraphs(office_corpus):
         ("text", "data", "m-gif", 2),   # frame 1
         ("text", "post gif", "m-gif", 3),
     ]
+
+
+# --- PPTX: embedded pictures inside PAGED slides -----------------------------
+
+
+def test_pptx_slide_parts_order():
+    from ocr_platform_spark import pptxtext
+
+    png = _word_png("page")
+    pptx = pptxtext.encode_pptx([
+        ["slide one text", png, "after pic"],
+        ["slide two only text"],
+    ])
+    parts = pptxtext.slide_parts(pptx)
+    assert [(p[0], p[2] if p[0] == "text" else p[2])
+            for p in parts[0]] == [
+        ("text", "slide one text"), ("media", "image/png"),
+        ("text", "after pic"),
+    ]
+    # ordinals strictly increase in shape-tree order
+    assert [p[1] for p in parts[0]] == [0, 1, 2]
+    assert [(p[0], p[2]) for p in parts[1]] == [
+        ("text", "slide two only text")
+    ]
+    # deep probe validates embedded rasters
+    assert pptxtext.probe_pptx(pptx, deep=True) == (2, 0, 0)
+
+
+def test_pptx_slice_keeps_slide_media():
+    from ocr_platform_spark import pptxtext
+
+    png = _word_png("scan")
+    pptx = pptxtext.encode_pptx([
+        ["s1"], ["s2 before", png, "s2 after"], ["s3"],
+    ])
+    sliced = pptxtext.slice_slides(pptx, [1])
+    parts = pptxtext.slide_parts(sliced)
+    assert len(parts) == 1
+    assert [(p[0],) for p in parts[0]] == [
+        ("text",), ("media",), ("text",)
+    ]
+    assert bytes(parts[0][1][4]) == png  # payload survives the slice
+
+
+def test_pptx_dangling_slide_rel_quarantines():
+    import io
+    import zipfile
+
+    from ocr_platform_spark import pptxtext
+
+    png = _word_png("page")
+    pptx = pptxtext.encode_pptx([["a", png]])
+    src = zipfile.ZipFile(io.BytesIO(pptx))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as dst:
+        for info in src.infolist():
+            if "_rels/slide" not in info.filename:
+                dst.writestr(info, src.read(info.filename))
+    with pytest.raises(ValueError, match="dangling picture relationship"):
+        pptxtext.slide_parts(buf.getvalue())
+
+
+def test_pptx_embedded_pictures_ocr_in_slide_order(spark):
+    """End-to-end through the PAGED bucket path at bucket_pages=1 (so
+    the deck slices into per-slide buckets and the picture members must
+    survive the slice): each picture's OCR text lands between its
+    slide's surrounding paragraphs, and slide order is global."""
+    from ocr_platform_spark import pptxtext
+
+    pptx = pptxtext.encode_pptx([
+        ["s0 intro", _word_png("page"), "s0 outro"],
+        ["s1 text"],
+        [_word_png("scan"), "s2 tail"],
+    ])
+    docs_df = spark.createDataFrame(
+        [{"doc_id": "d-pptx", "spans": [
+            {"kind": "media", "text": None, "media_ref": "m-pptx",
+             "offset": 0},
+        ]}], schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(
+        [("m-pptx", bytearray(pptx))], "media_ref string, data binary")
+    out = extract_real_documents(docs_df, media_df, bucket_pages=1)
+    spans = _spans_by_doc(out)
+    assert spans["d-pptx"] == [
+        ("text", "s0 intro", "m-pptx", 0),
+        ("text", "page", "m-pptx", 1),
+        ("text", "s0 outro", "m-pptx", 2),
+        ("text", "s1 text", "m-pptx", 3),
+        ("text", "scan", "m-pptx", 4),
+        ("text", "s2 tail", "m-pptx", 5),
+    ]
