@@ -295,40 +295,11 @@ def mbox_to_corpus(records: DataFrame,
     r4 #9). The cache is plan-keyed in Spark's CacheManager and is NOT
     GC-cleaned; drivers looping many corpora should
     ``spark.catalog.clearCache()`` between runs or keep the default."""
+    from .common import parts_frame_to_corpus
+
     parts = parse_mbox_records(records).filter(
         F.col("error").isNull() & F.col("doc_id").isNotNull())
-    if single_parse:
-        from pyspark import StorageLevel
-
-        parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
-    spans = F.transform(
-        "kinds",
-        lambda kind, i: F.struct(
-            kind.alias("kind"),
-            F.element_at(F.col("texts"), i + 1).alias("text"),
-            F.when(kind == "media",
-                   F.concat(F.col("doc_id"), F.lit("#p"),
-                            i.cast("string"))).alias("media_ref"),
-            i.cast("int").alias("offset"),
-        ),
-    )
-    documents = parts.select("doc_id", spans.alias("spans"))
-    media = (
-        parts
-        .select("doc_id", F.posexplode(
-            F.arrays_zip("kinds", "ctypes", "fnames", "payloads")
-        ).alias("pos", "z"))
-        .filter(F.col("z.kinds") == "media")
-        .select(
-            F.concat("doc_id", F.lit("#p"),
-                     F.col("pos").cast("string")).alias("media_ref"),
-            F.col("z.ctypes").alias("content_type"),
-            F.col("z.fnames").alias("filename"),
-            F.col("z.payloads").alias("data"),
-            F.lit(None).cast("int").alias("page_count"),
-        )
-    )
-    return documents, media
+    return parts_frame_to_corpus(parts, single_parse=single_parse)
 
 
 def mbox_errors(records: DataFrame) -> DataFrame:
