@@ -321,6 +321,15 @@ def _strip_mail_boilerplate(text: str) -> str:
 def _message_walk(msg: EmailMessage, depth: int, base: int, out: list,
                   keep_attachments: bool = False) -> int:
     subject = str(msg.get("Subject", "")).strip()
+    if "�" in subject:
+        # a malformed RFC 2047 encoded-word decodes to U+FFFD
+        # replacement garbage via the stdlib's errors="replace" header
+        # path — the same corruption signal the body-charset rule
+        # quarantines on (module docstring); emitting it would plant
+        # mojibake at the top of every rendered message
+        raise ValueError(
+            "Subject contains undecodable encoded-word (U+FFFD)"
+        )
     if subject:
         out.append(("text", base, subject))
         base += len(subject) + 1
@@ -362,7 +371,14 @@ def message_spans(raw: bytes) -> tuple[str, list[tuple]]:
     msg = parse_message(raw)
     out: list = []
     _message_walk(msg, 0, 0, out, keep_attachments=True)
-    mid = re.sub(r"[<>\s]", "", str(msg.get("Message-ID", "")))
+    try:
+        # policy=default parses structured headers lazily AT ACCESS: a
+        # truncated/malformed Message-ID raises from deep inside the
+        # stdlib header parser (IndexError/HeaderParseError observed
+        # under fuzz) — that is a quarantine, not a job failure
+        mid = re.sub(r"[<>\s]", "", str(msg.get("Message-ID", "")))
+    except Exception as e:
+        raise ValueError(f"malformed Message-ID header: {e}") from e
     return mid, out
 
 
