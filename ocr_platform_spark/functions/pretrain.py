@@ -461,16 +461,22 @@ def _update(assigned: DataFrame) -> DataFrame:
     return cent.select("cluster", "ce", cn.alias("cn")).filter(F.col("cn") > 0)
 
 
-def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means with {SEM_ITERS} Lloyd iterations; init = vec_id < {SEM_K}.
-    Pure DAG construction — the driver never collects."""
+def _final_assignment(spark: SparkSession, sf_dir: str,
+                      k: int = SEM_K, iters: int = SEM_ITERS) -> DataFrame:
+    """K-means with ``iters`` Lloyd iterations; init = vec_id < ``k``.
+    Pure DAG construction — the driver never collects. Defaults
+    ({SEM_K}, {SEM_ITERS}) reproduce the gate oracle; each extra
+    iteration appends one broadcast-argmax assignment + one
+    fixed-point update to the plan (cost linear in ``iters``; the
+    recall/convergence exhibit in BENCH/IVF_RECALL.json measures where
+    extra passes stop paying on this corpus)."""
     v = _vectors(spark, sf_dir)
-    cent = v.filter(F.col("vec_id") < SEM_K).select(
+    cent = v.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("long").alias("cluster"),
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    for _ in range(SEM_ITERS):
+    for _ in range(iters):
         cent = _update(_assign(v, cent))
     return _assign(v, cent, keep_cos=True)
 

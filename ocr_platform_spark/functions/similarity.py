@@ -116,12 +116,56 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: assign vectors to nearest of {IVF_CENTROIDS} deterministic
-    centroids; each query probes its {IVF_NPROBE} closest cells and ranks
-    candidates by exact cosine within them."""
+def ivf_train_centroids(
+    spark: SparkSession, sf_dir: str, n_centroids: int = IVF_CENTROIDS,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd-refined IVF coarse quantizer: init = first ``n_centroids``
+    vectors (the deterministic seed the untrained tier uses), then
+    ``iters`` relational k-means iterations via the SHARED assignment /
+    order-independent-update steps (:mod:`..functions.pretrain`'s
+    ``_assign``/``_update`` — one broadcast-centroid argmax + one
+    fixed-point component aggregation per iteration, all in-plan, no
+    driver collect).
+
+    Convergence/scale story: each iteration appends one broadcast
+    cross-score + two narrow aggregations to the plan — cost is LINEAR
+    in ``iters`` and each pass reads the (cached or re-scanned) vector
+    table once; k-means on unit-sphere cosine typically saturates
+    within a handful of passes (the recall-vs-iters exhibit in
+    ``BENCH/IVF_RECALL.json`` measures the actual saturation point for
+    this corpus — that measurement, not a fixed constant, is how the
+    iteration budget should be picked at 100 TB, trained on a sampled
+    subset and broadcast). Returns ``(c_id, ce, cn)`` for
+    :func:`ann_ivf_topk`'s ``centroids`` parameter."""
+    from .pretrain import _assign, _update
+
     v = _vectors(spark, sf_dir)
-    cent = v.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+    cent = v.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").cast("long").alias("cluster"),
+        F.col("e").alias("ce"), F.col("nrm").alias("cn"),
+    )
+    for _ in range(iters):
+        cent = _update(_assign(v, cent))
+    return cent.select(
+        F.col("cluster").alias("c_id"), "ce", "cn"
+    )
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str,
+    n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE,
+    top_k: int = TOP_K, centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN: assign vectors to nearest of ``n_centroids`` deterministic
+    centroids (or a TRAINED quantizer passed via ``centroids`` —
+    :func:`ivf_train_centroids`); each query probes its ``nprobe``
+    closest cells and ranks candidates by exact cosine within them.
+    Defaults reproduce the gate oracle exactly."""
+    v = _vectors(spark, sf_dir)
+    cent = centroids if centroids is not None else v.filter(
+        F.col("vec_id") < n_centroids
+    ).select(
         F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
     # cell assignment: nearest centroid per vector (broadcast centroids —
@@ -144,7 +188,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prank", F.row_number().over(
             Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
         ))
-        .filter(F.col("prank") <= IVF_NPROBE)
+        .filter(F.col("prank") <= nprobe)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("e").alias("qe"),
@@ -160,7 +204,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
@@ -209,11 +253,20 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_recall(
+    spark: SparkSession, sf_dir: str,
+    n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """recall@k of the IVF index against exact brute force, per query —
-    the measurement that justifies (or rejects) an ANN configuration."""
+    the measurement that justifies (or rejects) an ANN configuration.
+    Parameterized over (n_centroids, nprobe, trained centroids) so the
+    operating-point sweep (``BENCH/ivf_recall_exhibit.py``) runs the
+    SAME operator it grades; defaults reproduce the gate oracle."""
     bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "n_id")
-    ivf = ann_ivf_topk(spark, sf_dir).select("q_id", "n_id")
+    ivf = ann_ivf_topk(spark, sf_dir, n_centroids=n_centroids,
+                       nprobe=nprobe, centroids=centroids
+                       ).select("q_id", "n_id")
     hits = bf.join(ivf, ["q_id", "n_id"]).groupBy("q_id").agg(
         F.count("*").alias("n_hit")
     )
