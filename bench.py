@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     # inside the plan; deterministic doc subset, so scale-stable)
     "audio_features",
     "video_frame_luma",
+    # office embedded-media interleave (round 5): in-plan DOCX synthesis
+    # -> zip refinement -> part walk -> real PNG decode -> OCR -> span
+    # assembly; fixed 100-doc subset, scale-stable
+    "docx_embedded",
 ]
 
 
