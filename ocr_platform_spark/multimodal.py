@@ -416,9 +416,10 @@ def probe_real_media(
 
         # RTF has no checksums/length fields, so structural validation
         # IS the strict parse; the shallow/metadata probe stays
-        # O(magic) like every other header walk
+        # O(magic) like every other header walk. deep additionally
+        # validates embedded \pict rasters (shared office rule)
         if deep:
-            n, w, h = rtftext.validate_rtf(raw)
+            n, w, h = rtftext.validate_rtf(raw, deep_media=True)
             return "rtf", n, w, h
         return "rtf", 1, 0, 0
     if kind == "wav":

@@ -449,8 +449,10 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
                 # + draw:image pictures, same interleave contract
                 office = _office_content(odttext.document_parts(raw))
             elif kind == "rtf":
-                # legacy desktop/email: strict RTF token stream
-                blocks = rtftext.extract_paragraphs(raw)
+                # legacy desktop/email: strict RTF token stream, with
+                # embedded \pict PNG/JPEG pictures interleaving like
+                # the DOCX walk (round 5)
+                office = _office_content(rtftext.document_parts(raw))
             elif kind == "txt":
                 # plain-text tier: blank-line paragraph split, the
                 # probe's final no-magic fallback

@@ -63,9 +63,29 @@ def _decode_hex(raw: bytes, i: int, codec: str) -> tuple[str, int]:
         raise ValueError(f"bad \\' escape at byte {i}: {e}") from e
 
 
-def extract_paragraphs(raw: bytes) -> list[TextParagraph]:
+#: picture wrapper destinations the parts walk looks inside (Word wraps
+#: every picture as ``{\*\shppict{\pict ...}}``; the ``\nonshppict``
+#: WMF fallback stays skipped so shapes never double-count)
+_PICT_WRAPPERS = {"shppict"}
+
+#: ``\pict`` type control word -> sniffable payload content type; every
+#: other blip type (wmetafile/emfblip/...) is the unsupported-vector
+#: subset, skipped exactly like EMF inside DOCX
+_PICT_TYPES = {"pngblip": "image/png", "jpegblip": "image/jpeg"}
+
+_HEX_RUN_RE = re.compile(rb"[0-9a-fA-F\s]*\Z")
+
+
+def extract_paragraphs(
+    raw: bytes, _parts: "list | None" = None
+) -> list[TextParagraph]:
     """RTF bytes -> paragraph blocks (strict; ``ValueError`` on every
-    malformed construct — the probe/quarantine contract)."""
+    malformed construct — the probe/quarantine contract).
+
+    ``_parts`` (internal, :func:`document_parts`): collect the e-mail
+    tier's part shape instead — embedded ``\\pict`` groups whose type is
+    PNG/JPEG become ``("media", ctype, name, payload)`` entries that
+    SPLIT the surrounding paragraph, exactly like the DOCX walk."""
     if not raw.startswith(MAGIC_RTF):
         raise ValueError("not an RTF payload (no {\\rtf magic)")
     codec = "cp1252"  # RTF default target for \ansi documents
@@ -82,6 +102,32 @@ def extract_paragraphs(raw: bytes) -> list[TextParagraph]:
         )
         if text:
             out.append(TextParagraph(n_para, text))
+            if _parts is not None:
+                _parts.append(("text", n_para, text))
+        n_para += 1
+
+    # active \pict capture: {"depth": group depth of the pict group,
+    # "ctype": declared blip type, "hex": hex fragments, "bin": raw
+    # bytes from \binN, "skip": nested-subgroup depth to ignore}
+    pict: "dict | None" = None
+
+    def _finish_pict() -> None:
+        nonlocal pict, n_para
+        assert pict is not None
+        ctype = pict["ctype"]
+        payload = pict["bin"]
+        if payload is None:
+            hexdata = b"".join(pict["hex"])
+            hexdata = re.sub(rb"\s+", b"", hexdata)
+            if len(hexdata) % 2:
+                raise ValueError("odd-length \\pict hex data")
+            payload = bytes.fromhex(hexdata.decode("ascii"))
+        pict = None
+        if ctype is None or not payload:
+            return  # unsupported blip type (vector subset) or empty
+        _flush()
+        assert _parts is not None
+        _parts.append(("media", ctype, f"pict{n_para}", payload))
         n_para += 1
 
     i, n = 0, len(raw)
@@ -126,6 +172,8 @@ def extract_paragraphs(raw: bytes) -> list[TextParagraph]:
             uc_counts.pop()
             if skip_until_depth is not None and depth < skip_until_depth:
                 skip_until_depth = None
+            if pict is not None and depth < pict["depth"]:
+                _finish_pict()
             just_opened = False
             i += 1
             continue
@@ -135,6 +183,16 @@ def extract_paragraphs(raw: bytes) -> list[TextParagraph]:
                 raise ValueError("truncated control at end of input")
             sym = raw[i:i + 1]
             if sym == b"*" and just_opened:
+                if _parts is not None and skip_until_depth is None \
+                        and raw[i + 1:i + 2] == b"\\":
+                    m = _CW_RE.match(raw, i + 2)
+                    if m is not None and m.group(1).decode("ascii") \
+                            in _PICT_WRAPPERS:
+                        # picture wrapper: look inside instead of the
+                        # usual unknown-destination skip
+                        i += 1
+                        just_opened = False
+                        continue
                 # unknown-destination marker: skip this whole group
                 if skip_until_depth is None:
                     skip_until_depth = depth
@@ -144,7 +202,7 @@ def extract_paragraphs(raw: bytes) -> list[TextParagraph]:
             just_opened = False
             if sym == b"'":
                 ch, i = _decode_hex(raw, i + 1, codec)
-                if skip_until_depth is None:
+                if skip_until_depth is None and pict is None:
                     if pending_uc_skip:
                         pending_uc_skip -= 1
                     else:
@@ -153,7 +211,7 @@ def extract_paragraphs(raw: bytes) -> list[TextParagraph]:
             if not sym.isalpha():
                 # control symbol
                 i += 1
-                if skip_until_depth is not None:
+                if skip_until_depth is not None or pict is not None:
                     continue
                 if pending_uc_skip and sym not in b"{}\\":
                     continue
@@ -174,6 +232,16 @@ def extract_paragraphs(raw: bytes) -> list[TextParagraph]:
             word = m.group(1).decode("ascii")
             param = int(m.group(2)) if m.group(2) is not None else None
             i = m.end()
+            if pict is not None:
+                # inside a captured \pict group: the type word and the
+                # optional \binN payload matter, formatting words don't
+                if word == "bin":
+                    nbytes = max(0, param or 0)
+                    pict["bin"] = raw[i:i + nbytes]
+                    i += nbytes
+                elif word in _PICT_TYPES and depth == pict["depth"]:
+                    pict["ctype"] = _PICT_TYPES[word]
+                continue
             if word == "bin":
                 i += max(0, param or 0)  # raw bytes, not RTF tokens
                 continue
@@ -188,6 +256,12 @@ def extract_paragraphs(raw: bytes) -> list[TextParagraph]:
             if skip_until_depth is not None:
                 continue
             if word in _SKIP_DESTINATIONS:
+                if word == "pict" and _parts is not None:
+                    # parts mode: capture the picture instead of
+                    # skipping its group
+                    pict = {"depth": depth, "ctype": None,
+                            "hex": [], "bin": None}
+                    continue
                 # destination group: ignore everything to its close
                 skip_until_depth = depth
                 continue
@@ -228,7 +302,15 @@ def extract_paragraphs(raw: bytes) -> list[TextParagraph]:
         j = i
         while j < n and raw[j:j + 1] not in (b"\\", b"{", b"}"):
             j += 1
-        if skip_until_depth is None:
+        if pict is not None:
+            if depth == pict["depth"]:
+                chunk = raw[i:j]
+                if not _HEX_RUN_RE.match(chunk):
+                    raise ValueError("non-hex data in \\pict group")
+                pict["hex"].append(chunk)
+            # nested subgroup content (\*\picprop etc.) carries no
+            # picture bytes: ignored
+        elif skip_until_depth is None:
             try:
                 run = raw[i:j].replace(b"\r", b"").replace(b"\n", b"") \
                     .decode(codec)
@@ -251,43 +333,101 @@ def extract_paragraphs(raw: bytes) -> list[TextParagraph]:
     return out
 
 
-def validate_rtf(raw: bytes) -> tuple[int, int, int]:
+def document_parts(raw: bytes) -> list[tuple]:
+    """RTF bytes -> ordered span-shaped parts (the office part shape,
+    cf. :func:`..docxtext.document_parts`): ``("text", pos, text)`` per
+    paragraph run and ``("media", content_type, name, payload)`` per
+    embedded PNG/JPEG ``\\pict`` (hex or ``\\binN`` data; Word's
+    ``{\\*\\shppict{\\pict ...}}`` wrapper is looked inside, the
+    ``\\nonshppict`` WMF fallback stays skipped so shapes never
+    double-count). An inline picture splits its paragraph's text around
+    itself. Unsupported blip types (WMF/EMF vectors) contribute
+    nothing — the same documented subset as the DOCX walk."""
+    parts: list = []
+    extract_paragraphs(raw, _parts=parts)
+    return parts
+
+
+def validate_rtf(raw: bytes, deep_media: bool = False) -> tuple[int, int, int]:
     """Probe-time pre-flight: full strict parse (RTF has no checksums
     or length fields, so structural validation IS the parse), one
-    reflowable page, no raster geometry."""
-    extract_paragraphs(raw)
+    reflowable page, no raster geometry. ``deep_media=True``
+    additionally runs the part walk + embedded-raster validation
+    (shared office rule) so corrupt embedded pictures quarantine at
+    probe time."""
+    if deep_media:
+        from .docxtext import validate_embedded_media
+
+        validate_embedded_media(document_parts(raw))
+    else:
+        extract_paragraphs(raw)
     return 1, 0, 0
 
 
 # --- minimal writer (tests / fixtures) ---------------------------------------
 
 
+def _encode_text(text: str) -> str:
+    enc: list[str] = []
+    for ch in text:
+        if ch == "\n":
+            enc.append("\\line ")
+        elif ch in "\\{}":
+            enc.append("\\" + ch)
+        elif ord(ch) < 128:
+            enc.append(ch)
+        elif ord(ch) > 0xFFFF:
+            # UTF-16 surrogate pair, one \uN per half
+            cp = ord(ch) - 0x10000
+            hi = 0xD800 + (cp >> 10) - 65536
+            lo = 0xDC00 + (cp & 0x3FF) - 65536
+            enc.append(f"\\u{hi}?\\u{lo}?")
+        else:
+            cp = ord(ch)
+            if cp > 0x7FFF:
+                cp -= 65536
+            enc.append(f"\\u{cp}?")
+    return "".join(enc)
+
+
 def encode_rtf(paragraphs: list[str]) -> bytes:
     r"""Minimal valid RTF: one ``\par``-terminated paragraph per entry,
     internal ``\n``s as ``\line``, non-ASCII as ``\uN`` with a ``?``
     fallback (the most interoperable spelling)."""
+    body = [_encode_text(t) + "\\par\n" for t in paragraphs]
+    doc = ("{\\rtf1\\ansi\\ansicpg1252\\deff0"
+           "{\\fonttbl{\\f0 Times New Roman;}}\n"
+           + "".join(body) + "}")
+    return doc.encode("ascii")
+
+
+def encode_rtf_with_media(items: list) -> bytes:
+    r"""":func:`encode_rtf` plus embedded pictures, mirroring the DOCX
+    writer: ``str`` entries are paragraphs, ``bytes`` entries a
+    paragraph holding one Word-shaped ``{\*\shppict{\pict\pngblip
+    <hex>}}`` picture (type from the payload's sniffed codec), and
+    ``(before, payload, after)`` an inline picture between two text
+    runs of one paragraph."""
+    from . import formats
+
+    def _pict(payload: bytes) -> str:
+        blip = {"png": "pngblip", "jpeg": "jpegblip"}.get(
+            formats.sniff_kind(bytes(payload)), "pngblip")
+        hexdata = bytes(payload).hex()
+        wrapped = "\n".join(hexdata[i:i + 120]
+                            for i in range(0, len(hexdata), 120))
+        return "{\\*\\shppict{\\pict\\" + blip + " " + wrapped + "}}"
+
     body: list[str] = []
-    for text in paragraphs:
-        enc: list[str] = []
-        for ch in text:
-            if ch == "\n":
-                enc.append("\\line ")
-            elif ch in "\\{}":
-                enc.append("\\" + ch)
-            elif ord(ch) < 128:
-                enc.append(ch)
-            elif ord(ch) > 0xFFFF:
-                # UTF-16 surrogate pair, one \uN per half
-                cp = ord(ch) - 0x10000
-                hi = 0xD800 + (cp >> 10) - 65536
-                lo = 0xDC00 + (cp & 0x3FF) - 65536
-                enc.append(f"\\u{hi}?\\u{lo}?")
-            else:
-                cp = ord(ch)
-                if cp > 0x7FFF:
-                    cp -= 65536
-                enc.append(f"\\u{cp}?")
-        body.append("".join(enc) + "\\par\n")
+    for item in items:
+        if isinstance(item, (bytes, bytearray)):
+            body.append(_pict(bytes(item)) + "\\par\n")
+        elif isinstance(item, tuple):
+            before, payload, after = item
+            body.append(_encode_text(before) + _pict(bytes(payload))
+                        + _encode_text(after) + "\\par\n")
+        else:
+            body.append(_encode_text(item) + "\\par\n")
     doc = ("{\\rtf1\\ansi\\ansicpg1252\\deff0"
            "{\\fonttbl{\\f0 Times New Roman;}}\n"
            + "".join(body) + "}")

@@ -322,3 +322,70 @@ def test_pptx_embedded_pictures_ocr_in_slide_order(spark):
         ("text", "scan", "m-pptx", 4),
         ("text", "s2 tail", "m-pptx", 5),
     ]
+
+
+# --- RTF: embedded \pict pictures --------------------------------------------
+
+
+def test_rtf_document_parts_order_and_inline_split():
+    from ocr_platform_spark import rtftext
+
+    png = _word_png("page")
+    rtf = rtftext.encode_rtf_with_media(
+        ["first para", png, ("before inline", png, "after inline"),
+         "last para"])
+    parts = rtftext.document_parts(rtf)
+    shape = [(p[0], p[2] if p[0] == "text" else p[1]) for p in parts]
+    assert shape == [
+        ("text", "first para"), ("media", "image/png"),
+        ("text", "before inline"), ("media", "image/png"),
+        ("text", "after inline"), ("text", "last para"),
+    ]
+    assert all(bytes(p[3]) == png for p in parts if p[0] == "media")
+    assert rtftext.validate_rtf(rtf, deep_media=True) == (1, 0, 0)
+    # text-only docs: parts walk and paragraph walk agree
+    plain = rtftext.encode_rtf(["alpha", "b\nc"])
+    assert [p[2] for p in rtftext.document_parts(plain)] == \
+        [b.text for b in rtftext.extract_paragraphs(plain)]
+
+
+def test_rtf_wmf_fallback_skipped_and_corrupt_pict_quarantines():
+    import pytest as _pytest
+
+    from ocr_platform_spark import rtftext
+
+    # unsupported vector blip: contributes nothing, never double-counts
+    wmf = b"{\\rtf1\\ansi {\\pict\\wmetafile8 0102}\\par hello\\par}"
+    assert [(p[0], p[2]) for p in rtftext.document_parts(wmf)] == \
+        [("text", "hello")]
+    # corrupt embedded PNG quarantines at the deep probe
+    png = bytearray(_word_png("page"))
+    png[60] ^= 0xFF
+    rtf = rtftext.encode_rtf_with_media(["a", bytes(png), "b"])
+    with _pytest.raises(ValueError, match="corrupt embedded media"):
+        rtftext.validate_rtf(rtf, deep_media=True)
+    # odd-length / non-hex pict data quarantines at parse
+    with _pytest.raises(ValueError, match="odd-length"):
+        rtftext.document_parts(b"{\\rtf1{\\pict\\pngblip 0ab}\\par}")
+    with _pytest.raises(ValueError, match="non-hex"):
+        rtftext.document_parts(b"{\\rtf1{\\pict\\pngblip zz!!}\\par}")
+
+
+def test_rtf_embedded_picture_ocrs_between_paragraphs(spark):
+    from ocr_platform_spark import rtftext
+
+    rtf = rtftext.encode_rtf_with_media(
+        ["rtf intro", _word_png("scan"), "rtf outro"])
+    docs_df = spark.createDataFrame(
+        [{"doc_id": "d-rtf", "spans": [
+            {"kind": "media", "text": None, "media_ref": "m-rtf",
+             "offset": 0},
+        ]}], schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(
+        [("m-rtf", bytearray(rtf))], "media_ref string, data binary")
+    out = extract_real_documents(docs_df, media_df)
+    assert _spans_by_doc(out)["d-rtf"] == [
+        ("text", "rtf intro", "m-rtf", 0),
+        ("text", "scan", "m-rtf", 1),
+        ("text", "rtf outro", "m-rtf", 2),
+    ]
