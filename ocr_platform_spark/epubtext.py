@@ -87,6 +87,20 @@ def _spine_members(zf: zipfile.ZipFile) -> list[str]:
     return members
 
 
+def _validate_embedded_images(zf: zipfile.ZipFile, name: str) -> None:
+    """Deep-probe leg: resolve the chapter's images (missing members
+    quarantine) and structurally validate the supported rasters via
+    the shared office rule."""
+    from .docxtext import media_content_type, validate_embedded_media
+
+    html = htmltext.decode_html(_read_member(zf, name))
+    parts = [
+        ("media", media_content_type(t), t, _read_member(zf, t))
+        for _pos, t in _chapter_images(zf, name, html)
+    ]
+    validate_embedded_media(parts)
+
+
 def probe_epub(raw: bytes, deep: bool = False) -> tuple[int, int, int]:
     """Pre-flight: ``(n_chapters, width=0, height=0)``. Shallow resolves
     the container → OPF → spine chain (three small XML parses, no
@@ -99,6 +113,7 @@ def probe_epub(raw: bytes, deep: bool = False) -> tuple[int, int, int]:
         if deep:
             for name in members:
                 _validate_chapter(zf, name)
+                _validate_embedded_images(zf, name)
     return len(members), 0, 0
 
 
@@ -134,6 +149,58 @@ def chapter_blocks(
         ]
 
 
+def _chapter_images(zf: zipfile.ZipFile, member: str,
+                    html: str) -> list[tuple[int, str]]:
+    """Resolved ``(position, zip member)`` for a chapter's ``<img>``
+    references: hrefs resolve relative to the chapter's own directory;
+    external (``://``) sources are skipped (linked, not embedded); a
+    package-relative source whose member is absent quarantines."""
+    members = set(zf.namelist())
+    base = posixpath.dirname(member)
+    out: list[tuple[int, str]] = []
+    for pos, src in htmltext.image_refs(html):
+        if "://" in src:
+            continue
+        target = posixpath.normpath(posixpath.join(base, src))
+        if target not in members:
+            raise ValueError(
+                f"chapter {member}: image member missing: {target!r}"
+            )
+        out.append((pos, target))
+    return out
+
+
+def chapter_parts(
+    raw: bytes, page_indices: "list[int] | range | None" = None
+) -> list[list[tuple]]:
+    """EPUB bytes -> per-chapter MIXED part lists: DOM text blocks and
+    embedded images interleaved by document position (the
+    :func:`..pptxtext.slide_parts` shape — ``("text", pos, text)`` /
+    ``("media", pos, ctype, member, payload)``), so a scanned plate
+    between two paragraphs OCRs between their spans."""
+    from .docxtext import media_content_type
+
+    with _open_zip(raw) as zf:
+        members = _spine_members(zf)
+        if page_indices is not None:
+            members = [members[i] for i in page_indices]
+        chapters: list[list[tuple]] = []
+        for name in members:
+            html = htmltext.decode_html(_read_member(zf, name))
+            items: list[tuple] = [
+                ("text", b.pos, b.text)
+                for b in htmltext.main_blocks(html)
+            ]
+            for pos, target in _chapter_images(zf, name, html):
+                items.append((
+                    "media", pos, media_content_type(target), target,
+                    _read_member(zf, target),
+                ))
+            items.sort(key=lambda p: p[1])
+            chapters.append(items)
+    return chapters
+
+
 def slice_chapters(raw: bytes, page_indices) -> bytes:
     """Probe-time bucket slicing: a sub-EPUB holding ONLY the selected
     chapters plus the container/OPF chain, with the OPF spine REWRITTEN
@@ -147,6 +214,11 @@ def slice_chapters(raw: bytes, page_indices) -> bytes:
             raise ValueError(f"chapter index out of range: {e}") from e
         opf_path = _opf_path(zf)
         keep = set(selected) | {_MARKER, opf_path, "mimetype"}
+        # each kept chapter's embedded images ride with their slice so
+        # the bucket's picture interleave still decodes (round 5)
+        for name in selected:
+            html = htmltext.decode_html(_read_member(zf, name))
+            keep.update(t for _pos, t in _chapter_images(zf, name, html))
         # rewrite the OPF to the selected subset: drop spine itemrefs
         # AND manifest items whose href is not kept (measured: with the
         # full 300-item manifest riding every slice, a 300-chapter
@@ -183,14 +255,24 @@ def slice_chapters(raw: bytes, page_indices) -> bytes:
 # --- minimal writer (tests / fixtures) ---------------------------------------
 
 
-def encode_epub(chapters: list[str], subdir: str = "OEBPS") -> bytes:
+def encode_epub(chapters: list[str], subdir: str = "OEBPS",
+                media: "list[tuple[str, bytes]] | None" = None) -> bytes:
     """Minimal structurally-valid EPUB: ``chapters`` are ready-made
     XHTML document strings, one spine entry each, manifest/spine in the
-    standard container → OPF layout."""
+    standard container → OPF layout. ``media`` entries are
+    ``(relative_href, payload)`` members written under ``subdir`` (and
+    manifest-listed), for chapters embedding ``<img src="...">``."""
+    from .docxtext import media_content_type
+
+    media = media or []
     opf_items = "".join(
         f'<item id="c{i}" href="chap{i}.xhtml" '
         'media-type="application/xhtml+xml"/>'
         for i in range(len(chapters))
+    ) + "".join(
+        f'<item id="m{i}" href="{href}" '
+        f'media-type="{media_content_type(href)}"/>'
+        for i, (href, _data) in enumerate(media)
     )
     opf_spine = "".join(
         f'<itemref idref="c{i}"/>' for i in range(len(chapters))
@@ -215,6 +297,8 @@ def encode_epub(chapters: list[str], subdir: str = "OEBPS") -> bytes:
         zf.writestr(f"{subdir}/content.opf", opf)
         for i, xhtml in enumerate(chapters):
             zf.writestr(f"{subdir}/chap{i}.xhtml", xhtml)
+        for href, data in media:
+            zf.writestr(f"{subdir}/{href}", data)
     return buf.getvalue()
 
 

@@ -212,6 +212,34 @@ def main_blocks(html: str) -> list[ContentBlock]:
             if b.link_density < LINK_DENSITY_MAX]
 
 
+_IMG_TAG_RE = re.compile(r"<img(?=[\s/>])[^>]*>", re.I)
+_SRC_RE = re.compile(
+    r"""src\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)""", re.I)
+
+
+def image_refs(html: str) -> list[tuple[int, str]]:
+    """``(document_position, src)`` for every ``<img>`` carrying a
+    ``src``, in the SAME stripped-document coordinate space as
+    :func:`content_blocks` — so images and text blocks interleave by
+    position (the EPUB tier's picture slot rule). An image nested
+    inside a text-bearing block sorts after that block (its position
+    falls inside the block's span and the block anchors at its open
+    tag) — the block is never split, the documented approximation."""
+    html = DROP_RE.sub(" ", html)
+    out: list[tuple[int, str]] = []
+    for m in _IMG_TAG_RE.finditer(html):
+        sm = _SRC_RE.search(m.group(0))
+        if not sm:
+            continue
+        src = sm.group(1)
+        if src[:1] in ('"', "'"):
+            src = src[1:-1]
+        src = unescape_entities(src).strip()
+        if src:
+            out.append((m.start(), src))
+    return out
+
+
 _META_TAG_RE = re.compile(rb"<meta(?=[\s/>])([^>]*)>", re.I)
 #: attribute tokenizer for the pre-scan: quoted or bare values. Real
 #: attribute parsing (not a flat "charset=" substring search) is what

@@ -120,15 +120,16 @@ _PAGED_CODECS = {
 #: slicing apply
 _PAGED_TEXT_CODECS = {
     "xlsx": (xlsxtext.slice_sheets, xlsxtext.sheet_blocks),
-    "epub": (epubtext.slice_chapters, epubtext.chapter_blocks),
     "mbox": (emltext.slice_messages, emltext.mbox_page_blocks),
 }
 
 #: multi-page MIXED containers: pages carry text blocks AND embedded
-#: pictures that OCR in place (round 5 — PPTX ``p:pic``); same bucket /
-#: slice shape, but the page renderer returns ordered part lists
+#: pictures that OCR in place (round 5 — PPTX ``p:pic``, EPUB
+#: ``<img>``); same bucket / slice shape, but the page renderer
+#: returns ordered part lists
 _PAGED_MIXED_CODECS = {
     "pptx": (pptxtext.slice_slides, pptxtext.slide_parts),
+    "epub": (epubtext.slice_chapters, epubtext.chapter_parts),
 }
 
 REAL_BUCKET = (

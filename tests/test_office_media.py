@@ -389,3 +389,82 @@ def test_rtf_embedded_picture_ocrs_between_paragraphs(spark):
         ("text", "scan", "m-rtf", 1),
         ("text", "rtf outro", "m-rtf", 2),
     ]
+
+
+# --- EPUB: embedded <img> pictures inside chapters ---------------------------
+
+
+def _epub_with_images():
+    from ocr_platform_spark import epubtext
+
+    ch0 = epubtext.chapter_xhtml(["c0 alpha", "c0 beta"])
+    # hand-built chapter with an image between two paragraphs
+    ch1 = ("<html><head><title>t</title></head><body>"
+           "<p>c1 before</p><img src=\"img/plate.png\"/>"
+           "<p>c1 after</p></body></html>")
+    return epubtext.encode_epub(
+        [ch0, ch1], media=[("img/plate.png", _word_png("word"))])
+
+
+def test_epub_chapter_parts_interleave_by_position():
+    from ocr_platform_spark import epubtext
+
+    epub = _epub_with_images()
+    parts = epubtext.chapter_parts(epub)
+    assert [(p[0], p[2]) for p in parts[0]] == [
+        ("text", "c0 alpha"), ("text", "c0 beta")]
+    assert [(p[0], p[2]) for p in parts[1]] == [
+        ("text", "c1 before"), ("media", "image/png"),
+        ("text", "c1 after")]
+    assert bytes(parts[1][1][4]).startswith(b"\x89PNG")
+    # deep probe validates the embedded raster and stays green
+    assert epubtext.probe_epub(epub, deep=True) == (2, 0, 0)
+
+
+def test_epub_missing_image_member_quarantines():
+    import io
+    import zipfile
+
+    from ocr_platform_spark import epubtext
+
+    epub = _epub_with_images()
+    src = zipfile.ZipFile(io.BytesIO(epub))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as dst:
+        for info in src.infolist():
+            if "img/plate" not in info.filename:
+                dst.writestr(info, src.read(info.filename))
+    with pytest.raises(ValueError, match="image member missing"):
+        epubtext.chapter_parts(buf.getvalue())
+    with pytest.raises(ValueError, match="image member missing"):
+        epubtext.probe_epub(buf.getvalue(), deep=True)
+
+
+def test_epub_slice_keeps_chapter_images():
+    from ocr_platform_spark import epubtext
+
+    epub = _epub_with_images()
+    sliced = epubtext.slice_chapters(epub, [1])
+    parts = epubtext.chapter_parts(sliced)
+    assert len(parts) == 1
+    assert [(p[0],) for p in parts[0]] == [("text",), ("media",), ("text",)]
+
+
+def test_epub_embedded_image_ocrs_between_paragraphs(spark):
+    epub = _epub_with_images()
+    docs_df = spark.createDataFrame(
+        [{"doc_id": "d-epub", "spans": [
+            {"kind": "media", "text": None, "media_ref": "m-epub",
+             "offset": 0},
+        ]}], schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(
+        [("m-epub", bytearray(epub))], "media_ref string, data binary")
+    # bucket_pages=1 forces the slice path: images must survive slicing
+    out = extract_real_documents(docs_df, media_df, bucket_pages=1)
+    assert _spans_by_doc(out)["d-epub"] == [
+        ("text", "c0 alpha", "m-epub", 0),
+        ("text", "c0 beta", "m-epub", 1),
+        ("text", "c1 before", "m-epub", 2),
+        ("text", "word", "m-epub", 3),
+        ("text", "c1 after", "m-epub", 4),
+    ]
