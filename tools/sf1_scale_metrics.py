@@ -48,9 +48,15 @@ def main() -> None:
     if "--json" in sys.argv:
         out_json = sys.argv[sys.argv.index("--json") + 1]
 
-    spark = get_spark("sf1_scale")
+    # the engine default disables the UI; this tool needs the REST
+    # metrics endpoint, so re-enable it for this session only
+    spark = get_spark("sf1_scale",
+                      extra_conf={"spark.ui.enabled": "true"})
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
+    if base is None:
+        raise SystemExit("Spark UI unavailable (another session holds "
+                         "the conf?) — rerun in a fresh process")
 
     rows = []
     for name in FAMILY:
