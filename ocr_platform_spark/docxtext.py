@@ -139,13 +139,13 @@ def validate_embedded_media(parts: list[tuple]) -> None:
     for part in parts:
         if part[0] != "media":
             continue
-        payload = part[3]
+        payload = part[-1]  # last slot in every walk's media tuple
         if formats.sniff_kind(payload) in EMBED_RASTER_KINDS:
             try:
                 multimodal.probe_real_media(payload, deep=True)
             except Exception as e:
                 raise ValueError(
-                    f"corrupt embedded media {part[2]!r}: {e}"
+                    f"corrupt embedded media {part[-2]!r}: {e}"
                 ) from e
 
 

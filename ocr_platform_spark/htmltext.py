@@ -215,6 +215,8 @@ def main_blocks(html: str) -> list[ContentBlock]:
 _IMG_TAG_RE = re.compile(r"<img(?=[\s/>])[^>]*>", re.I)
 _SRC_RE = re.compile(
     r"""src\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)""", re.I)
+_DATA_URI_RE = re.compile(
+    r"data:(image/[-+.\w]+);base64,([A-Za-z0-9+/=\s]+)\Z")
 
 
 def image_refs(html: str) -> list[tuple[int, str]]:
@@ -238,6 +240,44 @@ def image_refs(html: str) -> list[tuple[int, str]]:
         if src:
             out.append((m.start(), src))
     return out
+
+
+def html_parts(html: str) -> list[tuple]:
+    """Bare-HTML mixed part walk: the main-content blocks plus every
+    ``data:`` URI image (the saved-page / SingleFile shape — a bare
+    document has no package to resolve relative sources against, so
+    external and relative ``src`` values are skipped), interleaved by
+    document position. Part shape matches the office walks:
+    ``("text", pos, text)`` / ``("media", pos, ctype, name, payload)``.
+    A malformed base64 data URI quarantines (``ValueError``) — the
+    image was explicitly embedded, so dropping it silently would be a
+    content loss, unlike a merely-linked source."""
+    import base64
+    import binascii
+
+    parts: list[tuple] = [
+        ("text", b.pos, b.text) for b in main_blocks(html)
+    ]
+    n_img = 0
+    for pos, src in image_refs(html):
+        if not src.startswith("data:"):
+            continue  # linked, not embedded
+        m = _DATA_URI_RE.match(src)
+        if m is None:
+            if src.startswith("data:image/"):
+                raise ValueError(
+                    "malformed image data URI (not base64 image/*)"
+                )
+            continue  # non-image data URI: not a picture slot
+        try:
+            payload = base64.b64decode(
+                re.sub(r"\s+", "", m.group(2)), validate=True)
+        except (binascii.Error, ValueError) as e:
+            raise ValueError(f"undecodable data-URI base64: {e}") from e
+        n_img += 1
+        parts.append(("media", pos, m.group(1), f"data{n_img}", payload))
+    parts.sort(key=lambda p: p[1])
+    return parts
 
 
 _META_TAG_RE = re.compile(rb"<meta(?=[\s/>])([^>]*)>", re.I)

@@ -369,6 +369,14 @@ def probe_real_media(
         # scan), mirroring the PDF probe_dims-vs-validate_scanned split.
         if deep:
             n, w, h = htmltext.validate_html(raw)
+            # embedded data-URI images (round 5): malformed URIs and
+            # corrupt embedded rasters quarantine at probe time, the
+            # shared office rule
+            from . import docxtext
+
+            docxtext.validate_embedded_media(
+                htmltext.html_parts(htmltext.decode_html(raw))
+            )
             return "html", n, w, h
         name = htmltext._declared_charset(raw)
         if name is not None and name not in htmltext._CHARSET_CODECS:

@@ -318,19 +318,21 @@ def _decode_mixed_parts(parts: list[tuple]) -> list[tuple]:
 
 def _office_content(parts: list[tuple]) -> list[tuple]:
     """Part walk output (:func:`..docxtext.document_parts` /
-    :func:`..odttext.document_parts`) -> ordered ``("text", text)`` /
-    ``("raster", gray_page)`` content items. Embedded pictures whose
-    bytes sniff as a supported raster codec decode here (a multi-frame
-    TIFF/GIF contributes one item per frame, in frame order);
-    unsupported formats (EMF/WMF vectors, nested containers)
+    :func:`..odttext.document_parts` / :func:`..rtftext.document_parts`
+    / :func:`..htmltext.html_parts`) -> ordered ``("text", text)`` /
+    ``("raster", gray_page)`` content items; the text/payload slot is
+    uniformly the LAST tuple element across the walks. Embedded
+    pictures whose bytes sniff as a supported raster codec decode here
+    (a multi-frame TIFF/GIF contributes one item per frame, in frame
+    order); unsupported formats (EMF/WMF vectors, nested containers)
     contribute nothing — the deep probe validates exactly this subset
     (:func:`..docxtext.validate_embedded_media`)."""
     content: list[tuple] = []
     for part in parts:
         if part[0] == "text":
-            content.append(("text", part[2]))
-        elif formats.sniff_kind(part[3]) in docxtext.EMBED_RASTER_KINDS:
-            for page in _decode_raster_pages(part[3]):
+            content.append(("text", part[-1]))
+        elif formats.sniff_kind(part[-1]) in docxtext.EMBED_RASTER_KINDS:
+            for page in _decode_raster_pages(part[-1]):
                 content.append(("raster", page))
     return content
 
@@ -431,10 +433,17 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
             # luma AFTER resampling (pdfcodec.rgb_to_gray)
             if kind == "html":
                 # DOM tier: innermost blocks, link-density boilerplate
-                # drop — no pixels ever produced. One reflowable "page";
-                # block y1 = document character position, so the global
-                # (page, y1, x1) span sort is document order.
-                blocks = htmltext.main_blocks(htmltext.decode_html(raw))
+                # drop — plus embedded data-URI images (the saved-page
+                # shape) OCR'd in place between their surrounding
+                # blocks (round 5). Text-only documents keep the flat
+                # block emission (byte-identical to the pre-r5 path).
+                hp = htmltext.html_parts(htmltext.decode_html(raw))
+                if all(p[0] == "text" for p in hp):
+                    blocks = [
+                        htmltext.ContentBlock(p[1], p[2], 0.0) for p in hp
+                    ]
+                else:
+                    office = _office_content(hp)
             elif kind == "docx":
                 # office tier: the INTERLEAVED part walk — paragraphs
                 # in document order PLUS embedded pictures

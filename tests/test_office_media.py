@@ -468,3 +468,61 @@ def test_epub_embedded_image_ocrs_between_paragraphs(spark):
         ("text", "word", "m-epub", 3),
         ("text", "c1 after", "m-epub", 4),
     ]
+
+
+# --- HTML: embedded data-URI images ------------------------------------------
+
+
+def test_html_data_uri_image_interleaves(spark):
+    import base64
+
+    from ocr_platform_spark import htmltext, multimodal
+
+    b64 = base64.b64encode(_word_png("line")).decode()
+    html = ("<!doctype html><html><body><p>html before</p>"
+            f"<img src=\"data:image/png;base64,{b64}\"/>"
+            "<p>html after</p>"
+            "<img src=\"https://x.invalid/linked.png\"/>"
+            "</body></html>").encode()
+    parts = htmltext.html_parts(htmltext.decode_html(html))
+    assert [(p[0],) for p in parts] == [("text",), ("media",), ("text",)]
+    # deep probe validates the embedded raster; linked srcs are skipped
+    assert multimodal.probe_real_media(html, deep=True)[0] == "html"
+
+    docs_df = spark.createDataFrame(
+        [{"doc_id": "d-html", "spans": [
+            {"kind": "media", "text": None, "media_ref": "m-html",
+             "offset": 0},
+        ]}], schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(
+        [("m-html", bytearray(html))], "media_ref string, data binary")
+    out = extract_real_documents(docs_df, media_df)
+    assert _spans_by_doc(out)["d-html"] == [
+        ("text", "html before", "m-html", 0),
+        ("text", "line", "m-html", 1),
+        ("text", "html after", "m-html", 2),
+    ]
+
+
+def test_html_malformed_data_uri_quarantines():
+    import pytest as _pytest
+
+    from ocr_platform_spark import htmltext
+
+    html = ('<html><body><p>x</p>'
+            '<img src="data:image/png;base64,!!!notb64"/></body></html>')
+    with _pytest.raises(ValueError, match="base64|malformed"):
+        htmltext.html_parts(html)
+    # corrupt embedded raster quarantines at the deep probe
+    import base64
+
+    from ocr_platform_spark import multimodal
+
+    png = bytearray(_word_png("page"))
+    png[60] ^= 0xFF
+    b64 = base64.b64encode(bytes(png)).decode()
+    doc = (f'<!doctype html><html><body><p>y</p>'
+           f'<img src="data:image/png;base64,{b64}"/>'
+           '</body></html>').encode()
+    with _pytest.raises(ValueError, match="corrupt embedded media"):
+        multimodal.probe_real_media(doc, deep=True)
