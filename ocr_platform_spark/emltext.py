@@ -63,10 +63,16 @@ Deterministic SUBSET, documented here:
   their ``<blockquote>`` content (the DOM walk has no mail
   semantics); the plain alternative is usually the one rendered.
 - Attachments (any non-text, non-message leaf, or an explicit
-  ``Content-Disposition: attachment``) are DROPPED at the tier level,
-  like DOCX embedded images — the mbox ingestion source is the path
-  that surfaces them as media spans entering the real-codec probe
-  ladder.
+  ``Content-Disposition: attachment``): the BLOCK API
+  (:func:`eml_blocks`) drops them; the PART walks (:func:`eml_parts` /
+  :func:`mbox_page_parts` / :func:`message_spans`) keep them, and
+  since round 5 the extraction pipeline OCRs raster attachments
+  (PNG/JPEG/GIF/BMP/TIFF) IN PLACE between the body parts around them
+  — the office-interleave rule applied to mail. Non-raster
+  attachments (PDFs, archives, arbitrary binaries) still extract to
+  nothing in-pipeline; the mbox ingestion source remains the path
+  that surfaces EVERY attachment as its own media span (with page
+  bucketing — the right shape for a 2,000-page PDF attachment).
 - STRICT quarantine: any parser defect on any part (truncated
   boundary, invalid base64, missing header separator, ... — leaf
   payloads are force-decoded at validation time because the stdlib
@@ -382,14 +388,34 @@ def message_spans(raw: bytes) -> tuple[str, list[tuple]]:
     return mid, out
 
 
+def eml_parts(text: str) -> list[tuple]:
+    """One message -> the ordered part shape (``("text", pos, text)``
+    / ``("media", content_type, filename, payload)``) — the
+    :func:`message_spans` walk over already-decoded text, for the
+    extraction pipeline's in-place attachment interleave (round 5): a
+    raster attachment OCRs between the body parts around it, exactly
+    like a DOCX picture. Same strict contract as :func:`eml_blocks`."""
+    msg = parse_message(text.lstrip("﻿").encode("utf-8"))
+    out: list = []
+    _message_walk(msg, 0, 0, out, keep_attachments=True)
+    return out
+
+
 def validate_eml(raw: bytes, text: "str | None" = None
                  ) -> tuple[int, int, int]:
     """Probe-time pre-flight for a bare EML payload: full strict parse
-    AND a full block render (charset checks live in the render path).
-    ``(1, 0, 0)`` — one reflowable page, no raster geometry. ``text``
-    lets a caller that already ran the plain-text decode (the probe
-    ladder) skip a second O(n) pass over the payload."""
-    eml_blocks(decode_text(raw) if text is None else text)
+    AND a full block render (charset checks live in the render path),
+    plus structural validation of raster attachments (the shared
+    office rule — a corrupt attached PNG quarantines HERE, before the
+    payload duplicates). ``(1, 0, 0)`` — one reflowable page, no
+    raster geometry. ``text`` lets a caller that already ran the
+    plain-text decode (the probe ladder) skip a second O(n) pass over
+    the payload."""
+    from .docxtext import validate_embedded_media
+
+    validate_embedded_media(
+        eml_parts(decode_text(raw) if text is None else text)
+    )
     return 1, 0, 0
 
 
@@ -443,10 +469,12 @@ def probe_mbox(raw: bytes, deep: bool = False,
     (the probe ladder) already holds the decoded payload."""
     msgs = _split_mbox(decode_text(raw) if text is None else text)
     if deep:
+        from .docxtext import validate_embedded_media
+
         for m in msgs:
             if not sniff_eml(m):
                 raise ValueError("mbox member without an e-mail header block")
-            eml_blocks(m)
+            validate_embedded_media(eml_parts(m))
     return len(msgs), 0, 0
 
 
@@ -460,6 +488,29 @@ def mbox_page_blocks(
     if page_indices is not None:
         msgs = [msgs[i] for i in page_indices]
     return [eml_blocks(m) for m in msgs]
+
+
+def mbox_page_parts(
+    raw: bytes, page_indices: "list[int] | range | None" = None
+) -> list[list[tuple]]:
+    """Per-message MIXED part lists (messages are pages): each message
+    walks with attachments kept and parts re-keyed to running ordinals
+    — the ``pptxtext.slide_parts`` shape, so raster attachments OCR in
+    place between their message's body parts through the paged bucket
+    path. Same ``page_indices`` contract as :func:`mbox_page_blocks`."""
+    msgs = _split_mbox(decode_text(raw))
+    if page_indices is not None:
+        msgs = [msgs[i] for i in page_indices]
+    pages: list[list[tuple]] = []
+    for m in msgs:
+        items: list[tuple] = []
+        for i, p in enumerate(eml_parts(m)):
+            if p[0] == "text":
+                items.append(("text", i, p[2]))
+            else:  # ("media", ctype, filename, payload)
+                items.append(("media", i, p[1], p[2], p[3]))
+        pages.append(items)
+    return pages
 
 
 def slice_messages(raw: bytes, page_indices) -> bytes:

@@ -120,7 +120,6 @@ _PAGED_CODECS = {
 #: slicing apply
 _PAGED_TEXT_CODECS = {
     "xlsx": (xlsxtext.slice_sheets, xlsxtext.sheet_blocks),
-    "mbox": (emltext.slice_messages, emltext.mbox_page_blocks),
 }
 
 #: multi-page MIXED containers: pages carry text blocks AND embedded
@@ -130,6 +129,7 @@ _PAGED_TEXT_CODECS = {
 _PAGED_MIXED_CODECS = {
     "pptx": (pptxtext.slice_slides, pptxtext.slide_parts),
     "epub": (epubtext.slice_chapters, epubtext.chapter_parts),
+    "mbox": (emltext.slice_messages, emltext.mbox_page_parts),
 }
 
 REAL_BUCKET = (
@@ -311,8 +311,10 @@ def _decode_mixed_parts(parts: list[tuple]) -> list[tuple]:
     for part in parts:
         if part[0] == "text":
             out.append(part)
-        elif formats.sniff_kind(part[4]) in docxtext.EMBED_RASTER_KINDS:
-            out.append(("rasters", part[1], _decode_raster_pages(part[4])))
+        elif formats.sniff_kind(part[-1]) in docxtext.EMBED_RASTER_KINDS:
+            out.append(
+                ("rasters", part[1], _decode_raster_pages(part[-1]))
+            )
     return out
 
 
@@ -488,10 +490,12 @@ def _ocr_real_frame(pdf: pd.DataFrame, text_layer: bool) -> pd.DataFrame:
             elif kind == "eml":
                 # e-mail tier (probe-refined from txt): decoded
                 # Subject + supported body parts in part order, html
-                # parts through the DOM walk (..emltext docstring);
-                # mbox archives take the paged route below instead
-                blocks = emltext.eml_blocks(
-                    plaintext.decode_text(raw)
+                # parts through the DOM walk, and raster ATTACHMENTS
+                # OCR'd in place between the parts around them
+                # (round 5 — the office interleave rule applied to
+                # mail); mbox archives take the paged route below
+                office = _office_content(
+                    emltext.eml_parts(plaintext.decode_text(raw))
                 )
             elif kind == "sub":
                 # subtitle tier (probe-refined from txt): SRT/WebVTT

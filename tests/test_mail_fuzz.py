@@ -111,15 +111,21 @@ def test_subject_mojibake_quarantines_not_renders():
 
 
 def _rich_fixture() -> bytes:
+    import numpy as np
+
+    from ocr_platform_spark import pngcodec
+
     inner = emltext.encode_eml(H + [("Subject", "inner")],
                                body="inner body")
+    png = pngcodec.encode_png(
+        np.full((8, 8, 3), 255, dtype=np.uint8))  # valid, blank
     return emltext.encode_eml(
         [("From", "a@x.test"), ("Subject", "=?utf-8?B?VMOpc3Q=?="),
          ("Message-ID", "<r@x>"), ("Date", "Thu, 01 Jan 2026")],
         parts=[("text/plain", "alpha\n\n> quoted\n-- \nsig"),
                ("text/html", "<html><body><p>html part</p></body></html>"),
                ("message/rfc822", inner.decode("ascii")),
-               ("image/png", b"\x89PNG\r\n\x1a\nnotreally"),
+               ("image/png", png),
                ("application/octet-stream", b"\x00\x01")])
 
 

@@ -526,3 +526,89 @@ def test_html_malformed_data_uri_quarantines():
            '</body></html>').encode()
     with _pytest.raises(ValueError, match="corrupt embedded media"):
         multimodal.probe_real_media(doc, deep=True)
+
+
+# --- e-mail: raster attachments OCR in place ---------------------------------
+
+
+def _mail_with_attachment():
+    from ocr_platform_spark import emltext
+
+    return emltext.encode_eml(
+        [("From", "a@x"), ("Subject", "mail subj"),
+         ("Message-ID", "<om@x>"), ("Date", "Thu, 01 Jan 2026"),
+         ("MIME-Version", "1.0")],
+        parts=[("text/plain", "body before"),
+               ("image/png", _word_png("page")),
+               ("text/plain", "body after"),
+               ("application/octet-stream", b"\x00\x01 not raster")])
+
+
+def test_eml_parts_and_probe_validation():
+    from ocr_platform_spark import emltext
+
+    raw = _mail_with_attachment()
+    parts = emltext.eml_parts(raw.decode())
+    assert [(p[0],) for p in parts] == [
+        ("text",), ("text",), ("media",), ("text",), ("media",)]
+    assert emltext.validate_eml(raw) == (1, 0, 0)
+    # corrupt raster attachment quarantines at the deep probe
+    png = bytearray(_word_png("page"))
+    png[60] ^= 0xFF
+    bad = emltext.encode_eml(
+        [("From", "a@x"), ("Subject", "s"), ("Message-ID", "<b@x>"),
+         ("Date", "d"), ("MIME-Version", "1.0")],
+        parts=[("text/plain", "x"), ("image/png", bytes(png))])
+    with pytest.raises(ValueError, match="corrupt embedded media"):
+        emltext.validate_eml(bad)
+
+
+def test_eml_attachment_ocrs_between_body_parts(spark):
+    raw = _mail_with_attachment()
+    docs_df = spark.createDataFrame(
+        [{"doc_id": "d-eml", "spans": [
+            {"kind": "media", "text": None, "media_ref": "m-eml",
+             "offset": 0},
+        ]}], schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(
+        [("m-eml", bytearray(raw))], "media_ref string, data binary")
+    out = extract_real_documents(docs_df, media_df)
+    assert _spans_by_doc(out)["d-eml"] == [
+        ("text", "mail subj", "m-eml", 0),
+        ("text", "body before", "m-eml", 1),
+        ("text", "page", "m-eml", 2),     # the attachment, in place
+        ("text", "body after", "m-eml", 3),
+        # the octet-stream attachment contributes nothing
+    ]
+
+
+def test_mbox_attachments_ocr_per_message_page(spark):
+    from ocr_platform_spark import emltext
+
+    msgs = [
+        _mail_with_attachment(),
+        emltext.encode_eml(
+            [("From", "b@x"), ("Subject", "second"), ("Received", "r"),
+             ("Date", "d"), ("Message-ID", "<m2@x>")], body="plain two"),
+    ]
+    mb = emltext.encode_mbox(msgs)
+    parts = emltext.mbox_page_parts(mb)
+    assert [len(p) for p in parts] == [5, 2]
+    docs_df = spark.createDataFrame(
+        [{"doc_id": "d-mb", "spans": [
+            {"kind": "media", "text": None, "media_ref": "m-mb",
+             "offset": 0},
+        ]}], schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(
+        [("m-mb", bytearray(mb))], "media_ref string, data binary")
+    # bucket_pages=1: per-message buckets exercise the mbox slicer with
+    # the attachment riding the sliced message
+    out = extract_real_documents(docs_df, media_df, bucket_pages=1)
+    assert _spans_by_doc(out)["d-mb"] == [
+        ("text", "mail subj", "m-mb", 0),
+        ("text", "body before", "m-mb", 1),
+        ("text", "page", "m-mb", 2),
+        ("text", "body after", "m-mb", 3),
+        ("text", "second", "m-mb", 4),
+        ("text", "plain two", "m-mb", 5),
+    ]
