@@ -118,9 +118,7 @@ _PAGED_CODECS = {
 #: sharing the same (slice_pages, page_blocks) bucket shape — sheets /
 #: chapters / messages are pages, so the skew bucketing and probe-time
 #: slicing apply
-_PAGED_TEXT_CODECS = {
-    "xlsx": (xlsxtext.slice_sheets, xlsxtext.sheet_blocks),
-}
+_PAGED_TEXT_CODECS: dict = {}
 
 #: multi-page MIXED containers: pages carry text blocks AND embedded
 #: pictures that OCR in place (round 5 — PPTX ``p:pic``, EPUB
@@ -130,6 +128,7 @@ _PAGED_MIXED_CODECS = {
     "pptx": (pptxtext.slice_slides, pptxtext.slide_parts),
     "epub": (epubtext.slice_chapters, epubtext.chapter_parts),
     "mbox": (emltext.slice_messages, emltext.mbox_page_parts),
+    "xlsx": (xlsxtext.slice_sheets, xlsxtext.sheet_parts),
 }
 
 REAL_BUCKET = (

@@ -612,3 +612,69 @@ def test_mbox_attachments_ocr_per_message_page(spark):
         ("text", "second", "m-mb", 4),
         ("text", "plain two", "m-mb", 5),
     ]
+
+
+# --- XLSX: anchored drawings -------------------------------------------------
+
+
+def test_xlsx_sheet_parts_anchor_order_and_slice():
+    from ocr_platform_spark import xlsxtext
+
+    png = _word_png("word")
+    x = xlsxtext.encode_xlsx(
+        [[["alpha", "1"], ["beta"]], [["sheet two"]]],
+        drawings=[[(0, png)], []])
+    parts = xlsxtext.sheet_parts(x)
+    # anchored at row 0: slots after row 0's text, before row 1's
+    assert [(p[0], p[2] if p[0] == "text" else p[2]) for p in parts[0]] \
+        == [("text", "alpha 1"), ("media", "image/png"),
+            ("text", "beta")]
+    assert [(p[0], p[2]) for p in parts[1]] == [("text", "sheet two")]
+    assert xlsxtext.probe_xlsx(x, deep=True) == (2, 0, 0)
+    # the drawing chain survives per-sheet slicing
+    sliced = xlsxtext.slice_sheets(x, [0])
+    assert [(p[0],) for p in xlsxtext.sheet_parts(sliced)[0]] == \
+        [("text",), ("media",), ("text",)]
+
+
+def test_xlsx_dangling_drawing_rel_quarantines():
+    import io
+    import zipfile
+
+    from ocr_platform_spark import xlsxtext
+
+    png = _word_png("word")
+    x = xlsxtext.encode_xlsx([[["a"]]], drawings=[[(0, png)]])
+    src = zipfile.ZipFile(io.BytesIO(x))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as dst:
+        for info in src.infolist():
+            if "drawings/_rels" not in info.filename:
+                dst.writestr(info, src.read(info.filename))
+    with pytest.raises(ValueError, match="dangling picture relationship"):
+        xlsxtext.sheet_parts(buf.getvalue())
+    with pytest.raises(ValueError, match="dangling picture relationship"):
+        xlsxtext.probe_xlsx(buf.getvalue(), deep=True)
+
+
+def test_xlsx_anchored_picture_ocrs_between_rows(spark):
+    from ocr_platform_spark import xlsxtext
+
+    png = _word_png("scan")
+    x = xlsxtext.encode_xlsx(
+        [[["row zero"], ["row one"]], [["second sheet"]]],
+        drawings=[[(0, png)], []])
+    docs_df = spark.createDataFrame(
+        [{"doc_id": "d-xlsx", "spans": [
+            {"kind": "media", "text": None, "media_ref": "m-xlsx",
+             "offset": 0},
+        ]}], schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(
+        [("m-xlsx", bytearray(x))], "media_ref string, data binary")
+    out = extract_real_documents(docs_df, media_df, bucket_pages=1)
+    assert _spans_by_doc(out)["d-xlsx"] == [
+        ("text", "row zero", "m-xlsx", 0),
+        ("text", "scan", "m-xlsx", 1),
+        ("text", "row one", "m-xlsx", 2),
+        ("text", "second sheet", "m-xlsx", 3),
+    ]
