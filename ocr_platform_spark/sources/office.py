@@ -2,7 +2,8 @@
 the corpus shape.
 
 A SharePoint/file-share/e-discovery dump is a tree of ``.docx`` /
-``.odt`` / ``.pptx`` files. This source turns it into the engine's
+``.odt`` / ``.pptx`` / ``.xlsx`` / ``.rtf`` files, often alongside
+maildir-style ``.eml`` message files. This source turns it into the engine's
 interleaved ``documents`` + ``media`` input shape (BASELINE.json
 ``input_hint``) with TRUE interleaving via the office part walks
 (:func:`ocr_platform_spark.docxtext.document_parts`,
@@ -68,29 +69,46 @@ def _doc_id(path: str) -> str:
 
 
 def _file_parts(raw: bytes) -> list[tuple]:
-    """Dispatch one office payload to its part walk -> the e-mail-tier
-    part shape (``("text", pos, text)`` / ``("media", ctype, member,
-    payload)``). PPTX slides flatten in slide order (slides are pages
-    only for the in-pipeline paged path; at the source level the deck
-    is one document)."""
-    from .. import docxtext, formats, multimodal, odttext, pptxtext
+    """Dispatch one document payload to its part walk -> the
+    e-mail-tier part shape (``("text", pos, text)`` / ``("media",
+    ctype, member, payload)``). PPTX slides and XLSX sheets flatten in
+    page order (pages matter only for the in-pipeline paged path; at
+    the source level the file is one document). ``.rtf`` files take
+    the strict RTF walk and ``.eml`` files (maildir-style one-message-
+    per-file dumps) the strict MIME walk."""
+    from .. import (docxtext, emltext, formats, multimodal, odttext,
+                    plaintext, pptxtext, rtftext, xlsxtext)
 
-    if formats.sniff_kind(raw) != "zip":
-        raise ValueError("not an office container (no PK magic)")
+    def _flatten(pages: "list[list[tuple]]") -> list[tuple]:
+        flat: list[tuple] = []
+        for page in pages:
+            for p in page:
+                if p[0] == "text":
+                    flat.append(("text", len(flat), p[2]))
+                else:  # ("media", ordinal, ctype, member, payload)
+                    flat.append(("media", p[2], p[3], p[4]))
+        return flat
+
+    sniffed = formats.sniff_kind(raw)
+    if sniffed == "rtf":
+        return rtftext.document_parts(raw)
+    if sniffed != "zip":
+        # maildir shape: a bare RFC-5322 message file
+        text = plaintext.decode_text(raw)
+        if emltext.sniff_eml(text):
+            return emltext.eml_parts(text)
+        raise ValueError(
+            "not an office container, RTF, or e-mail message"
+        )
     kind, _n, _w, _h = multimodal.probe_real_media(raw, deep=False)
     if kind == "docx":
         return docxtext.document_parts(raw)
     if kind == "odt":
         return odttext.document_parts(raw)
     if kind == "pptx":
-        flat: list[tuple] = []
-        for slide in pptxtext.slide_parts(raw):
-            for p in slide:
-                if p[0] == "text":
-                    flat.append(("text", len(flat), p[2]))
-                else:  # ("media", ordinal, ctype, member, payload)
-                    flat.append(("media", p[2], p[3], p[4]))
-        return flat
+        return _flatten(pptxtext.slide_parts(raw))
+    if kind == "xlsx":
+        return _flatten(xlsxtext.sheet_parts(raw))
     raise ValueError(f"unsupported office kind {kind!r}")
 
 
@@ -142,7 +160,7 @@ def read_office(spark: SparkSession, paths: str) -> DataFrame:
     per task (cf. ``read_mbox``)."""
     listing = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{docx,odt,pptx}")
+        .option("pathGlobFilter", "*.{docx,odt,pptx,xlsx,rtf,eml}")
         .load(paths)
         .select("path")
     )

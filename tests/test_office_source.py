@@ -78,3 +78,35 @@ def test_extract_office_end_to_end(spark, office_dump):
         ("text", "od before"), ("text", "scan"), ("text", "od after")]
     assert [(s[0], s[1]) for s in by_prefix["c.pptx"]] == [
         ("text", "s0 text"), ("text", "word"), ("text", "s1 tail")]
+
+
+def test_office_source_rtf_eml_xlsx(spark, tmp_path):
+    """The source also ingests .rtf, maildir-style .eml and .xlsx
+    files, pictures as media spans throughout."""
+    from ocr_platform_spark import emltext, rtftext, xlsxtext
+
+    (tmp_path / "d.rtf").write_bytes(rtftext.encode_rtf_with_media(
+        ["rtf p1", _word_png("page"), "rtf p2"]))
+    (tmp_path / "m.eml").write_bytes(emltext.encode_eml(
+        [("From", "a@x"), ("Subject", "md subj"), ("Message-ID", "<s@x>"),
+         ("Date", "d"), ("MIME-Version", "1.0")],
+        parts=[("text/plain", "md body"), ("image/png", _word_png("scan"))]))
+    (tmp_path / "t.xlsx").write_bytes(xlsxtext.encode_xlsx(
+        [[["cell a"], ["cell b"]]], drawings=[[(0, _word_png("word"))]]))
+    parts = officesrc.read_office(spark, str(tmp_path)).collect()
+    by_name = {r["path"].rsplit("/", 1)[-1]: r for r in parts}
+    assert set(by_name) == {"d.rtf", "m.eml", "t.xlsx"}
+    assert list(by_name["d.rtf"]["kinds"]) == ["text", "media", "text"]
+    assert list(by_name["m.eml"]["kinds"]) == \
+        ["text", "text", "media"]  # subject, body, attachment
+    assert list(by_name["t.xlsx"]["kinds"]) == ["text", "media", "text"]
+    # end-to-end: pictures OCR via their media spans
+    out = officesrc.extract_office(spark, str(tmp_path))
+    spans = {k.split("#")[0]: [(s[0], s[1]) for s in v]
+             for k, v in _spans_by_doc(out).items()}
+    assert spans["d.rtf"] == [
+        ("text", "rtf p1"), ("text", "page"), ("text", "rtf p2")]
+    assert spans["m.eml"] == [
+        ("text", "md subj"), ("text", "md body"), ("text", "scan")]
+    assert spans["t.xlsx"] == [
+        ("text", "cell a"), ("text", "word"), ("text", "cell b")]
