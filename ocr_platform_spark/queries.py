@@ -760,20 +760,9 @@ _DOCX_Q_WORDS = ["page", "scan", "word", "line"]
 
 
 def _build_docx_payload(d: int) -> bytes:
-    import numpy as np
+    from . import docxtext
 
-    from . import docxtext, pngcodec, raster
-    from .formats import Band, PageDesc
-    from .kernels import text_px_width
-
-    word = _DOCX_Q_WORDS[d % 4]
-    page = PageDesc(
-        width=text_px_width(word) + 60, height=100,
-        bands=[Band(x=10, y=10, lines=[word], line_h=42, gap=8)],
-    )
-    png = pngcodec.encode_png(
-        np.stack([raster.render_page(page, 1.0)] * 3, axis=-1)
-    )
+    png = _word_png_bytes(_DOCX_Q_WORDS[d % 4])
     return docxtext.encode_docx_with_media(
         [f"docx {d} a", (f"docx {d} b", png, f"docx {d} c")]
     )
@@ -813,6 +802,131 @@ SELECT p.doc_id,
                                        WHEN 2 THEN 'word'
                                        ELSE 'line' END
          ELSE 'docx ' || p.doc_id || ' c'
+       END AS span_text
+FROM params p CROSS JOIN seq s
+"""
+
+
+_MBOX_ATT_DOCS = 60
+_XLSX_Q_DOCS = 60
+
+
+def _word_png_bytes(word: str) -> bytes:
+    import numpy as np
+
+    from . import pngcodec, raster
+    from .formats import Band, PageDesc
+    from .kernels import text_px_width
+
+    page = PageDesc(
+        width=text_px_width(word) + 60, height=100,
+        bands=[Band(x=10, y=10, lines=[word], line_h=42, gap=8)],
+    )
+    return pngcodec.encode_png(
+        np.stack([raster.render_page(page, 1.0)] * 3, axis=-1)
+    )
+
+
+def _build_mbox_attach_payload(d: int) -> bytes:
+    from . import emltext
+
+    word = _DOCX_Q_WORDS[d % 4]
+    msgs = [
+        emltext.encode_eml(
+            [("From", "gate@example.org"), ("Subject", f"am {d} 0"),
+             ("Message-ID", f"<a{d}-0@example.org>"),
+             ("Date", "Thu, 01 Jan 2026 00:00:00 +0000")],
+            parts=[("text/plain", f"ab {d} 0"),
+                   ("image/png", _word_png_bytes(word))]),
+        emltext.encode_eml(
+            [("From", "gate@example.org"), ("Subject", f"am {d} 1"),
+             ("Message-ID", f"<a{d}-1@example.org>"),
+             ("Date", "Thu, 01 Jan 2026 00:00:00 +0000")],
+            body=f"ab {d} 1"),
+    ]
+    return emltext.encode_mbox(msgs)
+
+
+def mbox_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query for the in-place mail-attachment OCR
+    (round 5): mbox archives where message 0 carries a glyph-rendered
+    PNG attachment between no other parts, run at ``bucket_pages=1`` so
+    the attachment must survive the message slicer. The OCR'd word is
+    closed-form — the attachment's position AFTER its message's body
+    and BEFORE the next message is value-pinned."""
+    from .operators.extract_real import extract_real_documents
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id").orderBy("doc_id").limit(_MBOX_ATT_DOCS)
+    )
+    media = _synth_eml_media(ids, _build_mbox_attach_payload)
+    out = extract_real_documents(_eml_docs_frame(media), media,
+                                 bucket_pages=1)
+    return _flatten_text_spans(out)
+
+
+MBOX_ATTACH_SQL = f"""
+WITH params AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_MBOX_ATT_DOCS}
+), seq AS (SELECT unnest(range(5)) AS i)
+SELECT p.doc_id,
+       CAST(s.i AS INT) AS span_order,
+       CASE s.i
+         WHEN 0 THEN 'am ' || p.doc_id || ' 0'
+         WHEN 1 THEN 'ab ' || p.doc_id || ' 0'
+         WHEN 2 THEN CASE p.doc_id % 4 WHEN 0 THEN 'page'
+                                       WHEN 1 THEN 'scan'
+                                       WHEN 2 THEN 'word'
+                                       ELSE 'line' END
+         WHEN 3 THEN 'am ' || p.doc_id || ' 1'
+         ELSE 'ab ' || p.doc_id || ' 1'
+       END AS span_text
+FROM params p CROSS JOIN seq s
+"""
+
+
+def _build_xlsx_embedded_payload(d: int) -> bytes:
+    from . import xlsxtext
+
+    word = _DOCX_Q_WORDS[d % 4]
+    return xlsxtext.encode_xlsx(
+        [[[f"xr {d} a"], [f"xr {d} b"]]],
+        drawings=[[(0, _word_png_bytes(word))]],
+    )
+
+
+def xlsx_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query for XLSX anchored drawings (round 5): each
+    workbook anchors a glyph-rendered PNG at row 0, so the OCR'd word
+    must land between row 0's and row 1's text — the two-level rels
+    resolution, anchor-row interleave and drawing-chain slicing are
+    value-pinned by the closed-form oracle."""
+    from .operators.extract_real import extract_real_documents
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id").orderBy("doc_id").limit(_XLSX_Q_DOCS)
+    )
+    media = _synth_eml_media(ids, _build_xlsx_embedded_payload)
+    out = extract_real_documents(_eml_docs_frame(media), media,
+                                 bucket_pages=1)
+    return _flatten_text_spans(out)
+
+
+XLSX_EMBEDDED_SQL = f"""
+WITH params AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_XLSX_Q_DOCS}
+), seq AS (SELECT unnest(range(3)) AS i)
+SELECT p.doc_id,
+       CAST(s.i AS INT) AS span_order,
+       CASE s.i
+         WHEN 0 THEN 'xr ' || p.doc_id || ' a'
+         WHEN 1 THEN CASE p.doc_id % 4 WHEN 0 THEN 'page'
+                                       WHEN 1 THEN 'scan'
+                                       WHEN 2 THEN 'word'
+                                       ELSE 'line' END
+         ELSE 'xr ' || p.doc_id || ' b'
        END AS span_text
 FROM params p CROSS JOIN seq s
 """
@@ -1040,6 +1154,13 @@ REGISTRY: dict[str, tuple[QueryFn, object]] = {
     "semdedup_prune": (pretrain.semdedup_prune, pretrain.SEMDEDUP_PRUNE_SQL),
     "unigram_scores": (pretrain.unigram_scores, pretrain.UNIGRAM_SCORES_SQL),
     "html_text": (html_extract.html_text, html_extract.HTML_TEXT_SQL),
+    # round-5 interleave tiers past-cap (gate full): closed-form
+    # oracles for the in-place mail-attachment OCR (incl. the message
+    # slicer at bucket_pages=1) and XLSX anchored drawings; verified by
+    # tools/check_oracle.py + CORRECTNESS_LOCAL, pytest-pinned in
+    # test_office_media.py
+    "mbox_attach": (mbox_attach, MBOX_ATTACH_SQL),
+    "xlsx_embedded": (xlsx_embedded, XLSX_EMBEDDED_SQL),
     # rows-only extraction/multimodal pipelines (non-SQL-expressible;
     # exact span-sequence equality pinned by tests/test_extract_spark.py)
     "extract_spans": (extract_spans, None),

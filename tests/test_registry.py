@@ -48,6 +48,7 @@ PAST_CAP = [
     "orders_rollup", "event_props_json", "doc_checksums",
     "bpe_token_count", "ngram_jaccard_pairs", "lsh_buckets",
     "vocab_topk", "semdedup_prune", "unigram_scores", "html_text",
+    "mbox_attach", "xlsx_embedded",
     "extract_spans", "extract_detect_boxes", "extract_two_phase",
     "extract_fused", "media_quarantine", "media_metadata",
     "page_features", "frame_sample",
@@ -65,6 +66,9 @@ DEMOTED_SQL_BACKED = {
     "orders_rollup", "event_props_json", "doc_checksums",
     "bpe_token_count", "ngram_jaccard_pairs", "lsh_buckets",
     "vocab_topk", "semdedup_prune", "unigram_scores", "html_text",
+    # round-5 interleave tiers, born past-cap (gate full), each
+    # pytest-pinned in test_office_media.py
+    "mbox_attach", "xlsx_embedded",
 }
 
 
