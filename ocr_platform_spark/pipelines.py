@@ -155,7 +155,10 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
     shards), ``"zip"`` (zip-archived dataset dumps), ``"mbox"``
     (mailing-list archives — messages land with body text spans and
     attachment media spans interleaved, so attachments OCR-extract in
-    place) or ``"jsonl"`` (line-delimited JSON corpora — already text,
+    place), ``"office"`` (enterprise document dumps — .docx/.odt/
+    .pptx/.xlsx/.rtf files and maildir-style .eml, embedded pictures
+    as interleaved media spans) or
+    ``"jsonl"`` (line-delimited JSON corpora — already text,
     so extraction is skipped and lines go straight to curation;
     ``text_field`` / ``id_field`` kwargs pass through). Curation kwargs
     (``min_quality_fxp4`` / ``langs`` /
@@ -184,6 +187,13 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
         from .sources.mbox import extract_mbox
 
         extracted = extract_mbox(spark, paths, **kwargs)
+    elif source == "office":
+        from .sources.office import extract_office
+
+        # enterprise document dumps (.docx/.odt/.pptx/.xlsx/.rtf +
+        # maildir .eml): paragraphs as text spans, embedded pictures
+        # as media spans that OCR-extract in place (round 5)
+        extracted = extract_office(spark, paths, **kwargs)
     elif source == "jsonl":
         from .sources.jsonl import jsonl_corpus
 
@@ -195,7 +205,7 @@ def crawl_to_training_corpus(spark: SparkSession, paths: str,
         return curate_documents(docs_text, **curate_kw)
     else:
         raise ValueError(f"unknown source {source!r} (expected 'warc', "
-                         f"'tar', 'zip', 'mbox' or 'jsonl')")
+                         f"'tar', 'zip', 'mbox', 'office' or 'jsonl')")
     docs_text = spans_to_documents(extracted)
     if not curate:
         return docs_text

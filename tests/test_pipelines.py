@@ -275,3 +275,19 @@ def test_speech_corpus_with_vtt_transcripts(spark, tmp_path):
     [row] = pipelines.speech_corpus(spark, str(tmp_path)).collect()
     assert row["text"] == "hello spoken world\n\nsecond caption"
     assert (row["duration_ms"], row["sample_rate"]) == (1000, 16000)
+
+
+def test_office_crawl_to_training_corpus(spark, tmp_path):
+    """The enterprise-dump leg: office ingestion -> part walks ->
+    curation keep rule, same outcome as the WARC/tar/mbox legs."""
+    from ocr_platform_spark import docxtext, rtftext
+
+    d = tmp_path / "officedump"
+    d.mkdir()
+    (d / "good.docx").write_bytes(docxtext.encode_docx([GOOD]))
+    (d / "good2.rtf").write_bytes(rtftext.encode_rtf([GOOD2]))
+    (d / "dup.docx").write_bytes(docxtext.encode_docx([GOOD]))  # exact dup
+    (d / "junk.docx").write_bytes(docxtext.encode_docx([JUNK]))
+    cur = pipelines.crawl_to_training_corpus(
+        spark, str(d), source="office").collect()
+    assert sorted(r["text"] for r in cur) == sorted([GOOD, GOOD2])
