@@ -46,6 +46,13 @@ def _img(seed, h=24, w=32):
     return _rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
 
 
+#: small valid PNG payload for the picture-bearing fixtures (random
+#: noise — the contract under fuzz is structural, not OCR content)
+_PNG_FIXTURE = pngcodec.encode_png(
+    np.random.default_rng(11).integers(0, 256, (20, 28, 3),
+                                       dtype=np.uint8))
+
+
 def _fixtures() -> dict[str, bytes]:
     objs = scanned_objs([_img(3, 30, 40)], ["0 0 19.2 14.4"])
     bl = (_rng(9).integers(0, 2, (32, 48)) > 0)
@@ -112,6 +119,33 @@ def _fixtures() -> dict[str, bytes]:
             _rng(7).integers(-128, 128, 300) / 128.0, 16000),
         "avi": avicodec.encode_avi([_img(8, 16, 16), _img(9, 16, 16)],
                                    codec="mjpeg"),
+        # picture-bearing office/book/mail variants (round 5): the
+        # embedded-media part walks — rels resolution, data URIs,
+        # \pict hex, two-level xlsx drawing chains — must hold the
+        # same ValueError contract under mutation
+        "docx-media": docxtext.encode_docx_with_media(
+            ["before pic", _PNG_FIXTURE, "after pic"]),
+        "pptx-media": pptxtext.encode_pptx(
+            [["slide text", _PNG_FIXTURE], ["plain slide"]]),
+        "xlsx-media": xlsxtext.encode_xlsx(
+            [[["row a"], ["row b"]]], drawings=[[(0, _PNG_FIXTURE)]]),
+        "epub-media": epubtext.encode_epub(
+            ["<html><head><title>t</title></head><body><p>c</p>"
+             '<img src="img/p.png"/></body></html>'],
+            media=[("img/p.png", _PNG_FIXTURE)]),
+        "rtf-media": __import__(
+            "ocr_platform_spark.rtftext", fromlist=["x"]
+        ).encode_rtf_with_media(["para one", _PNG_FIXTURE, "para two"]),
+        "eml-media": emltext.encode_eml(
+            [("From", "a@x.test"), ("Subject", "media fixture"),
+             ("Message-ID", "<fm@x.test>"), ("Date", "Thu, 01 Jan 2026")],
+            parts=[("text/plain", "body"),
+                   ("image/png", _PNG_FIXTURE)]),
+        "html-media": (
+            b"<!doctype html><html><head><title>t</title></head><body>"
+            b"<p>alpha</p><img src=\"data:image/png;base64,"
+            + __import__("base64").b64encode(_PNG_FIXTURE)
+            + b"\"/><p>beta</p></body></html>"),
         # compressed transport wrappers: the seam must unwrap these
         # transparently, and mutants (corrupt members, truncations,
         # nested bombs) must hold the ValueError contract
